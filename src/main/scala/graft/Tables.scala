@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, timestamp_micros}
+
+/** Named access to the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Scale notes (designed for ~100 TB on a real cluster, tested on local[32]):
+  *   - `dim` wraps the small dimension tables (region/nation/supplier/part/
+  *     customer at most SFs) in an explicit `broadcast()` hint so joins
+  *     against the fact tables (lineitem/orders/events) never shuffle the
+  *     big side. Catalyst would often do this by itself via
+  *     `spark.sql.autoBroadcastJoinThreshold`, but at 100 TB the fact side
+  *     must NEVER be the build side, so we pin it.
+  *   - Reads are plain parquet scans: column pruning + predicate pushdown
+  *     reach the scan (verify with .explain → PushedFilters/ReadSchema).
+  */
+object Tables {
+  val factTables = Set("lineitem", "orders", "events")
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // The events parquet stores ts as TIMESTAMP(NANOS), which Spark only
+      // reads via the nanosAsLong escape hatch. Normalize back to a real
+      // timestamp column with integer division (ts div 1000 — a double
+      // division would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Dimension-table read with a pinned broadcast hint. */
+  def dim(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    broadcast(load(spark, sfDir, name))
+}

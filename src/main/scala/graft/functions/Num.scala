@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Numeric helpers that make aggregates ORACLE-EXACT and order-independent.
+  *
+  * Double summation is order-dependent (IEEE754 addition is not
+  * associative), and Spark's partial-agg/shuffle order differs from a
+  * sequential scan, so `sum(double)` differs run-to-run in the last bits
+  * — enough to fail a hash compare and, at 100 TB, to drift real money
+  * totals. We therefore sum in exact DECIMAL.
+  *
+  * Two cross-engine pitfalls shape the exact design (verified against
+  * DuckDB empirically):
+  *   1. Downscaling a decimal truncates in some engines and rounds
+  *      half-up in others → NEVER rescale a decimal down.
+  *   2. Casting a wide/high-scale decimal to double is only correctly
+  *      rounded when the unscaled value fits in 2^53 → keep scales
+  *      minimal (money data is 2-decimal; rates are ≤4-decimal) so the
+  *      final cast is a single correctly-rounded IEEE division.
+  */
+object Num {
+  private val D2 = DecimalType(18, 2)
+  private val D4 = DecimalType(18, 4)
+  private val D6 = DecimalType(18, 6)
+
+  /** Exact decimal view of a 2-decimal money column. */
+  def dec(c: Column): Column = c.cast(D2)
+
+  /** Exact decimal view of a ≤4-decimal rate/factor expression. */
+  def dec4(c: Column): Column = c.cast(D4)
+
+  /** Order-independent sum of a money column, as double (sum scale 2). */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Order-independent sum of money × money/rate2 product (sum scale 4). */
+  def dsum2(a: Column, b: Column): Column = sum(dec(a) * dec(b)).cast(DoubleType)
+
+  /** Order-independent sum of money × rate4 product (sum scale 6). */
+  def dsum24(a: Column, b: Column): Column = sum(dec(a) * dec4(b)).cast(DoubleType)
+
+  /** Order-independent sum of a 6-decimal measure column (sum scale 6). */
+  def dsum6(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum, double-divided by count. */
+  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+}

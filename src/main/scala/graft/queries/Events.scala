@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Num._
+
+/** Event-stream analytics over the `events` table (SURVEY.md §2.6).
+  *
+  * These are the BATCH versions; the same logic runs as Structured
+  * Streaming in [[graft.streaming.EventsStream]] (watermark + windowed
+  * agg + mapGroupsWithState sessionization). Batch and streaming share
+  * semantics, so the DuckDB oracle validates both.
+  *
+  * Scale notes: all aggregations key on (time-bucket, type) or user_id —
+  * high-cardinality, evenly distributed → no skew; windows partition by
+  * user_id so state is bounded per key.
+  */
+object Events {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows per event type.
+    "ev01_hourly_stats" -> { (s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+    },
+
+    // Gap-based sessionization (30-min inactivity) via window functions:
+    // lag → new-session flag → running sum = session id → per-session agg.
+    "ev02_sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.load(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          (max(col("us")) - min(col("us"))).as("duration_us"))
+    },
+
+    // JSON extraction from the props column (SURVEY.md §2.3 "permissive
+    // parse": get_json_object tolerates malformed JSON → null).
+    "ev03_json_extract" -> { (s, d) =>
+      Tables.load(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    },
+
+    // Top-5 users by total value within each event type (rank + filter —
+    // the SQL QUALIFY pattern).
+    "ev04_top_users" -> { (s, d) =>
+      val totals = Tables.load(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(dsum6(col("value")).as("total_value"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("total_value").desc, col("user_id"))
+      totals.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ev01_hourly_stats" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev02_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) - MIN(us) AS duration_us
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "ev03_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev04_top_users" ->
+      """SELECT event_type, user_id, total_value, rank FROM (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) DESC, user_id) AS rank
+        |  FROM events GROUP BY event_type, user_id) t
+        |WHERE rank <= 5""".stripMargin
+  )
+}

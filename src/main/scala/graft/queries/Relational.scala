@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Num._
+
+/** Relational query surface (SURVEY.md §2.3/§2.5): filters, projections,
+  * joins of every flavor, aggregation, windows, sorts/top-k, set ops,
+  * rollup, scalar subqueries, conditional aggregation.
+  *
+  * Scale design notes (local[32] here, 1000 executors at 100 TB):
+  *   - Fact-to-dim joins broadcast the dim side (`Tables.dim`) — no shuffle
+  *     of lineitem/orders.
+  *   - Fact-to-fact joins (orders⋈lineitem) shuffle on the join key once;
+  *     AQE (enabled in the session) coalesces partitions and handles skew.
+  *   - All aggregates are partial-agg friendly (sum/count/min/max over
+  *     decimal/long) → map-side combine before the exchange.
+  *   - Filters are plain column predicates → pushed to the parquet scan
+  *     (verified via explain: PushedFilters).
+  *   - Money arithmetic in DECIMAL(18,6) (see [[graft.functions.Num]]):
+  *     order-independent sums, stable under 1000-way parallelism.
+  */
+object Relational {
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: scan+filter+groupBy, 6 aggregates.
+    "q01_pricing_summary" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+          dsum24(col("l_extendedprice"),
+            (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Multi-way join + agg: revenue per nation. nation broadcast; the
+    // customer⋈orders⋈lineitem chain shuffles on its keys with AQE.
+    "q02_revenue_by_nation" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.dim(s, d, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q3-style top-k: join + agg + orderBy + limit (deterministic
+    // tie-break on o_orderkey).
+    "q03_top_orders" -> { (s, d) =>
+      val c = Tables.load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, d, "orders").filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val li = Tables.load(s, d, "lineitem")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // Semi join (EXISTS): order-priority counts for orders having a
+    // returned lineitem.
+    "q04_order_priority" -> { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+      val r = Tables.load(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(r, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // Window ranking: top-3 orders per customer by totalprice.
+    "q05_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // TPC-H Q6-style selective scan: the whole filter is pushed to parquet.
+    "q06_forecast_revenue" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum2(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ROLLUP region → nation of supplier revenue.
+    "q07_rollup_region_nation" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+      val sup = Tables.dim(s, d, "supplier")
+      val n = Tables.dim(s, d, "nation")
+      val r = Tables.dim(s, d, "region")
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Exact distinct counts (shuffle-expand agg) per return flag.
+    "q08_distinct_counts" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Sketch-based distinct (HLL++): the 100 TB-scale answer to q08.
+    // No oracle — DuckDB's approx sketch differs; correctness of the
+    // sketch vs exact is asserted in ScalaTest (±5%).
+    "q08b_approx_distinct" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Set operations: UNION then EXCEPT (explicitly parenthesized the same
+    // way in the oracle).
+    "q09_setops" -> { (s, d) =>
+      val building = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val fOrders = Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val cheap = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") < 5000.0).select(col("o_custkey").as("k"))
+      building.union(fOrders).distinct().except(cheap)
+    },
+
+    // Anti join: customers who never placed an URGENT order.
+    "q10_customers_no_orders" -> { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // Daily revenue + running cumulative total. The cumulative sum stays
+    // in decimal inside the window (exact) and casts to double at the end.
+    "q11_running_total" -> { (s, d) =>
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+      daily.select(col("day"), col("rev_dec").cast("double").as("daily_rev"),
+        sum(col("rev_dec")).over(w).cast("double").as("cum_rev"))
+    },
+
+    // Conditional aggregation (CASE WHEN inside agg) + ratio.
+    "q12_conditional_agg" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          dsum2(col("l_extendedprice"),
+            when(col("l_returnflag") === "R", lit(1.0) - col("l_discount")).otherwise(lit(0.0)))
+            .as("returned_rev"),
+          dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("total_rev"))
+        .withColumn("returned_share", col("returned_rev") / col("total_rev"))
+    },
+
+    // GROUP BY + HAVING on the part dimension.
+    "q13_brand_stats" -> { (s, d) =>
+      Tables.load(s, d, "part")
+        .groupBy(col("p_brand"))
+        .agg(davg(col("p_retailprice")).as("avg_price"),
+          count(lit(1)).as("n_parts"),
+          max(col("p_size")).as("max_size"))
+        .filter(col("n_parts") > 50)
+    },
+
+    // Scalar subquery: orders above the global average price. Expressed as
+    // a broadcast cross-join of the 1-row aggregate (no driver collect —
+    // the same plan Catalyst builds for an uncorrelated scalar subquery).
+    "q14_above_avg_orders" -> { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+      val avgDf = broadcast(o.agg(davg(col("o_totalprice")).as("global_avg")))
+      o.crossJoin(avgDf)
+        .filter(col("o_totalprice") > col("global_avg"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // Pure broadcast-chain join over the three smallest dims.
+    "q15_suppliers_by_region" -> { (s, d) =>
+      val sup = Tables.load(s, d, "supplier")
+      val n = Tables.dim(s, d, "nation")
+      val r = Tables.dim(s, d, "region")
+      sup.join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("sum_bal"))
+    }
+  )
+
+  // DuckDB-runnable oracles. The decimal-cast chain mirrors Num exactly
+  // (rescale to DECIMAL(38,2) before the double cast — see Num.toDbl).
+  private def ds(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  private def ds2(a: String, b: String) =
+    s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+  private def ds24(a: String, b: String) =
+    s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,4))) AS DOUBLE)"
+  private def da(c: String) =
+    s"(CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))"
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${ds("l_quantity")} AS sum_qty,
+         |  ${ds("l_extendedprice")} AS sum_base_price,
+         |  ${ds2("l_extendedprice", "(1.0 - l_discount)")} AS sum_disc_price,
+         |  ${ds24("l_extendedprice", "((1.0 - l_discount) * (1.0 + l_tax))")} AS sum_charge,
+         |  ${da("l_quantity")} AS avg_qty,
+         |  ${da("l_extendedprice")} AS avg_price,
+         |  ${da("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      s"""SELECT n_name,
+         |  ${ds2("l_extendedprice", "(1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+
+    "q03_top_orders" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         |  ${ds2("l_extendedprice", "(1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      s"""SELECT ${ds2("l_extendedprice", "l_discount")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q07_rollup_region_nation" ->
+      s"""SELECT r_name, n_name,
+         |  ${ds2("l_extendedprice", "(1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q08_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q09_setops" ->
+      """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice < 5000.0""".stripMargin,
+
+    "q10_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q11_running_total" ->
+      """SELECT day, CAST(rev_dec AS DOUBLE) AS daily_rev,
+        |  CAST(SUM(rev_dec) OVER (ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+        |FROM (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1) t""".stripMargin,
+
+    "q12_conditional_agg" ->
+      s"""SELECT l_linestatus,
+         |  ${ds2("l_extendedprice",
+               "(CASE WHEN l_returnflag = 'R' THEN 1.0 - l_discount ELSE 0.0 END)")} AS returned_rev,
+         |  ${ds2("l_extendedprice", "(1.0 - l_discount)")} AS total_rev,
+         |  ${ds2("l_extendedprice",
+               "(CASE WHEN l_returnflag = 'R' THEN 1.0 - l_discount ELSE 0.0 END)")} /
+         |    ${ds2("l_extendedprice", "(1.0 - l_discount)")} AS returned_share
+         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q13_brand_stats" ->
+      s"""SELECT p_brand, ${da("p_retailprice")} AS avg_price,
+         |  COUNT(*) AS n_parts, MAX(p_size) AS max_size
+         |FROM part GROUP BY p_brand HAVING COUNT(*) > 50""".stripMargin,
+
+    "q14_above_avg_orders" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${ds("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_totalprice > (SELECT ${ds("o_totalprice")} / COUNT(*) FROM orders)
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    "q15_suppliers_by_region" ->
+      s"""SELECT r_name, COUNT(*) AS n_suppliers, ${ds("s_acctbal")} AS sum_bal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin
+  )
+}
