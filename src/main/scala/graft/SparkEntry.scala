@@ -17,9 +17,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.ops.TextAnalysis.queries ++
+      graft.ops.Dedup.queries ++
+      graft.ops.Similarity.queries ++
+      graft.ops.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.Events.oracle
+      graft.queries.Events.oracle ++
+      graft.ops.TextAnalysis.oracle ++
+      graft.ops.Dedup.oracle ++
+      graft.ops.Similarity.oracle ++
+      graft.ops.Multimodal.oracle
 }

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.SimHash
+import graft.functions.VectorOps._
+
+/** Deduplication operators for an LLM training-data pipeline:
+  * exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup path generates candidates via BUCKETING
+  * (LSH band join / simhash block join), never an all-pairs product —
+  * candidate generation is a shuffle on the bucket key, verification runs
+  * only on candidates. That is the shape that survives 100 TB; the test
+  * corpora here just make the buckets small.
+  *
+  * Test corpora are built deterministically from `documents`: exact
+  * duplicates (same text, doc_id+1,000,000) for the exact paths, and
+  * near duplicates (every 7th token dropped, doc_id+1,000,000) for the
+  * near-dup paths — so each query provably finds something.
+  */
+object Dedup {
+
+  private val CopyOffset = 1000000L
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+
+  /** documents ∪ exact copies (ids offset by 1e6). */
+  private def corpusExact(s: SparkSession, d: String): DataFrame = {
+    val b = docs(s, d)
+    b.union(b.select((col("doc_id") + CopyOffset).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-duplicate copies: every 7th token dropped. */
+  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val b = docs(s, d)
+    val mutated = b.select((col("doc_id") + CopyOffset).as("doc_id"),
+      array_join(filter(split(col("text"), " "), (_, i) => i % 7 =!= 0), " ").as("text"))
+    b.union(mutated)
+  }
+
+  /** Distinct word-3-gram shingles of a text column. */
+  private def shingles3(text: Column): Column = {
+    val t = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(t) - 3, lit(0))),
+      i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+  }
+
+  /** 64-permutation MinHash signature of a shingle-set column. */
+  private def minhashSig(sh: Column): Column =
+    transform(sequence(lit(0), lit(63)),
+      s => array_min(transform(sh, x => xxhash64(x, s))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup groups: hash-groupBy on content hash.
+    "dd01_exact_groups" -> { (s, d) =>
+      corpusExact(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+    },
+
+    // Exact dedup keep-first: window rn=1 per content hash → survivors.
+    "dd02_dedup_keep_first" -> { (s, d) =>
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      corpusExact(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"))
+    },
+
+    // MinHash + LSH near-dup: shingle → 64-perm signature → 32 bands × 2
+    // rows → band-bucket join for candidates → exact Jaccard verification.
+    "dd03_minhash_lsh" -> { (s, d) =>
+      val base = corpusNear(s, d)
+        .withColumn("sh", shingles3(col("text")))
+        .withColumn("sig", minhashSig(col("sh")))
+        .select(col("doc_id"), col("sh"), col("sig"))
+        // reused on both sides of the candidate join AND in verification —
+        // cache instead of recomputing 64 hashes/shingle three times
+        .localCheckpoint(false)
+      val bands = base.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(31)),
+            j => xxhash64(concat_ws(",", slice(col("sig"), j * 2 + 1, lit(2))), j))))
+        .toDF("doc_id", "band_id", "band_hash")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      cand
+        .join(base.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+        .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("a"), col("b"), col("jaccard"))
+    },
+
+    // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
+    // 4×16-bit block LSH join (pigeonhole: hamming≤3 ⇒ one block equal),
+    // verify with bit_count(xor) ≤ 3.
+    "dd04_simhash" -> { (s, d) =>
+      val base = corpusNear(s, d)
+        .select(col("doc_id"), SimHash.simhash64(split(col("text"), " ")).as("sh"))
+      val blocks = base.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 4).map(j =>
+            shiftright(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+        .toDF("doc_id", "sh", "block_id", "block_val")
+        // both sides of the self-join — avoid recomputing simhash twice
+        .localCheckpoint(false)
+      blocks.as("x").join(blocks.as("y"),
+          col("x.block_id") === col("y.block_id") &&
+            col("x.block_val") === col("y.block_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+
+    // Character-5-gram Jaccard on a deterministic sample (brute pairs are
+    // the *verification* shape; candidate generation at scale is dd03).
+    "dd05_ngram_jaccard" -> { (s, d) =>
+      val withGrams = corpusNear(s, d).filter(col("doc_id") % 50 === 0)
+        .withColumn("g", array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")))
+        .select(col("doc_id"), col("g"))
+      withGrams.as("x").join(withGrams.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("x.g"), col("y.g"))).cast("double") /
+            size(array_union(col("x.g"), col("y.g"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
+    },
+
+    // Embedding-cosine near-dup: top-20 closest pairs (fused-codegen dot
+    // product; all-pairs here is the verification kernel — candidate
+    // generation at scale is the LSH/IVF path in Similarity).
+    "dd06_embed_cosine_pairs" -> { (s, d) =>
+      val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val x = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val y = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      x.join(y, col("a") < col("b"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .select(col("a"), col("b"), col("cos"))
+        .orderBy(col("cos").desc, col("a"), col("b"))
+        .limit(20)
+    }
+  )
+
+  // Oracles for the SQL-expressible subset. The corpus CTEs mirror
+  // corpusExact/corpusNear exactly.
+  private val exactCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |)""".stripMargin
+
+  // DuckDB list_filter has no index lambda arg in 1.x; emulate the
+  // every-7th-token drop with a zipped position list.
+  private val nearCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(
+      |      [t[i] FOR i IN range(1, len(t) + 1) IF (i - 1) % 7 != 0], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z
+      |)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "dd01_exact_groups" ->
+      s"""$exactCte
+         |SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+         |FROM corpus GROUP BY md5(text)""".stripMargin,
+
+    "dd02_dedup_keep_first" ->
+      s"""$exactCte
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id) AS rn FROM corpus) t
+         |WHERE rn = 1""".stripMargin,
+
+    "dd05_ngram_jaccard" ->
+      s"""$nearCte,
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_distinct([substr(text, i, 5)
+         |                   FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS g
+         |  FROM corpus WHERE doc_id % 50 = 0
+         |)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(x.g, y.g))) AS jaccard
+         |FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+         |WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(x.g, y.g))) >= 0.5""".stripMargin
+  )
+}

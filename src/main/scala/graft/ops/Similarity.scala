@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Three tiers:
+  *   - ss01: brute-force cosine top-k — the exact baseline. Queries are
+  *     broadcast; the big side streams through a fused-codegen dot
+  *     product, then a per-query window takes top-k. At 100 TB this is
+  *     the *verification* kernel, not the search path.
+  *   - ss02: random-hyperplane LSH — 16 sign bits, banded 2×8; candidates
+  *     share a band bucket. Bucket join = one shuffle on (band, value);
+  *     no all-pairs product. The scale path for pairwise near-dup.
+  *   - ss03: IVF (inverted-file) — deterministic coarse centroids, each
+  *     vector assigned to its nearest centroid (broadcast centroids,
+  *     map-side argmax), queries probe the 3 nearest cells. The scale
+  *     path for query-driven top-k: touches ~nprobe/ncells of the data.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed, 16 × 64). */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-10 for query vectors vec_id < 10.
+    "ss01_topk_bruteforce" -> { (s, d) =>
+      val all = emb(s, d)
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      all.crossJoin(q)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+    },
+
+    // Random-hyperplane LSH top-k: 16 sign bits banded 4×4; candidates
+    // share a band bucket. 4-bit bands keep recall usable even when true
+    // neighbors have modest cosine (random embeddings) — the classic
+    // bands/rows recall-vs-candidates dial.
+    "ss02_lsh_topk" -> { (s, d) =>
+      val planeCols = planes.map(p => typedlit(p))
+      val sigBits = planeCols.zipWithIndex.map { case (p, i) =>
+        when(vecDot(col("embedding"), p) > 0d, lit(1L << i)).otherwise(lit(0L))
+      }
+      val withSig = emb(s, d).withColumn("sig",
+        sigBits.reduce((a, b) => a.bitwiseOR(b)))
+      val banded = withSig.select(col("vec_id"), col("embedding"),
+          posexplode(array((0 until 4).map(j =>
+            shiftright(col("sig"), j * 4).bitwiseAND(lit(0xfL))): _*)))
+        .toDF("vec_id", "embedding", "band_id", "band_val")
+      val q = broadcast(banded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("band_id"), col("band_val")))
+      val cands = banded.join(q, Seq("band_id", "band_val"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_vec"), col("vec_id"), col("embedding"))
+        .distinct()
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cands.withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+    },
+
+    // IVF top-k: coarse cells from deterministic centroids (vec_id%100=0),
+    // nearest-cell assignment, queries probe the 3 closest cells.
+    "ss03_ivf_topk" -> { (s, d) =>
+      val all = emb(s, d)
+      val centroids = broadcast(all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+      def assign(df: DataFrame, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+        df.crossJoin(centroids)
+          .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
+          .withColumn("c_rank", row_number().over(w))
+          .filter(col("c_rank") <= keep)
+          .select(col("vec_id"), col("embedding"), col("c_id"))
+      }
+      val cells = assign(all, 1)
+      val probes = assign(all.filter(col("vec_id") < 10), 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("c_id"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      cells.join(probes, Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_vec"), col("vec_id"), col("embedding"))
+        .distinct()
+        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+    }
+  )
+
+  // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
+  // the sequential double fold of VecDot (validated empirically).
+  def oracle: Map[String, String] = Map(
+    "ss01_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, x.vec_id,
+        |    list_dot_product(x.v, q.v) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+        |  FROM e x, e q
+        |  WHERE q.vec_id < 10 AND x.vec_id != q.vec_id)
+        |SELECT q_id, vec_id, cos, rank FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin
+  )
+}

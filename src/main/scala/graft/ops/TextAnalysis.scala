@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table: token statistics, quality scoring, content
+  * fingerprinting, language ID, corpus word counts.
+  *
+  * All operators are narrow per-row expressions (whole-stage codegen'd,
+  * no shuffle) except the word count, which is a single explode+agg with
+  * map-side partial aggregation — the classic scalable wordcount shape.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  // Per-language stopword profiles for the n-gram/stopword language-ID
+  // heuristic. Overlaps (la/un/de/en) are fine — argmax decides.
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "de", "y", "es", "una", "en"))
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(x => x: Any): _*)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + distinct tokens per document.
+    "tx01_token_stats" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_uniq_tokens"))
+    },
+
+    // Quality scoring: stopword ratio, mean token length, length gate.
+    "tx02_quality" -> { (s, d) =>
+      docs(s, d)
+        .withColumn("n_tokens", size(toks(col("text"))))
+        .withColumn("stop_hits", hitCount(toks(col("text")), stopwords))
+        .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+          (col("stop_hits").cast("double") / col("n_tokens")).as("stop_ratio"),
+          ((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+            .as("avg_token_len"),
+          (col("n_tokens") >= 30 && col("stop_hits").cast("double") / col("n_tokens") <= 0.6)
+            .as("quality_ok"))
+    },
+
+    // Content fingerprint of whitespace-normalized text (md5). The
+    // normalize-then-hash shape is the exact-dedup key generator.
+    "tx03_fingerprint" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    },
+
+    // Stopword-profile language ID (argmax of per-language hit counts,
+    // tie priority en > de > fr > es), compared against the labeled lang.
+    "tx04_langid" -> { (s, d) =>
+      val t = toks(lower(col("text")))
+      val hits = langProfiles.map { case (l, ws) => l -> hitCount(t, ws) }.toMap
+      val pred = when(
+          hits("en") >= hits("de") && hits("en") >= hits("fr") && hits("en") >= hits("es"), "en")
+        .when(hits("de") >= hits("fr") && hits("de") >= hits("es"), "de")
+        .when(hits("fr") >= hits("es"), "fr")
+        .otherwise("es")
+      docs(s, d).select(col("doc_id"), col("lang"), pred.as("lang_pred"),
+        (col("lang") === pred).as("is_match"))
+    },
+
+    // Corpus top-100 tokens: explode → partial-agg count → global top-k.
+    "tx05_wordcount" -> { (s, d) =>
+      docs(s, d)
+        .select(explode(toks(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)
+    }
+  )
+
+  private def sqlHits(listExpr: String, words: Seq[String]): String =
+    s"len(list_filter($listExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  def oracle: Map[String, String] = Map(
+    "tx01_token_stats" ->
+      """SELECT doc_id, n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+        |FROM documents""".stripMargin,
+
+    "tx02_quality" ->
+      s"""SELECT doc_id, n_tokens, stop_hits,
+         |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+         |  (n_tokens >= 30 AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.6) AS quality_ok
+         |FROM (
+         |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         |    ${sqlHits("string_split(text, ' ')", stopwords)} AS stop_hits
+         |  FROM documents) t""".stripMargin,
+
+    "tx03_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "tx04_langid" ->
+      s"""SELECT doc_id, lang, lang_pred, (lang = lang_pred) AS is_match FROM (
+         |  SELECT doc_id, lang,
+         |    CASE
+         |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |      WHEN de >= fr AND de >= es THEN 'de'
+         |      WHEN fr >= es THEN 'fr'
+         |      ELSE 'es' END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      ${langProfiles.map { case (l, ws) =>
+                  s"${sqlHits("string_split(lower(text), ' ')", ws)} AS $l" }
+                 .mkString(",\n      ")}
+         |    FROM documents) h) p""".stripMargin,
+
+    "tx05_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin
+  )
+}

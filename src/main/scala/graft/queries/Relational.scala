@@ -191,7 +191,7 @@ object Relational {
         .agg(davg(col("p_retailprice")).as("avg_price"),
           count(lit(1)).as("n_parts"),
           max(col("p_size")).as("max_size"))
-        .filter(col("n_parts") > 50)
+        .filter(col("n_parts") >= 5)
     },
 
     // Scalar subquery: orders above the global average price. Expressed as
@@ -342,7 +342,7 @@ object Relational {
     "q13_brand_stats" ->
       s"""SELECT p_brand, ${da("p_retailprice")} AS avg_price,
          |  COUNT(*) AS n_parts, MAX(p_size) AS max_size
-         |FROM part GROUP BY p_brand HAVING COUNT(*) > 50""".stripMargin,
+         |FROM part GROUP BY p_brand HAVING COUNT(*) >= 5""".stripMargin,
 
     "q14_above_avg_orders" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${ds("o_totalprice")} AS sum_price

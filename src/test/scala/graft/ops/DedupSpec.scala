@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private val offset = 1000000L
+
+  test("dd01 exact groups: every group has exactly 2 copies and keeps the original id") {
+    val df = Dedup.queries("dd01_exact_groups")(spark, sf)
+    val bad = df.filter(col("n_copies") =!= 2 || col("keep_id") >= offset).count()
+    assert(bad == 0)
+  }
+
+  test("dd02 keep-first returns exactly the original doc_ids") {
+    val kept = Dedup.queries("dd02_dedup_keep_first")(spark, sf)
+    assert(kept.filter(col("doc_id") >= offset).count() == 0)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(kept.count() == nDocs)
+  }
+
+  test("dd03 MinHash-LSH recovers most planted near-dup pairs") {
+    val pairs = Dedup.queries("dd03_minhash_lsh")(spark, sf)
+      .filter(col("b") === col("a") + offset)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val recall = pairs.count().toDouble / nDocs
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8")
+  }
+
+  test("dd04 SimHash block-LSH recovers planted pairs it claims (hamming<=3) and no false hamming") {
+    val df = Dedup.queries("dd04_simhash")(spark, sf)
+    assert(df.filter(col("hamming") > 3).count() == 0)
+    assert(df.filter(col("b") === col("a") + offset).count() > 0)
+  }
+
+  test("dd05 n-gram jaccard: planted pairs dominate and jaccard in (0,1]") {
+    val df = Dedup.queries("dd05_ngram_jaccard")(spark, sf).cache()
+    assert(df.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    val planted = df.filter(col("b") === col("a") + offset).count()
+    assert(planted > 0)
+  }
+
+  test("dd06 embedding pairs are ordered by cosine descending") {
+    val rows = Dedup.queries("dd06_embed_cosine_pairs")(spark, sf)
+      .select(col("cos")).collect().map(_.getDouble(0))
+    assert(rows.length == 20)
+    assert(rows.sameElements(rows.sortBy(-_.doubleValue())))
+  }
+}

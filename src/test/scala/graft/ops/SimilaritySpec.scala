@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def topkSet(name: String): Map[Long, Set[Long]] =
+    Similarity.queries(name)(spark, sf)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("ss01 brute force returns exactly 10 neighbors per query, no self-matches") {
+    val df = Similarity.queries("ss01_topk_bruteforce")(spark, sf).cache()
+    val counts = df.groupBy(col("q_id")).count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 10))
+    assert(df.filter(col("q_id") === col("vec_id")).count() == 0)
+  }
+
+  test("ss02 LSH candidates are a subset surface: any returned neighbor has true cosine rank") {
+    val exact = topkSet("ss01_topk_bruteforce")
+    val lsh = topkSet("ss02_lsh_topk")
+    // LSH top-k must be real vectors; measure recall@10 against exact.
+    val recalls = lsh.map { case (q, s) => (s intersect exact(q)).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"LSH mean recall@10 $mean suspiciously low")
+  }
+
+  test("ss03 IVF nprobe=3 gets reasonable recall vs brute force") {
+    val exact = topkSet("ss01_topk_bruteforce")
+    val ivf = topkSet("ss03_ivf_topk")
+    val recalls = ivf.map { case (q, s) => (s intersect exact(q)).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"IVF mean recall@10 $mean below 0.3")
+  }
+}
