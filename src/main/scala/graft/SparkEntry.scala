@@ -21,7 +21,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
-      graft.ops.Multimodal.queries
+      graft.ops.Multimodal.queries ++
+      graft.queries.Ingest.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
-      graft.ops.Multimodal.oracle
+      graft.ops.Multimodal.oracle ++
+      graft.queries.Ingest.oracle
 }

@@ -1,0 +1,119 @@
+package graft.ingest
+
+import java.io.InputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Distributed streaming XML source.
+  *
+  * Reproduces the reference's XML semantics
+  * (fileloader/fileloader-schema.go:142-197, :377-510):
+  *   - token-scan for `<rowTag>` start elements, parse each subtree
+  *     (recursive descent, :390-444);
+  *   - second occurrence of a child tag promotes the value to an array
+  *     (:416-425);
+  *   - leaf CharData is trimmed text (:427-433).
+  *
+  * Spark-first design: `binaryFiles` gives one stream handle per file, so
+  * each file is StAX-parsed *streaming* (constant memory — same property
+  * as the reference's channel pipeline) inside a partition; parallelism is
+  * per-file, which is the natural unit at scale (ingest drops batches of
+  * files). Parsed records are emitted as canonical JSON and re-read with
+  * the DECLARED schema, so type casting, PERMISSIVE null handling and
+  * column pruning are all delegated to Spark's JSON reader — one typed
+  * path for both XML and JSON inputs, exactly as the reference converges
+  * both formats on `map[string]interface{}`.
+  */
+object XmlRecordReader {
+
+  def read(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(readAsJson(spark, path, rowTag))
+
+  /** Parse XML file(s) into one canonical-JSON string per record. */
+  def readAsJson(spark: SparkSession, path: String, rowTag: String): Dataset[String] = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) => recordIterator(pds.open(), rowTag) }
+      .toDS()
+  }
+
+  /** Lazy iterator of JSON records from one XML stream. */
+  private def recordIterator(in: InputStream, rowTag: String): Iterator[String] = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    // harden against entity-based attacks on untrusted inputs
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    val rd = f.createXMLStreamReader(in)
+    new Iterator[String] {
+      private var nextRec: String = advance()
+      private def advance(): String = {
+        while (rd.hasNext) {
+          if (rd.next() == XMLStreamConstants.START_ELEMENT &&
+              rd.getLocalName == rowTag) {
+            return toJson(parseElement(rd))
+          }
+        }
+        rd.close(); in.close()
+        null
+      }
+      override def hasNext: Boolean = nextRec != null
+      override def next(): String = { val r = nextRec; nextRec = advance(); r }
+    }
+  }
+
+  /** Recursive-descent parse of the element the reader is positioned on.
+    * Returns either a trimmed String (leaf) or a LinkedHashMap of
+    * children, where repeated tags have been promoted to ArrayBuffer. */
+  private def parseElement(rd: XMLStreamReader): Any = {
+    val children = new mutable.LinkedHashMap[String, Any]()
+    val text = new StringBuilder
+    while (rd.hasNext) {
+      rd.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          val name = rd.getLocalName
+          val value = parseElement(rd)
+          children.get(name) match {
+            case None => children(name) = value
+            case Some(buf: mutable.ArrayBuffer[Any] @unchecked) => buf += value
+            case Some(prev) => children(name) = mutable.ArrayBuffer(prev, value)
+          }
+        case XMLStreamConstants.CHARACTERS => text.append(rd.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          return if (children.nonEmpty) children else text.toString.trim
+        case _ =>
+      }
+    }
+    if (children.nonEmpty) children else text.toString.trim
+  }
+
+  /** Canonical JSON encoding. XML text is untyped; integer-looking leaves
+    * are emitted as JSON numbers so the declared schema (LongType epoch
+    * fields) types them — fixing the reference's float64 hazard. */
+  private[ingest] def toJson(v: Any): String = v match {
+    case m: mutable.LinkedHashMap[String, Any] @unchecked =>
+      m.map { case (k, x) => s"${quote(k)}:${toJson(x)}" }.mkString("{", ",", "}")
+    case buf: mutable.ArrayBuffer[Any] @unchecked =>
+      buf.map(toJson).mkString("[", ",", "]")
+    case s: String if s.matches("-?\\d{1,18}") => s
+    case s: String => quote(s)
+    case other => quote(String.valueOf(other))
+  }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ingest.{Flatten, IngestSchema, JsonIngest, XmlRecordReader}
+
+/** Ingest-pipeline operators surfaced as verifiable queries.
+  *
+  * in01 runs the flatten/explode shape on driver testdata (DuckDB-
+  * checkable); in02/in03 run the FULL reference ingest pipeline — typed
+  * read → flatten → whitelist projection — on the reference's own
+  * fixtures (golden row counts 20 / 16, SURVEY.md §5). Rows-only checks:
+  * DuckDB sees only the sf parquet tables.
+  */
+object Ingest {
+
+  private val fixtureJson = "/root/reference/test-loader.json"
+  private val fixtureXml = "/root/reference/test-loader.xml"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Explode/flatten demo over testdata: one row per token.
+    "in01_flatten_words" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    },
+
+    // Full JSON ingest parity path on the reference fixture (20 rows).
+    "in02_reference_json_flatten" -> { (s, _) =>
+      val flat = Flatten(JsonIngest.read(s, fixtureJson))
+      JsonIngest.projectWhitelist(flat, IngestSchema.sinkColumns,
+        IngestSchema.flattened.fields.map(f => f.name -> f.dataType).toMap)
+    },
+
+    // Full XML ingest parity path on the reference fixture (16 rows).
+    "in03_reference_xml_flatten" -> { (s, _) =>
+      val flat = Flatten(XmlRecordReader.read(s, fixtureXml, "Record", IngestSchema.raw))
+      JsonIngest.projectWhitelist(flat, IngestSchema.sinkColumns,
+        IngestSchema.flattened.fields.map(f => f.name -> f.dataType).toMap)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "in01_flatten_words" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |FROM documents WHERE doc_id < 50""".stripMargin
+  )
+}
