@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference streams records through bounded channels
+  * (main.go:57, mapreduce/mapreduce.go:64-66) with no event-time
+  * semantics (SURVEY.md §2.6). The Spark-native equivalent is a file
+  * source feeding watermarked event-time operators; backpressure is
+  * `maxFilesPerTrigger`, archival is `cleanSource=archive` — the same
+  * lifecycle as the reference's MoveInputFile but engine-managed.
+  *
+  * Batch/stream parity: `hourlyStats` computes exactly ev01's grouping
+  * and `sessionize` exactly ev02's 30-minute-gap sessions, so the
+  * DuckDB-verified batch results double as streaming oracles (asserted
+  * in EventsStreamSpec).
+  */
+object EventsStream {
+
+  /** events.parquet carries TIMESTAMP(NANOS) — streamed as long then
+    * normalized, mirroring Tables.load. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  final case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+      start_us: Long, duration_us: Long, open: Boolean)
+
+  /** Streaming read of an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // bounded-buffer analog
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation (streaming ev01). */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Stateful 30-min-gap sessionization via flatMapGroupsWithState
+    * (streaming ev02). State per user is O(1): (start, last, count).
+    * Emits every affected session per trigger (Update mode); closed
+    * sessions leave state. */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[(Long, List[SessionState])]) =>
+          val (seq0, open0) = state.getOption.getOrElse((0L, Nil))
+          var seq = seq0
+          var open: Option[SessionState] = open0.headOption
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          val sorted = it.toArray.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+          sorted.foreach { e =>
+            val us = e.ts.getTime / 1000 * 1000000 + (e.ts.getNanos / 1000) % 1000000
+            open match {
+              case Some(s) if us - s.lastUs <= gapUs =>
+                open = Some(s.copy(lastUs = us, n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(user, seq, s.n, s.startUs, s.lastUs - s.startUs, open = false)
+                seq += 1
+                open = Some(SessionState(us, us, 1))
+              case None =>
+                seq += 1
+                open = Some(SessionState(us, us, 1))
+            }
+          }
+          open.foreach { s =>
+            out += SessionOut(user, seq, s.n, s.startUs, s.lastUs - s.startUs, open = true)
+          }
+          state.update((seq, open.toList))
+          out.iterator
+      }
+  }
+}
