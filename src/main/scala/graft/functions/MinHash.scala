@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Shared kernel for interpreted eval and codegen. */
+object MinHashUtil {
+  val NumPerms = 64
+
+  // Fixed affine permutation family h_i(x) = a_i*x + b_i over Z_2^64
+  // (a_i odd ⇒ bijective). Seeded deterministically: same signatures on
+  // every run, every engine, every cluster size.
+  private val (as, bs): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(0x5eed)
+    val a = Array.fill(NumPerms)(rnd.nextLong() | 1L)
+    val b = Array.fill(NumPerms)(rnd.nextLong())
+    (a, b)
+  }
+
+  /** 64-perm MinHash signature of a string array — each element hashed
+    * ONCE (two murmur32 halves → 64-bit), then 64 affine permutations.
+    * O(n + 64n cheap ops) vs O(64n) full rehashes of the naive form. */
+  def signature(arr: ArrayData): ArrayData = {
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9747b28c)
+        update(mins, (hi.toLong << 32) | (lo.toLong & 0xffffffffL))
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Signature over pre-hashed 64-bit shingles (array<long>). */
+  def signatureLong(arr: ArrayData): ArrayData = {
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) update(mins, arr.getLong(i))
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private def update(mins: Array[Long], x: Long): Unit = {
+    var p = 0
+    while (p < NumPerms) {
+      val h = as(p) * x + bs(p)
+      if (h < mins(p)) mins(p) = h
+      p += 1
+    }
+  }
+}
+
+/** MinHash signature as a native Catalyst expression:
+  * array<string> → array<long> (64 permutations).
+  *
+  * Replaces the built-in composition
+  * `transform(sequence(0,63), s -> array_min(transform(sh, x -> xxhash64(x,s))))`,
+  * which rehashes every shingle's bytes 64 times and allocates 64
+  * intermediate arrays per row. On the dedup path (SURVEY.md §2.5
+  * extension) this is the dominant cost at corpus scale.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override lazy val resolved: Boolean = childrenResolved && (child.dataType match {
+    case ArrayType(StringType | LongType, _) => true
+    case _ => false
+  })
+
+  private def isLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isLong) MinHashUtil.signatureLong(input.asInstanceOf[ArrayData])
+    else MinHashUtil.signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "signatureLong" else "signature"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashUtil.$fn($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash {
+  def minhashSig(shingles: Column): Column =
+    GraftBridge.toColumn(MinHashSig(GraftBridge.toExpression(shingles)))
+}

@@ -51,10 +51,11 @@ object Dedup {
       i => concat_ws(" ", slice(t, i + 1, lit(3)))))
   }
 
-  /** 64-permutation MinHash signature of a shingle-set column. */
+  /** 64-permutation MinHash signature of a shingle-set column — a native
+    * Catalyst expression hashing each shingle once (graft.functions
+    * .MinHashSig), not 64 built-in rehashes. */
   private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(63)),
-      s => array_min(transform(sh, x => xxhash64(x, s))))
+    graft.functions.MinHash.minhashSig(sh)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups: hash-groupBy on content hash.
@@ -76,8 +77,10 @@ object Dedup {
     // MinHash + LSH near-dup: shingle → 64-perm signature → 32 bands × 2
     // rows → band-bucket join for candidates → exact Jaccard verification.
     "dd03_minhash_lsh" -> { (s, d) =>
+      // shingle sets carried as 64-bit hashes: one hashing pass, and the
+      // exact-Jaccard verification intersects longs instead of strings
       val base = corpusNear(s, d)
-        .withColumn("sh", shingles3(col("text")))
+        .withColumn("sh", array_distinct(transform(shingles3(col("text")), x => xxhash64(x))))
         .withColumn("sig", minhashSig(col("sh")))
         .select(col("doc_id"), col("sh"), col("sig"))
         // reused on both sides of the candidate join AND in verification —

@@ -32,11 +32,15 @@ object TextAnalysis {
     size(filter(tokens, t => t.isin(words.map(x => x: Any): _*)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Token counting: whitespace tokens + distinct tokens per document.
+    // Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    // regex tokenization (letter runs / digit runs / single symbols —
+    // the pre-tokenizer shape BPE vocabularies train over).
     "tx01_token_stats" -> { (s, d) =>
       docs(s, d).select(col("doc_id"), col("n_chars"),
         size(toks(col("text"))).as("n_tokens"),
-        size(array_distinct(toks(col("text")))).as("n_uniq_tokens"))
+        size(array_distinct(toks(col("text")))).as("n_uniq_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_tokens_bpe"))
     },
 
     // Quality scoring: stopword ratio, mean token length, length gate.
@@ -90,7 +94,8 @@ object TextAnalysis {
     "tx01_token_stats" ->
       """SELECT doc_id, n_chars,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens_bpe
         |FROM documents""".stripMargin,
 
     "tx02_quality" ->
