@@ -35,8 +35,12 @@ object JdbcTransactionalSink {
       committed: Boolean, stagingTable: String)
 
   /** If true (reference behavior), any record error rolls back the whole
-    * file; if false, good records commit and bad ones are only counted. */
-  final case class Options(allOrNothing: Boolean = true, batchSize: Int = 500)
+    * file; if false, good records commit and bad ones are only counted.
+    * `numWriters` mirrors RUNTIME.WORKER_COUNT / SetMaxOpenConns
+    * (main.go:173): it caps concurrent DB connections by repartitioning
+    * before the write. None = keep the upstream partitioning. */
+  final case class Options(allOrNothing: Boolean = true, batchSize: Int = 500,
+      numWriters: Option[Int] = None)
 
   def write(df: DataFrame, url: String, props: Properties, table: String,
       opts: Options = Options()): IngestResult = {
@@ -60,7 +64,8 @@ object JdbcTransactionalSink {
            |VALUES (${schema.fields.map(_ => "?").mkString(", ")})""".stripMargin
       val fields = schema.fields
       val batchSize = opts.batchSize
-      df.foreachPartition { rows: Iterator[Row] =>
+      val writeDf = opts.numWriters.map(df.repartition(_)).getOrElse(df)
+      writeDf.foreachPartition { rows: Iterator[Row] =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url, props)
           try {
