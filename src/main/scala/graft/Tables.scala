@@ -20,7 +20,18 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // Re-reading a table re-lists files and re-reads parquet footers; with
+  // ~40 registered queries that fixed cost dominates small-SF benchmarks
+  // (and at scale, repeated file listing of a 100 TB table is real work).
+  // Cache the analyzed DataFrame per (session, dir, table) — plan-level
+  // reuse only, no data is pinned.
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    dfCache.getOrElseUpdate((spark, sfDir, name), doLoad(spark, sfDir, name))
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // The events parquet stores ts as TIMESTAMP(NANOS), which Spark only
       // reads via the nanosAsLong escape hatch. Normalize back to a real
