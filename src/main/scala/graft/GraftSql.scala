@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-first facade: the engine's query surface through `spark.sql`.
+  *
+  * Registers every testdata table as a temp view plus our custom SQL
+  * functions (`vec_dot`), so a user can drive the full engine with plain
+  * SQL — the reference's whole query surface (and more) without touching
+  * the DataFrame API.
+  */
+object GraftSql {
+
+  def createViews(spark: SparkSession, sfDir: String): Unit = {
+    Tables.all.foreach { n =>
+      Tables.load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+    graft.functions.VectorOps.register(spark)
+  }
+
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    createViews(spark, sfDir)
+    spark.sql(query)
+  }
+}
