@@ -77,6 +77,18 @@ object TextAnalysis {
         (col("lang") === pred).as("is_match"))
     },
 
+    // Rolling-hash (winnowing) fingerprints — the structural document
+    // fingerprint for containment/near-dup detection; selected hash count
+    // and extremes summarize the set deterministically. Rows-only gate
+    // (winnowing isn't SQL-expressible); properties in WinnowSpec.
+    "tx06_winnow_fingerprint" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.functions.Winnow.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("fp_min"),
+          element_at(col("fp"), -1).as("fp_max"))
+    },
+
     // Corpus top-100 tokens: explode → partial-agg count → global top-k.
     "tx05_wordcount" -> { (s, d) =>
       docs(s, d)
