@@ -43,7 +43,16 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Dimension-table read with a pinned broadcast hint. */
-  def dim(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    broadcast(load(spark, sfDir, name))
+  /** True-dimension tables: bounded cardinality at ANY scale factor
+    * (region=5, nation=25) — safe to pin broadcast forever. Everything
+    * else (supplier/customer/part grow with SF) is left to Catalyst/AQE,
+    * which broadcasts below the threshold and shuffles above it. */
+  private val alwaysBroadcast = Set("region", "nation")
+
+  /** Dimension-table read: pinned broadcast only for tables that stay
+    * small at every scale factor. */
+  def dim(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    if (alwaysBroadcast(name)) broadcast(df) else df
+  }
 }

@@ -61,6 +61,42 @@ object MinHashUtil {
       p += 1
     }
   }
+
+  /** Distinct order-sensitive hashes of each n consecutive tokens —
+    * one murmur pass per token, fmix-style combining per shingle. */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val toks = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9747b28c)
+        toks(i) = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      }
+      i += 1
+    }
+    val m = math.max(len - n + 1, 0)
+    val set = new java.util.HashSet[java.lang.Long](m * 2)
+    i = 0
+    while (i < m) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) {
+        h = (h ^ toks(i + j)) * 0xff51afd7ed558ccdL
+        h ^= (h >>> 33)
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** MinHash signature as a native Catalyst expression:
@@ -101,4 +137,37 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 object MinHash {
   def minhashSig(shingles: Column): Column =
     GraftBridge.toColumn(MinHashSig(GraftBridge.toExpression(shingles)))
+
+  def shingleHashes(tokens: Column, n: Int): Column =
+    GraftBridge.toColumn(ShingleHashes(GraftBridge.toExpression(tokens), n))
+}
+
+/** Hashed word-n-gram shingle set: array<string> tokens → array<long>
+  * (distinct hashes of each n consecutive tokens).
+  *
+  * Replaces `transform(sequence(...), i -> concat_ws(' ', slice(tokens,
+  * i, n)))` + per-shingle string hash: that form builds an intermediate
+  * string per shingle (O(doc length) allocation churn). Here each token
+  * is hashed once and n-gram hashes combine the token hashes with an
+  * order-sensitive mix — one pass, zero string building.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override lazy val resolved: Boolean = childrenResolved && n > 0 &&
+    (child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashUtil.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

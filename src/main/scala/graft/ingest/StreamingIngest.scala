@@ -1,0 +1,55 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+
+/** Streaming ingest: the reference's EP1 record-at-a-time pipeline
+  * (producer goroutine → channel → workers, main.go:93-119) as a
+  * Structured Streaming job.
+  *
+  *  - file source watching a drop directory (record-at-a-time semantics
+  *    at file granularity — the unit the reference processes);
+  *  - `maxFilesPerTrigger` = bounded-channel backpressure;
+  *  - flatten + whitelist projection per micro-batch (same operators as
+  *    the batch path — one implementation, two execution modes);
+  *  - `cleanSource=archive` + `sourceArchiveDir` = MoveInputFile
+  *    (fileloader.go:263-328), engine-managed;
+  *  - exactly-once parquet sink via checkpointing — strictly stronger
+  *    than the reference's at-most-once commit.
+  */
+object StreamingIngest {
+
+  /** Watch `inputDir` for envelope-JSON files and continuously ingest. */
+  def jsonStream(spark: SparkSession, inputDir: String,
+      schema: StructType = IngestSchema.raw,
+      envelopeKey: String = "Records",
+      maxFilesPerTrigger: Int = 10,
+      archiveDir: Option[String] = None): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField(envelopeKey, ArrayType(schema), nullable = true)))
+    val rd = spark.readStream
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val rd2 = archiveDir.fold(rd) { dir =>
+      rd.option("cleanSource", "archive").option("sourceArchiveDir", dir)
+    }
+    val raw = rd2.schema(envelope).json(inputDir)
+      .select(explode(col(envelopeKey)).as("r"))
+      .select(col("r.*"))
+    JsonIngest.projectWhitelist(Flatten(raw), IngestSchema.sinkColumns,
+      IngestSchema.flattened.fields.map(f => f.name -> f.dataType).toMap)
+  }
+
+  /** Start the stream into a parquet sink (exactly-once via checkpoint). */
+  def startParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+}

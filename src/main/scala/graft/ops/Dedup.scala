@@ -43,14 +43,6 @@ object Dedup {
     b.union(mutated)
   }
 
-  /** Distinct word-3-gram shingles of a text column. */
-  private def shingles3(text: Column): Column = {
-    val t = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(t) - 3, lit(0))),
-      i => concat_ws(" ", slice(t, i + 1, lit(3)))))
-  }
-
   /** 64-permutation MinHash signature of a shingle-set column — a native
     * Catalyst expression hashing each shingle once (graft.functions
     * .MinHashSig), not 64 built-in rehashes. */
@@ -77,10 +69,12 @@ object Dedup {
     // MinHash + LSH near-dup: shingle → 64-perm signature → 32 bands × 2
     // rows → band-bucket join for candidates → exact Jaccard verification.
     "dd03_minhash_lsh" -> { (s, d) =>
-      // shingle sets carried as 64-bit hashes: one hashing pass, and the
-      // exact-Jaccard verification intersects longs instead of strings
+      // shingle sets carried as 64-bit hashes from a single fused pass
+      // (ShingleHashes: hash each token once, mix per 3-gram — no string
+      // building); Jaccard verification intersects longs
       val base = corpusNear(s, d)
-        .withColumn("sh", array_distinct(transform(shingles3(col("text")), x => xxhash64(x))))
+        .withColumn("sh",
+          graft.functions.MinHash.shingleHashes(split(col("text"), " "), 3))
         .withColumn("sig", minhashSig(col("sh")))
         .select(col("doc_id"), col("sh"), col("sig"))
         // reused on both sides of the candidate join AND in verification —
