@@ -22,7 +22,8 @@ object SparkEntry {
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
-      graft.queries.Ingest.queries
+      graft.queries.Ingest.queries ++
+      graft.queries.Extras.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
       graft.ops.Multimodal.oracle ++
-      graft.queries.Ingest.oracle
+      graft.queries.Ingest.oracle ++
+      graft.queries.Extras.oracle
 }

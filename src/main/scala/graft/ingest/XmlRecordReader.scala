@@ -54,7 +54,7 @@ object XmlRecordReader {
         while (rd.hasNext) {
           if (rd.next() == XMLStreamConstants.START_ELEMENT &&
               rd.getLocalName == rowTag) {
-            return toJson(parseElement(rd))
+            return toJson(liftNestedMaps(parseElement(rd)))
           }
         }
         rd.close(); in.close()
@@ -88,6 +88,22 @@ object XmlRecordReader {
       }
     }
     if (children.nonEmpty) children else text.toString.trim
+  }
+
+  /** One-level nested (non-repeated) maps are flattened into the parent
+    * record, nested values overwriting parent keys — the reference's
+    * validation-time lift (fileloader-schema.go:488-496). Repeated groups
+    * (arrays) are left for the flatten operator. */
+  private def liftNestedMaps(v: Any): Any = v match {
+    case m: mutable.LinkedHashMap[String, Any] @unchecked =>
+      val out = new mutable.LinkedHashMap[String, Any]()
+      m.foreach {
+        case (_, child: mutable.LinkedHashMap[String, Any] @unchecked) =>
+          child.foreach { case (ck, cv) => out(ck) = cv }
+        case (k, x) => out(k) = x
+      }
+      out
+    case other => other
   }
 
   /** Canonical JSON encoding. XML text is untyped; integer-looking leaves

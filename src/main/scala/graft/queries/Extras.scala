@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Num._
+
+/** Extended SQL surface: cube, pivot, correlated EXISTS, exact
+  * percentiles, string and date scalar functions — rounding out the
+  * "user could switch engines and run everything" guarantee (SURVEY.md
+  * §2.5 names these as Spark-provided capabilities).
+  */
+object Extras {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUBE over status × priority.
+    "q16_cube_status_priority" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // Pivot: month × status revenue matrix (fixed pivot values → stable
+    // schema, the scalable form — dynamic pivot needs a driver pass).
+    "q17_pivot_monthly_status" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+    },
+
+    // Correlated EXISTS with an extra predicate.
+    "q18_exists_heavy_line" -> { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+      val heavy = Tables.load(s, d, "lineitem")
+        .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+      o.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // Exact percentiles (interpolating) per return flag.
+    "q19_quantity_percentiles" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+    },
+
+    // String scalar functions + LIKE filter.
+    "q20_string_funcs" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .filter(col("c_name").like("%1%"))
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("name_len"))
+    },
+
+    // Date scalar functions: extract + day arithmetic.
+    "q21_date_funcs" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .withColumn("dd", datediff(lit("2000-01-01").cast("date"),
+          col("o_orderdate").cast("date")))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("dd")).as("min_days_to_y2k"),
+          max(col("dd")).as("max_days_to_y2k"))
+    }
+  )
+
+  private def ds(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def oracle: Map[String, String] = Map(
+    "q16_cube_status_priority" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${ds("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q17_pivot_monthly_status" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  ${ds("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+         |  ${ds("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+         |  ${ds("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q18_exists_heavy_line" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q19_quantity_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q20_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+        |  substr(c_name, 1, 8) AS prefix,
+        |  CAST(length(c_name) AS INT) AS name_len
+        |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+
+    "q21_date_funcs" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |  COUNT(*) AS n_orders,
+        |  CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')) AS INT) AS min_days_to_y2k,
+        |  CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')) AS INT) AS max_days_to_y2k
+        |FROM orders GROUP BY 1""".stripMargin
+  )
+}
