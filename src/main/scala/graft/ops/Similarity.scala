@@ -79,6 +79,30 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
     },
 
+    // ss01's semantics through the scalable top-k primitive: a typed
+    // Aggregator with a bounded buffer (map-side partial top-k) instead
+    // of window row_number (which shuffles+sorts every candidate).
+    // Same oracle as ss01 — results must be identical.
+    "ss04_topk_aggregated" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.{Scored, TopK}
+      val all = emb(s, d)
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      val scored = all.crossJoin(q)
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          struct(col("vec_id").as("id"),
+            cosine(col("embedding"), col("q_vec")).as("score")).as("s"))
+        .as[(Long, Scored)]
+      scored.groupByKey(_._1).mapValues(_._2)
+        .agg(TopK(10).toColumn.name("top"))
+        .toDF("q_id", "top")
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.id").as("vec_id"),
+          col("col.score").as("cos"), (col("pos") + 1).as("rank"))
+    },
+
     // IVF top-k: coarse cells from deterministic centroids (vec_id%100=0),
     // nearest-cell assignment, queries probe the 3 closest cells.
     "ss03_ivf_topk" -> { (s, d) =>
@@ -111,7 +135,10 @@ object Similarity {
   // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
   // the sequential double fold of VecDot (validated empirically).
   def oracle: Map[String, String] = Map(
-    "ss01_topk_bruteforce" ->
+    "ss04_topk_aggregated" -> ss01Sql,
+    "ss01_topk_bruteforce" -> ss01Sql)
+
+  private val ss01Sql: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (
         |  SELECT q.vec_id AS q_id, x.vec_id,
@@ -124,5 +151,4 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 10""".stripMargin
-  )
 }
