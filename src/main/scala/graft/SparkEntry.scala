@@ -23,7 +23,8 @@ object SparkEntry {
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       graft.queries.Ingest.queries ++
-      graft.queries.Extras.queries
+      graft.queries.Extras.queries ++
+      graft.queries.Pipeline.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.ops.Similarity.oracle ++
       graft.ops.Multimodal.oracle ++
       graft.queries.Ingest.oracle ++
-      graft.queries.Extras.oracle
+      graft.queries.Extras.oracle ++
+      graft.queries.Pipeline.oracle
 }

@@ -9,7 +9,7 @@ import graft.functions.VectorOps._
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
   *
-  * Three tiers:
+  * Four tiers (ss04 = ss01 through the bounded top-k Aggregator):
   *   - ss01: brute-force cosine top-k — the exact baseline. Queries are
   *     broadcast; the big side streams through a fused-codegen dot
   *     product, then a per-query window takes top-k. At 100 TB this is

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Num._
+
+/** Composed pipeline queries — the shapes a real training-data pipeline
+  * chains together, exercised end-to-end as single plans. */
+object Pipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The canonical cleaning pipeline: corpus (with planted duplicates) →
+    // quality gate → exact-dedup keep-first → surviving docs + stats.
+    // One declarative plan: Catalyst fuses the gate into the scan and the
+    // dedup is one hash shuffle.
+    "pp01_clean_corpus" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val gated = corpus
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("n_tokens") >= 30)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      gated
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tokens"))
+    },
+
+    // Fact-stream enrichment: events joined to the customer→nation dims,
+    // aggregated per nation × event type. The streaming twin is the same
+    // plan over readStream (dim joins broadcast in both modes).
+    "ev05_enriched_by_nation" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val c = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.dim(s, d, "nation")
+      ev.join(c, col("user_id") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+    },
+
+    // Multimodal frame sampling: one row per fixed-size frame of the
+    // binary payload, length computed from the REAL binary slice
+    // (substring on binary) — the batch shape a video/audio frame
+    // extractor runs in, with the decode kernel stubbed (see Multimodal).
+    "mm02_frame_sample" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("n_bytes", length(col("payload")))
+        .select(col("doc_id"), col("n_bytes"), col("payload"),
+          posexplode(sequence(lit(0), ceil(col("n_bytes") / 256.0).cast("int") - 1)))
+        .withColumnRenamed("col", "frame_idx")
+        .drop("pos")
+        .withColumn("frame_len",
+          length(expr("substring(payload, frame_idx * 256 + 1, 256)")))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("frame_len").cast("int").as("frame_len"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "pp01_clean_corpus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |), gated AS (
+        |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 30
+        |)
+        |SELECT doc_id, n_tokens FROM (
+        |  SELECT doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM gated) t
+        |WHERE rn = 1""".stripMargin,
+
+    "ev05_enriched_by_nation" ->
+      """SELECT n_name, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, event_type""".stripMargin,
+
+    "mm02_frame_sample" ->
+      """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(LEAST(256, n_bytes - frame_idx * 256) AS INT) AS frame_len
+        |FROM (
+        |  SELECT doc_id, strlen(text) AS n_bytes,
+        |    unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS BIGINT))) AS frame_idx
+        |  FROM documents) t""".stripMargin
+  )
+}
