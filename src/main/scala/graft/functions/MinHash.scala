@@ -97,6 +97,33 @@ object MinHashUtil {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** Distinct rolling (Rabin–Karp) hashes of all byte k-grams. */
+  def charGramHashes(s: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 1000003L
+    var bk = 1L
+    var i = 0
+    while (i < k) { bk *= B; i += 1 }
+    val set = new java.util.HashSet[java.lang.Long](n * 2)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    set.add(h)
+    i = 1
+    while (i <= n - k) {
+      h = h * B - (bytes(i - 1) & 0xff) * bk + (bytes(i + k - 1) & 0xff)
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** MinHash signature as a native Catalyst expression:
@@ -140,6 +167,32 @@ object MinHash {
 
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftBridge.toColumn(ShingleHashes(GraftBridge.toExpression(tokens), n))
+
+  def charGramHashes(text: Column, k: Int): Column =
+    GraftBridge.toColumn(CharGramHashes(GraftBridge.toExpression(text), k))
+}
+
+/** Distinct rolling-hash set of all byte k-grams of a string:
+  * string → array<long>. One O(n) pass (Rabin–Karp roll), no per-gram
+  * substring allocation — the fused form of
+  * `transform(sequence(1, len-k+1), i -> substring(text, i, k))`. */
+case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override lazy val resolved: Boolean =
+    childrenResolved && k > 0 && child.dataType == StringType
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashUtil.charGramHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashUtil.charGramHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Hashed word-n-gram shingle set: array<string> tokens → array<long>

@@ -125,9 +125,11 @@ object Dedup {
     // Character-5-gram Jaccard on a deterministic sample (brute pairs are
     // the *verification* shape; candidate generation at scale is dd03).
     "dd05_ngram_jaccard" -> { (s, d) =>
+      // char-5-gram sets as rolling hashes (one fused O(n) pass; set
+      // sizes — and so the Jaccard values — equal the substring form
+      // barring 64-bit collisions, which the oracle run confirms absent)
       val withGrams = corpusNear(s, d).filter(col("doc_id") % 50 === 0)
-        .withColumn("g", array_distinct(expr(
-          "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")))
+        .withColumn("g", graft.functions.MinHash.charGramHashes(col("text"), 5))
         .select(col("doc_id"), col("g"))
       withGrams.as("x").join(withGrams.as("y"), col("x.doc_id") < col("y.doc_id"))
         .withColumn("jaccard",
