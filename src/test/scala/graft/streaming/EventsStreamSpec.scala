@@ -50,6 +50,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark removes replayed events") {
+    // duplicate the events file in the drop dir → every event arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = EventsStream.readEvents(spark, dir.toString, maxFilesPerTrigger = 100)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = stream.writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_events").count()
+      val total = graft.Tables.load(spark, sf, "events").count()
+      assert(n == total, s"deduped stream should have $total rows, got $n")
+    } finally q.stop()
+  }
+
   test("watermarked append mode emits only watermark-closed windows (late-data semantics)") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val q = EventsStream.hourlyStats(stream)
