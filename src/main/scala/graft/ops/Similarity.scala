@@ -146,7 +146,7 @@ object Similarity {
         |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
         |  FROM e x, e q
         |  WHERE q.vec_id < 10 AND x.vec_id != q.vec_id)
-        |SELECT q_id, vec_id, cos, rank FROM (
+        |SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
         |  SELECT q_id, vec_id, cos,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored) t

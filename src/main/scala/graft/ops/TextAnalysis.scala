@@ -105,13 +105,14 @@ object TextAnalysis {
   def oracle: Map[String, String] = Map(
     "tx01_token_stats" ->
       """SELECT doc_id, n_chars,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
-        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens_bpe
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_tokens_bpe
         |FROM documents""".stripMargin,
 
     "tx02_quality" ->
-      s"""SELECT doc_id, n_tokens, stop_hits,
+      s"""SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(stop_hits AS INT) AS stop_hits,
          |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
          |  CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
          |  (n_tokens >= 30 AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.6) AS quality_ok

@@ -91,19 +91,19 @@ object Events {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM flagged
         |)
-        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
         |  MIN(us) AS start_us, MAX(us) - MIN(us) AS duration_us
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "ev03_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 
     "ev04_top_users" ->
-      """SELECT event_type, user_id, total_value, rank FROM (
+      """SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank FROM (
         |  SELECT event_type, user_id,
         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type

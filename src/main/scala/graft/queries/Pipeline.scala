@@ -71,7 +71,7 @@ object Pipeline {
         |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
         |  FROM corpus WHERE len(string_split(text, ' ')) >= 30
         |)
-        |SELECT doc_id, n_tokens FROM (
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens FROM (
         |  SELECT doc_id, n_tokens,
         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM gated) t

@@ -274,7 +274,7 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q05_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -46,6 +46,14 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"ORACLE-ERR {name}: {e}"); fail += 1; continue
     tbl = pq.read_table(spark_dir)
+    # dtype parity: the driver compares schemas, not just values
+    dtypes_d = {f[0]: None for f in res.description}
+    duck_arrow = con.execute(sql).fetch_arrow_table()
+    dd = {f.name: str(f.type) for f in duck_arrow.schema}
+    ss = {f.name: str(f.type) for f in tbl.schema}
+    tdiffs = {k: (ss.get(k), dd.get(k)) for k in set(dd) | set(ss) if ss.get(k) != dd.get(k)}
+    if tdiffs:
+        print(f"TYPES {name}: {tdiffs}"); fail += 1; continue
     scols, srows = list(tbl.column_names), [tuple(r) for r in zip(*[c.to_pylist() for c in tbl.columns])] if tbl.num_rows else []
     if tbl.num_rows == 0: srows = []
     c1, r1 = canon(dcols, drows)
