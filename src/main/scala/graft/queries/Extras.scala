@@ -50,6 +50,19 @@ object Extras {
           max(col("l_quantity")).as("qmax"))
     },
 
+    // Sketch tier of q19: approx_percentile (KLL-style) — the 100 TB
+    // answer when exact percentiles would shuffle the world. No oracle
+    // (sketch internals differ per engine); ExtrasSpec bounds the error
+    // against the exact q19 values.
+    "q19b_approx_percentiles" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"),
+          count(lit(1)).as("n_rows"))
+    },
+
     // String scalar functions + LIKE filter.
     "q20_string_funcs" -> { (s, d) =>
       Tables.load(s, d, "customer")

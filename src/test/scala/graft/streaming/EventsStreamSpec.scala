@@ -70,6 +70,39 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream self-join within the watermark window (purchase→error correlation)") {
+    val purchases = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("pe_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pe_join").count()
+      // batch equivalent over the same data
+      val ev = graft.Tables.load(spark, sf, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val batch = p.join(e,
+        col("p_user") === col("e_user") &&
+          col("e_ts") >= col("p_ts") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES")).count()
+      assert(streamed == batch && batch > 0,
+        s"stream-stream join $streamed should equal batch $batch")
+    } finally q.stop()
+  }
+
   test("watermarked append mode emits only watermark-closed windows (late-data semantics)") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val q = EventsStream.hourlyStats(stream)
