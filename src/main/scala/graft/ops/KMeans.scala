@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/** Deterministic Lloyd's k-means over an embedding column, expressed
+  * entirely in DataFrame operations — the IVF coarse quantizer trainer.
+  *
+  * Scale shape per iteration: centroids broadcast (k×dim, tiny) →
+  * assignment is a map-side argmax (no shuffle of the big side beyond
+  * the explode) → new centroids via (cluster, dim) partial-agg means.
+  * Init is deterministic (ids ≡ 0 mod stride), so results are stable
+  * run-to-run on any cluster size.
+  */
+object KMeans {
+
+  /** Returns the trained centroids as a local k×dim structure (tiny by
+    * construction: k centroids of `dim` doubles). */
+  def fit(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[Seq[Double]] = {
+    val n = df.count()
+    val stride = math.max(n / k, 1L)
+    var centroids: Seq[Seq[Double]] = df
+      .filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
+    (1 to iters).foreach { _ =>
+      val cents = centroids.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("c_id"), typedlit(c).as("c_vec"))
+      }
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = df
+        .select(col(idCol), col(vecCol))
+        .withColumn("c", explode(array(cents: _*)))
+        .select(col(idCol), col(vecCol), col("c.c_id").as("c_id"),
+          cosine(col(vecCol), col("c.c_vec")).as("c_cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("c_id"), posexplode(col(vecCol)))
+        .toDF("c_id", "dim", "v")
+        .groupBy(col("c_id"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+}

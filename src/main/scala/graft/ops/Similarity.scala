@@ -103,12 +103,16 @@ object Similarity {
           col("col.score").as("cos"), (col("pos") + 1).as("rank"))
     },
 
-    // IVF top-k: coarse cells from deterministic centroids (vec_id%100=0),
-    // nearest-cell assignment, queries probe the 3 closest cells.
+    // IVF top-k: coarse cells from a DataFrame-native Lloyd's k-means
+    // (deterministic init, 3 iterations — see KMeans), nearest-cell
+    // assignment, queries probe the 3 closest cells.
     "ss03_ivf_topk" -> { (s, d) =>
       val all = emb(s, d)
-      val centroids = broadcast(all.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+      val trained = KMeans.fit(s, all, "vec_id", "embedding", k = 20, iters = 3)
+      import s.implicits._
+      val centroids = broadcast(
+        trained.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+          .toDF("c_id", "c_vec"))
       def assign(df: DataFrame, keep: Int): DataFrame = {
         val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
         df.crossJoin(centroids)
