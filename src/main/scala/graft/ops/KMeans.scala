@@ -40,11 +40,14 @@ object KMeans {
           cosine(col(vecCol), col("c.c_vec")).as("c_cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+      // exact decimal mean: double avg is merge-order-sensitive across
+      // partitions; decimal sums make centroids bit-identical run-to-run
       val means = assigned
         .select(col("c_id"), posexplode(col(vecCol)))
         .toDF("c_id", "dim", "v")
         .groupBy(col("c_id"), col("dim"))
-        .agg(avg(col("v")).as("m"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
