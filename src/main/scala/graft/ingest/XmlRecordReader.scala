@@ -52,6 +52,50 @@ object XmlRecordReader {
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(readAsJson(spark, path, rowTag))
 
+  /** SPLITTABLE path for huge single files: Hadoop TextInputFormat with
+    * `</rowTag>` as the record delimiter splits ONE file across tasks at
+    * record boundaries (each HDFS-block-aligned split ends at the next
+    * delimiter). Each fragment is then StAX-parsed independently.
+    * Requires the row tag to be non-self-nesting (true of flat-record
+    * ingest formats; the reference's format qualifies). `minSplits`
+    * forces finer splits for testing/small files. */
+  def readSplittable(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType, minSplits: Int = 1): DataFrame = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", s"</$rowTag>")
+    if (minSplits > 1) {
+      val size = new java.io.File(path).length()
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize",
+        math.max(size / minSplits, 1L))
+    }
+    val openTag = s"<$rowTag"
+    val rows = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .flatMap { case (_, chunk) =>
+        val s = chunk.toString
+        // first real record start in this chunk (guard against tags that
+        // merely share the prefix, e.g. <Records>)
+        var i = s.indexOf(openTag)
+        while (i >= 0 && i + openTag.length < s.length &&
+            !(s.charAt(i + openTag.length) == '>' ||
+              s.charAt(i + openTag.length).isWhitespace ||
+              s.charAt(i + openTag.length) == '/')) {
+          i = s.indexOf(openTag, i + 1)
+        }
+        if (i < 0) Iterator.empty
+        else {
+          val fragment = s.substring(i) + s"</$rowTag>"
+          val in = new java.io.ByteArrayInputStream(fragment.getBytes("UTF-8"))
+          treeIterator(in, rowTag).map(t => treeToRow(t, schema))
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types._
 
@@ -86,14 +130,23 @@ object XmlRecordReader {
       .toDS()
   }
 
+  // XMLInputFactory.newInstance() does a service-loader lookup — far too
+  // expensive per record. One factory per thread (factories aren't
+  // guaranteed thread-safe; readers created from them are independent).
+  private val factory = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+      // harden against entity-based attacks on untrusted inputs
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+      f
+    }
+  }
+
   /** Lazy iterator of parsed record trees from one XML stream. */
   private def treeIterator(in: InputStream, rowTag: String): Iterator[Any] = {
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
-    // harden against entity-based attacks on untrusted inputs
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-    val rd = f.createXMLStreamReader(in)
+    val rd = factory.get().createXMLStreamReader(in)
     new Iterator[Any] {
       private var nextRec: Any = advance()
       private def advance(): Any = {
