@@ -30,6 +30,17 @@ object JsonIngest {
       .select(col("r.*"))
   }
 
+  /** JSON-Lines read (one record per line, no envelope): the at-scale
+    * JSON layout — line-splittable, so ONE huge file parallelizes across
+    * tasks natively (unlike the multiLine envelope form). Same schema,
+    * same PERMISSIVE semantics. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType = IngestSchema.raw): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .json(path)
+
   /** Rename source fields to sink columns per the declarative mapping
     * (data-schema.json intent — SURVEY.md §1.2). */
   def applyMapping(df: DataFrame, mapping: Map[String, String]): DataFrame =

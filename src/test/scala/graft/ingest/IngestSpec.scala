@@ -79,6 +79,17 @@ class IngestSpec extends SparkSpec {
     assert(cols == IngestSchema.sinkColumns)
   }
 
+  test("JSONL path: envelope records re-written as lines parse identically") {
+    val env = pipeline(JsonIngest.read(spark, jsonFixture)).cache()
+    // rewrite the fixture's records as JSON-Lines
+    val lines = JsonIngest.read(spark, jsonFixture).toJSON.collect()
+    val f = java.nio.file.Files.createTempFile("recs", ".jsonl")
+    java.nio.file.Files.writeString(f, lines.mkString("\n"))
+    val jl = pipeline(JsonIngest.readJsonl(spark, f.toString))
+    assert(jl.collect().map(_.toString).sorted.toSeq ==
+      env.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("xlsx writer round-trips through the xlsx reader") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("b", 2L)).toDF("name", "v")
