@@ -73,6 +73,18 @@ object Extras {
           length(col("c_name")).as("name_len"))
     },
 
+    // Array aggregation: per-order sorted part list + distinct supplier
+    // list (collect_list/collect_set are order-nondeterministic — the
+    // sort_array wrapper restores determinism, required at any DOP).
+    "q22_array_agg" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"),
+          sort_array(collect_set(col("l_suppkey"))).as("supps"),
+          count(lit(1)).as("n_items"))
+    },
+
     // Date scalar functions: extract + day arithmetic.
     "q21_date_funcs" -> { (s, d) =>
       Tables.load(s, d, "orders")
@@ -120,6 +132,14 @@ object Extras {
         |  substr(c_name, 1, 8) AS prefix,
         |  CAST(length(c_name) AS INT) AS name_len
         |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+
+    "q22_array_agg" ->
+      """SELECT l_orderkey,
+        |  list_sort(list(l_partkey)) AS parts,
+        |  list_sort(list(DISTINCT l_suppkey)) AS supps,
+        |  COUNT(*) AS n_items
+        |FROM lineitem WHERE l_orderkey < 500
+        |GROUP BY l_orderkey""".stripMargin,
 
     "q21_date_funcs" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,

@@ -46,11 +46,16 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"ORACLE-ERR {name}: {e}"); fail += 1; continue
     tbl = pq.read_table(spark_dir)
-    # dtype parity: the driver compares schemas, not just values
-    dtypes_d = {f[0]: None for f in res.description}
+    # dtype parity: the driver compares schemas, not just values.
+    # Normalize arrow list types: inner field NAME ('element' vs 'l') and
+    # nullability are writer artifacts, not schema semantics.
+    import re as _re
+    def normtype(t):
+        s = str(t).replace(" not null", "")
+        return _re.sub(r"list<\w+: ", "list<", s)
     duck_arrow = con.execute(sql).fetch_arrow_table()
-    dd = {f.name: str(f.type) for f in duck_arrow.schema}
-    ss = {f.name: str(f.type) for f in tbl.schema}
+    dd = {f.name: normtype(f.type) for f in duck_arrow.schema}
+    ss = {f.name: normtype(f.type) for f in tbl.schema}
     tdiffs = {k: (ss.get(k), dd.get(k)) for k in set(dd) | set(ss) if ss.get(k) != dd.get(k)}
     if tdiffs:
         print(f"TYPES {name}: {tdiffs}"); fail += 1; continue
