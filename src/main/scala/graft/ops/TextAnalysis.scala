@@ -77,6 +77,30 @@ object TextAnalysis {
         (col("lang") === pred).as("is_match"))
     },
 
+    // Gopher-style corpus quality rules (public heuristics from the
+    // Gopher/C4 line of work): alphabetic-word ratio, symbol ratio,
+    // long-word ratio, mean token length bounds, stopword presence —
+    // combined into a keep/drop gate. All integer-count ratios →
+    // deterministic → fully oracle-checked.
+    "tx07_quality_rules" -> { (s, d) =>
+      val t = toks(col("text"))
+      val n = size(t)
+      val alphaRatio = size(filter(t, x => x.rlike("^[a-z]+$"))).cast("double") / n
+      val longRatio = size(filter(t, x => length(x) >= 10)).cast("double") / n
+      val symRatio = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+        .cast("double") / length(col("text"))
+      val meanLen = (length(col("text")) - (n - 1)).cast("double") / n
+      val hasStop = hitCount(t, stopwords) > 0
+      docs(s, d).select(col("doc_id"),
+        alphaRatio.as("alpha_ratio"),
+        longRatio.as("long_word_ratio"),
+        symRatio.as("symbol_ratio"),
+        meanLen.as("mean_token_len"),
+        hasStop.as("has_stopword"),
+        (alphaRatio >= 0.7 && symRatio <= 0.1 &&
+          meanLen >= 2.0 && meanLen <= 12.0 && hasStop).as("keep"))
+    },
+
     // Rolling-hash (winnowing) fingerprints — the structural document
     // fingerprint for containment/near-dup detection; selected hash count
     // and extremes summarize the set deterministically. Rows-only gate
@@ -125,6 +149,20 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "tx07_quality_rules" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$$'))) AS DOUBLE) / len(t) AS alpha_ratio,
+         |  CAST(len(list_filter(t, x -> length(x) >= 10)) AS DOUBLE) / len(t) AS long_word_ratio,
+         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS symbol_ratio,
+         |  CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) AS mean_token_len,
+         |  ${sqlHits("t", stopwords)} > 0 AS has_stopword,
+         |  (CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$$'))) AS DOUBLE) / len(t) >= 0.7
+         |   AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) <= 0.1
+         |   AND CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) >= 2.0
+         |   AND CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) <= 12.0
+         |   AND ${sqlHits("t", stopwords)} > 0) AS keep
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) z""".stripMargin,
 
     "tx04_langid" ->
       s"""SELECT doc_id, lang, lang_pred, (lang = lang_pred) AS is_match FROM (
