@@ -73,6 +73,19 @@ object Extras {
           length(col("c_name")).as("name_len"))
     },
 
+    // Group-correlated comparison: parts priced above their brand's
+    // average (the TPC-H Q2/Q17 shape). Expressed as a window average —
+    // one shuffle on brand, no per-row subquery re-execution.
+    "q23_above_brand_avg" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_brand"))
+      Tables.load(s, d, "part")
+        .withColumn("brand_avg",
+          (sum(dec(col("p_retailprice"))).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("brand_avg"))
+    },
+
     // Array aggregation: per-order sorted part list + distinct supplier
     // list (collect_list/collect_set are order-nondeterministic — the
     // sort_array wrapper restores determinism, required at any DOP).
@@ -132,6 +145,15 @@ object Extras {
         |  substr(c_name, 1, 8) AS prefix,
         |  CAST(length(c_name) AS INT) AS name_len
         |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+
+    "q23_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice, brand_avg FROM (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |      / COUNT(*) OVER w AS brand_avg
+        |  FROM part
+        |  WINDOW w AS (PARTITION BY p_brand)) t
+        |WHERE p_retailprice > brand_avg""".stripMargin,
 
     "q22_array_agg" ->
       """SELECT l_orderkey,
