@@ -49,6 +49,10 @@ object Dedup {
   private def minhashSig(sh: Column): Column =
     graft.functions.MinHash.minhashSig(sh)
 
+  /** doc_ids of the near-dup test corpus (for pipeline composition). */
+  def nearCorpusIds(s: SparkSession, d: String): DataFrame =
+    corpusNear(s, d).select(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups: hash-groupBy on content hash.
     "dd01_exact_groups" -> { (s, d) =>

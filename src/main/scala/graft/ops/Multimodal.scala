@@ -37,7 +37,7 @@ object Multimodal {
     }
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = resizeQueries ++ Map(
     // Binary ingestion + per-partition batch "decode" (stubbed kernel,
     // real Spark plumbing: binary column → mapPartitions → typed schema).
     "mm01_binary_meta" -> { (s, d) =>
@@ -53,7 +53,33 @@ object Multimodal {
   // The fake decode is pure arithmetic on byte length → SQL-expressible;
   // strlen() = byte length (text is ASCII word soup, but strlen is the
   // faithful mirror of payload.length either way... strlen counts bytes).
+  /** "Resize" analog on opaque payloads: normalize every payload to a
+    * fixed byte budget — truncate long ones, zero-pad short ones (real
+    * binary ops; the pixel-resample kernel itself would live inside the
+    * stubbed decoder). Output proves the transform: constant size, plus
+    * the preserved prefix length. */
+  private val ResizeTo = 1024
+
+  def resizeQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm03_resize_payload" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("resized",
+          expr(s"""rpad(substring(payload, 1, $ResizeTo), $ResizeTo, X'00')"""))
+        .select(col("doc_id"),
+          length(col("payload")).cast("int").as("orig_bytes"),
+          length(col("resized")).cast("int").as("resized_bytes"),
+          least(length(col("payload")), lit(ResizeTo)).cast("int").as("kept_bytes"))
+    }
+  )
+
   def oracle: Map[String, String] = Map(
+    "mm03_resize_payload" ->
+      s"""SELECT doc_id,
+         |  CAST(strlen(text) AS INT) AS orig_bytes,
+         |  $ResizeTo AS resized_bytes,
+         |  CAST(LEAST(strlen(text), $ResizeTo) AS INT) AS kept_bytes
+         |FROM documents""".stripMargin,
     "mm01_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(64 + strlen(text) % 1920 AS INT) AS width,

@@ -28,6 +28,17 @@ object Pipeline {
         .select(col("doc_id"), col("n_tokens"))
     },
 
+    // The near-dup tier of pp01: quality gate → MinHash-LSH candidate
+    // pairs → greedy keep-lowest-id survivor set. Rows-only gate (LSH is
+    // not SQL-expressible); PipelineSpec asserts planted copies are
+    // eliminated and originals survive.
+    "pp02_near_dedup_corpus" -> { (s, d) =>
+      val pairs = graft.ops.Dedup.queries("dd03_minhash_lsh")(s, d)
+      val corpusIds = graft.ops.Dedup.nearCorpusIds(s, d)
+      val dropped = pairs.select(col("b").as("doc_id")).distinct()
+      corpusIds.join(dropped, Seq("doc_id"), "left_anti")
+    },
+
     // Fact-stream enrichment: events joined to the customer→nation dims,
     // aggregated per nation × event type. The streaming twin is the same
     // plan over readStream (dim joins broadcast in both modes).
