@@ -192,6 +192,16 @@ object Dedup {
          |    ORDER BY doc_id) AS rn FROM corpus) t
          |WHERE rn = 1""".stripMargin,
 
+    "dd06_embed_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a, b, cos FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_dot_product(x.v, y.v) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id) t
+        |ORDER BY cos DESC, a, b
+        |LIMIT 20""".stripMargin,
+
     "dd05_ngram_jaccard" ->
       s"""$nearCte,
          |grams AS (

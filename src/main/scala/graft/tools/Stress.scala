@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom probe: replicate the fact tables N× in-plan (union of
+  * shifted copies — no disk writes) and run the headline join/agg/window
+  * queries, printing per-query times. Demonstrates that plans hold when
+  * the data grows beyond the provided scale factors.
+  *
+  * Usage: graft.tools.Stress [sfDir] [factor]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def amplify(df: DataFrame, keyCols: Seq[String], shift: Long): DataFrame =
+      (0 until factor).map { i =>
+        keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + i * shift))
+      }.reduce(_.union(_))
+
+    val li = amplify(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      Seq("l_orderkey"), 10000000L)
+    val o = amplify(spark.read.parquet(s"$sfDir/orders.parquet"),
+      Seq("o_orderkey"), 10000000L)
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    li.createOrReplaceTempView("lineitem")
+    o.createOrReplaceTempView("orders")
+    c.createOrReplaceTempView("customer")
+
+    println(s"[stress] lineitem rows: ${li.count()} (${factor}x)")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
+    time("q01-shape scan+agg") {
+      spark.sql("""SELECT l_returnflag, l_linestatus, count(*) n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) s
+        FROM lineitem GROUP BY 1,2""").count()
+    }
+    time("fact-fact join+agg") {
+      spark.sql("""SELECT o_orderstatus, count(*) n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""").count()
+    }
+    time("window top-3 per order") {
+      spark.sql("""SELECT * FROM (
+        SELECT l_orderkey, l_partkey,
+          ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) rn
+        FROM lineitem) WHERE rn <= 3""").count()
+    }
+    spark.stop()
+  }
+}
