@@ -58,6 +58,20 @@ object Events {
           max(col("k")).as("max_k"))
     },
 
+    // Native session_window operator (same 30-min-gap semantics as the
+    // hand-built ev02 — Spark's dedicated session machinery; the oracle
+    // reconstructs session bounds with the window-function formulation,
+    // so ev02 and ev06 cross-validate two implementations).
+    "ev06_session_window" -> { (s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+    },
+
     // Top-5 users by total value within each event type (rank + filter —
     // the SQL QUALIFY pattern).
     "ev04_top_users" -> { (s, d) =>
@@ -93,6 +107,25 @@ object Events {
         |)
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
         |  MIN(us) AS start_us, MAX(us) - MIN(us) AS duration_us
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "ev06_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(us) AS start_us,
+        |  MAX(us) + 1800 * 1000000 AS end_us,
+        |  COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "ev03_json_extract" ->

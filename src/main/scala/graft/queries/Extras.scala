@@ -73,6 +73,20 @@ object Extras {
           length(col("c_name")).as("name_len"))
     },
 
+    // Table statistics (filterless min/max/count). With the DSv2 parquet
+    // path + aggregatePushdown this becomes a footer-metadata read — a
+    // metadata op instead of a full scan at 100 TB; demonstrated with
+    // plan assertions in ScaleTechniquesSpec (the default v1 path here
+    // computes it as a normal scan+agg, same result).
+    "q24_stats_pushdown" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"),
+          max(col("l_partkey")).as("max_part"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    },
+
     // Group-correlated comparison: parts priced above their brand's
     // average (the TPC-H Q2/Q17 shape). Expressed as a window average —
     // one shuffle on brand, no per-row subquery re-execution.
@@ -145,6 +159,12 @@ object Extras {
         |  substr(c_name, 1, 8) AS prefix,
         |  CAST(length(c_name) AS INT) AS name_len
         |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+
+    "q24_stats_pushdown" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
 
     "q23_above_brand_avg" ->
       """SELECT p_partkey, p_brand, p_retailprice, brand_avg FROM (

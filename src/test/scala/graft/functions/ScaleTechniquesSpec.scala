@@ -38,6 +38,22 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("DSv2 parquet aggregate pushdown: filterless min/max/count reads footer stats") {
+    // dedicated session: aggregate pushdown needs the v2 parquet source
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val df = s2.read.parquet(s"$sf/lineitem.parquet")
+      .agg(count(lit(1)), min(col("l_partkey")), max(col("l_partkey")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"expected PushedAggregation in plan:\n$plan")
+    // and the metadata answer equals the scan answer
+    val viaScan = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(count(lit(1)), min(col("l_partkey")), max(col("l_partkey")))
+    assert(df.collect()(0) == viaScan.collect()(0))
+  }
+
   test("SQL facade: full engine surface through spark.sql, including vec_dot") {
     val df = GraftSql.sql(spark, sf,
       """SELECT n_name, COUNT(*) AS n
