@@ -52,4 +52,24 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .start()
+
+  /** Start the stream into the transactional JDBC sink: each micro-batch
+    * goes through the staging-table atomic load (all-or-nothing per
+    * batch — the streaming form of the reference's whole-file
+    * transactionality, with checkpointed source offsets giving
+    * effectively-once delivery into the DB). */
+  def startJdbcSink(df: DataFrame, url: String, props: java.util.Properties,
+      table: String, checkpointDir: String,
+      opts: JdbcTransactionalSink.Options = JdbcTransactionalSink.Options())
+      : StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val res = JdbcTransactionalSink.write(batch, url, props, table, opts)
+        println(s"[graft-stream] batch=$batchId total=${res.total} " +
+          s"succeeded=${res.succeeded} errors=${res.errors} committed=${res.committed}")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
 }

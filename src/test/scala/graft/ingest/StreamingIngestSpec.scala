@@ -61,4 +61,35 @@ class StreamingIngestSpec extends SparkSpec {
     // a.json not reprocessed; b.json adds 20 more
     assert(spark.read.parquet(out).count() == 40)
   }
+
+  test("streaming into the transactional JDBC sink: per-batch atomic loads") {
+    val url = "jdbc:derby:memory:streamdb;create=true"
+    val props = new java.util.Properties()
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try {
+      try c.createStatement().execute("DROP TABLE stream_tgt") catch { case _: Exception => }
+      val cols = IngestSchema.sinkColumns.map(x => s""""$x" VARCHAR(255)""")
+        .updated(1, """"dt_created" BIGINT""").updated(2, """"dt_submitted" BIGINT""")
+      c.createStatement().execute(s"CREATE TABLE stream_tgt (${cols.mkString(", ")})")
+    } finally c.close()
+
+    val root = Files.createTempDirectory("stream_jdbc")
+    val in = Files.createDirectories(root.resolve("in"))
+    Files.copy(Paths.get("/root/reference/test-loader.json"), in.resolve("a.json"))
+    val df = StreamingIngest.jsonStream(spark, in.toString)
+    val q = StreamingIngest.startJdbcSink(df, url, props, "stream_tgt",
+      root.resolve("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      Files.copy(Paths.get("/root/reference/test-loader.json"), in.resolve("b.json"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val c2 = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = c2.createStatement().executeQuery("SELECT COUNT(*) FROM stream_tgt")
+      rs.next()
+      assert(rs.getLong(1) == 40, s"expected 40 rows, got ${rs.getLong(1)}")
+    } finally c2.close()
+  }
 }
