@@ -103,6 +103,28 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch ev05 aggregation") {
+    val c = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = graft.Tables.load(spark, sf, "nation")
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .join(c, col("user_id") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enriched").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.queries.Pipeline.queries("ev05_enriched_by_nation")(spark, sf)
+        .select(col("n_name"), col("event_type"), col("n_events")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("watermarked append mode emits only watermark-closed windows (late-data semantics)") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val q = EventsStream.hourlyStats(stream)
