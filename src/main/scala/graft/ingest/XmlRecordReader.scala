@@ -99,6 +99,17 @@ object XmlRecordReader {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types._
 
+  /** InternalRow iterator for the DSv2 source: parse trees converted to
+    * the (possibly pruned) required schema — only referenced fields are
+    * materialized. */
+  private[ingest] def internalRowIterator(in: InputStream, rowTag: String,
+      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+    val ser = enc.createSerializer()
+    treeIterator(in, rowTag).map(t => ser(treeToRow(t, schema)).copy())
+  }
+
   private def treeToRow(tree: Any, schema: StructType): Row = tree match {
     case m: mutable.LinkedHashMap[String, Any] @unchecked =>
       Row.fromSeq(schema.fields.toSeq.map(f => convert(m.get(f.name).orNull, f.dataType)))
