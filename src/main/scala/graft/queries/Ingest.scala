@@ -38,6 +38,17 @@ object Ingest {
       val flat = Flatten(XmlRecordReader.read(s, fixtureXml, "Record", IngestSchema.raw))
       JsonIngest.projectWhitelist(flat, IngestSchema.sinkColumns,
         IngestSchema.flattened.fields.map(f => f.name -> f.dataType).toMap)
+    },
+
+    // Same pipeline through the DataSource V2 XML connector (16 rows;
+    // column pruning reaches the parse — see ingest.xml.XmlDataSource).
+    "in04_reference_xml_dsv2" -> { (s, _) =>
+      val raw = s.read.format("graft.ingest.xml.XmlDataSource")
+        .schema(IngestSchema.raw)
+        .option("rowTag", "Record")
+        .load(fixtureXml)
+      JsonIngest.projectWhitelist(Flatten(raw), IngestSchema.sinkColumns,
+        IngestSchema.flattened.fields.map(f => f.name -> f.dataType).toMap)
     }
   )
 
