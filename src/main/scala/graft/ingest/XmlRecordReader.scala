@@ -103,11 +103,15 @@ object XmlRecordReader {
     * the (possibly pruned) required schema — only referenced fields are
     * materialized. */
   private[ingest] def internalRowIterator(in: InputStream, rowTag: String,
-      schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+      schema: StructType, keep: Row => Boolean = _ => true)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
     val ser = enc.createSerializer()
-    treeIterator(in, rowTag).map(t => ser(treeToRow(t, schema)).copy())
+    treeIterator(in, rowTag)
+      .map(t => treeToRow(t, schema))
+      .filter(keep) // pushed-filter skip, pre-serialization
+      .map(r => ser(r).copy())
   }
 
   private def treeToRow(tree: Any, schema: StructType): Row = tree match {

@@ -35,6 +35,26 @@ class XmlDataSourceSpec extends SparkSpec {
     assert(flat.count() == 16)
   }
 
+  test("filter pushdown: supported predicates skip records at the parse, results exact") {
+    val df = v2(fixture).filter(col("status") === "Pending" && col("dt_created") > 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=[") && plan.contains("EqualTo(status,Pending)"),
+      s"expected pushed filters in scan description:\n$plan")
+    val expected = XmlRecordReader.read(spark, fixture, "Record", IngestSchema.raw)
+      .filter(col("status") === "Pending" && col("dt_created") > 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("filter pushdown never wrongly drops: unsupported/contains filters still correct") {
+    val df = v2(fixture).filter(col("user").contains("o") || col("status") === "Approved")
+    val expected = XmlRecordReader.read(spark, fixture, "Record", IngestSchema.raw)
+      .filter(col("user").contains("o") || col("status") === "Approved")
+      .count()
+    assert(df.count() == expected && expected > 0)
+  }
+
   test("missing schema → clear error") {
     val e = intercept[Exception] {
       spark.read.format("graft.ingest.xml.XmlDataSource")
