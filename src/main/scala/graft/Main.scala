@@ -18,7 +18,8 @@ object Main {
 
   final case class Args(file: String = null, model: String = "MistAMS",
       table: String = null, exportDir: String = null, jdbc: Boolean = false,
-      archive: Boolean = false, configPath: String = null)
+      archive: Boolean = false, configPath: String = null,
+      jdbcUrl: String = null)
 
   def main(argv: Array[String]): Unit = {
     val args = parse(argv)
@@ -62,18 +63,25 @@ object Main {
       Sinks.xlsx(projected, s"${args.exportDir}/export.xlsx")
     }
     if (args.jdbc) {
-      val cfgPath = Option(args.configPath).getOrElse(IngestConfig.discover())
-      val cfg = IngestConfig.load(cfgPath)
+      // --jdbc-url overrides the config-derived DSN (e.g. embedded Derby
+      // for local runs); otherwise config.yaml assembles the URL exactly
+      // like the reference (main.go:162)
       val props = new Properties()
-      props.setProperty("user", cfg.database.user)
-      props.setProperty("password", cfg.database.password)
-      val res = JdbcTransactionalSink.write(projected, cfg.database.jdbcUrl,
-        props, args.table)
+      val (url, fileDest) = if (args.jdbcUrl != null) {
+        (args.jdbcUrl, "/tmp/graft-archive")
+      } else {
+        val cfgPath = Option(args.configPath).getOrElse(IngestConfig.discover())
+        val cfg = IngestConfig.load(cfgPath)
+        props.setProperty("user", cfg.database.user)
+        props.setProperty("password", cfg.database.password)
+        (cfg.database.jdbcUrl, cfg.runtime.fileDestination)
+      }
+      val res = JdbcTransactionalSink.write(projected, url, props, args.table)
       // the reference logs total/succeeded/errors at main.go:132-138
       println(s"[graft] table=${args.table} total=${res.total} " +
         s"succeeded=${res.succeeded} errors=${res.errors} committed=${res.committed}")
       if (args.archive && res.committed)
-        Archive.moveInputFile(args.file, cfg.runtime.fileDestination)
+        Archive.moveInputFile(args.file, fileDest)
     }
     (projected, n)
   }
@@ -92,6 +100,7 @@ object Main {
         case "-table" => a = a.copy(table = argv(i + 1)); i += 2
         case "--export-dir" => a = a.copy(exportDir = argv(i + 1)); i += 2
         case "--config" => a = a.copy(configPath = argv(i + 1)); i += 2
+        case "--jdbc-url" => a = a.copy(jdbcUrl = argv(i + 1)); i += 2
         case "--jdbc" => a = a.copy(jdbc = true); i += 1
         case "--archive" => a = a.copy(archive = true); i += 1
         case other => System.err.println(s"[graft] unknown flag: $other"); i += 1

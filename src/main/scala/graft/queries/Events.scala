@@ -72,6 +72,24 @@ object Events {
           col("n_events"))
     },
 
+    // Interval (range) join: for each error event, purchases by the same
+    // user in the preceding 30 minutes. Equality on user keeps this a
+    // hash join with a range residual — the scalable interval-join shape
+    // (pure range joins need bucketing; see stream-stream twin in
+    // EventsStreamSpec).
+    "ev07_interval_join" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("eu"), col("ts").as("ets"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      e.join(p, col("eu") === col("pu") &&
+          col("pts") <= col("ets") &&
+          col("pts") >= col("ets") - expr("INTERVAL 30 MINUTES"), "left_outer")
+        .groupBy(col("event_id"))
+        .agg(count(col("pu")).as("n_prior_purchases"))
+    },
+
     // Top-5 users by total value within each event type (rank + filter —
     // the SQL QUALIFY pattern).
     "ev04_top_users" -> { (s, d) =>
@@ -108,6 +126,16 @@ object Events {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
         |  MIN(us) AS start_us, MAX(us) - MIN(us) AS duration_us
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "ev07_interval_join" ->
+      """SELECT e.event_id, COUNT(p.pu) AS n_prior_purchases
+        |FROM (SELECT event_id, user_id AS eu, ts AS ets FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id AS pu, ts AS pts FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON e.eu = p.pu AND p.pts <= e.ets
+        |     AND p.pts >= e.ets - INTERVAL 30 MINUTE
+        |GROUP BY e.event_id""".stripMargin,
 
     "ev06_session_window" ->
       """WITH flagged AS (
