@@ -113,6 +113,16 @@ object TextAnalysis {
           element_at(col("fp"), -1).as("fp_max"))
     },
 
+    // Byte-entropy quality signal (custom fused expression). Rows-only:
+    // transcendental math is not guaranteed bit-identical across engines;
+    // EntropySpec pins the values against a model implementation.
+    "tx08_entropy" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.functions.Entropy.charEntropy(col("text")).as("entropy_bits"),
+        (graft.functions.Entropy.charEntropy(col("text")) >= 3.0 &&
+          graft.functions.Entropy.charEntropy(col("text")) <= 6.0).as("entropy_ok"))
+    },
+
     // Corpus top-100 tokens: explode → partial-agg count → global top-k.
     "tx05_wordcount" -> { (s, d) =>
       docs(s, d)
