@@ -53,6 +53,16 @@ object Dedup {
   def nearCorpusIds(s: SparkSession, d: String): DataFrame =
     corpusNear(s, d).select(col("doc_id"))
 
+  // pp02 composes over dd03's pairs; memoize the checkpointed pair set
+  // per (session, dir) so composition reuses instead of recomputing the
+  // whole LSH pipeline (at scale: persist the candidate table).
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate((s, d),
+      queries("dd03_minhash_lsh")(s, d).localCheckpoint(false))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups: hash-groupBy on content hash.
     "dd01_exact_groups" -> { (s, d) =>

@@ -33,7 +33,7 @@ object Pipeline {
     // not SQL-expressible); PipelineSpec asserts planted copies are
     // eliminated and originals survive.
     "pp02_near_dedup_corpus" -> { (s, d) =>
-      val pairs = graft.ops.Dedup.queries("dd03_minhash_lsh")(s, d)
+      val pairs = graft.ops.Dedup.minhashPairs(s, d)
       val corpusIds = graft.ops.Dedup.nearCorpusIds(s, d)
       val dropped = pairs.select(col("b").as("doc_id")).distinct()
       corpusIds.join(dropped, Seq("doc_id"), "left_anti")
