@@ -22,12 +22,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => } // warmup
+    // Full materialization: the noop sink evaluates every output column
+    // of every row (unlike count(), under which Catalyst prunes
+    // deterministic projections — a count() bench of a narrow
+    // projection query times the scan, not the expressions).
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    try { materialize(SparkEntry.entry(spark)) } catch { case _: Throwable => } // warmup
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { materialize(fn(spark, sfDir)) } catch {
         case e: Throwable =>
           // a silently-absorbed failure would make the total look good
           // while a query is broken — surface it in both channels

@@ -53,15 +53,18 @@ object Dedup {
   def nearCorpusIds(s: SparkSession, d: String): DataFrame =
     corpusNear(s, d).select(col("doc_id"))
 
-  // pp02 composes over dd03's pairs; memoize the checkpointed pair set
-  // per (session, dir) so composition reuses instead of recomputing the
-  // whole LSH pipeline (at scale: persist the candidate table).
+  // pp02 composes over dd03's pairs; memoize the persisted pair set per
+  // (session, dir) so composition reuses instead of recomputing the
+  // whole LSH pipeline. DISK_ONLY: the candidate table must never pin
+  // executor memory — at 100 TB this is exactly "write the candidate
+  // table out and read it back", with lineage kept for recomputation.
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((s, d),
-      queries("dd03_minhash_lsh")(s, d).localCheckpoint(false))
+      queries("dd03_minhash_lsh")(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups: hash-groupBy on content hash.
@@ -92,8 +95,10 @@ object Dedup {
         .withColumn("sig", minhashSig(col("sh")))
         .select(col("doc_id"), col("sh"), col("sig"))
         // reused on both sides of the candidate join AND in verification —
-        // cache instead of recomputing 64 hashes/shingle three times
-        .localCheckpoint(false)
+        // persist instead of recomputing 64 hashes/shingle three times.
+        // DISK_ONLY, not memory: signatures scale with the corpus, and
+        // pinning them in executor memory is what breaks at 100 TB.
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val bands = base.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(31)),
             j => xxhash64(concat_ws(",", slice(col("sig"), j * 2 + 1, lit(2))), j))))
@@ -114,6 +119,17 @@ object Dedup {
         .select(col("a"), col("b"), col("jaccard"))
     },
 
+    // dd03's verification stage under a full DuckDB oracle: the strong
+    // pairs (jaccard ≥ 0.7). At 32 bands × 2 rows the probability a
+    // j≥0.7 pair misses every band is (1−0.49)^32 ≈ 5e-10 — the LSH
+    // candidate set deterministically contains every strong pair, so
+    // the output equals exact all-pairs 3-gram jaccard ≥ 0.7, which
+    // DuckDB recomputes from raw token 3-grams (hashed-set jaccard =
+    // raw-set jaccard barring 64-bit collisions, same as dd05).
+    "dd03b_lsh_strong_pairs" -> { (s, d) =>
+      minhashPairs(s, d).filter(col("jaccard") >= 0.7)
+    },
+
     // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
     // 4×16-bit block LSH join (pigeonhole: hamming≤3 ⇒ one block equal),
     // verify with bit_count(xor) ≤ 3.
@@ -125,7 +141,8 @@ object Dedup {
             shiftright(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
         .toDF("doc_id", "sh", "block_id", "block_val")
         // both sides of the self-join — avoid recomputing simhash twice
-        .localCheckpoint(false)
+        // (DISK_ONLY: same executor-memory argument as dd03)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       blocks.as("x").join(blocks.as("y"),
           col("x.block_id") === col("y.block_id") &&
             col("x.block_val") === col("y.block_val") &&
@@ -211,6 +228,21 @@ object Dedup {
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id) t
         |ORDER BY cos DESC, a, b
         |LIMIT 20""".stripMargin,
+
+    "dd03b_lsh_strong_pairs" ->
+      s"""$nearCte,
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(t[i:i+2], ' ')
+         |                   FOR i IN range(1, len(t) - 1)]) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) z
+         |)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(x.g, y.g))) AS jaccard
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id) t
+         |WHERE jaccard >= 0.7""".stripMargin,
 
     "dd05_ngram_jaccard" ->
       s"""$nearCte,

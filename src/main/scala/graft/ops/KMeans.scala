@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
 
@@ -20,6 +19,30 @@ object KMeans {
   // repeated query construction (bench reps, pipeline reuse) trains once
   private val fitCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String, String, Int, Int), Seq[Seq[Double]]]
+
+  /** The `keep` nearest centroids for a vector column, as an array of
+    * struct(cos, c_id) ordered by cosine desc then c_id asc.
+    *
+    * Entirely map-side: centroids and their norms are plan-time
+    * literals, the vector's norm is computed once, and the per-row work
+    * is k fused dot products plus a k-element array sort. No crossJoin,
+    * no window, no exchange — assignment cost at 100 TB is a scan, not
+    * a cluster-wide shuffle of k× exploded rows.
+    */
+  def nearestCells(vec: Column, centroids: Seq[Seq[Double]], keep: Int): Column = {
+    val vnorm = vecNorm(vec)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cnorm = math.sqrt(c.map(x => x * x).sum)
+      struct((vecDot(vec, typedlit(c)) / (vnorm * lit(cnorm))).as("cos"),
+        lit(i).as("c_id"))
+    }
+    slice(
+      array_sort(array(scored: _*), (l, r) =>
+        when(l("cos") > r("cos"), lit(-1)).when(l("cos") < r("cos"), lit(1))
+          .when(l("c_id") < r("c_id"), lit(-1)).when(l("c_id") > r("c_id"), lit(1))
+          .otherwise(lit(0))),
+      1, keep)
+  }
 
   /** Returns the trained centroids as a local k×dim structure (tiny by
     * construction: k centroids of `dim` doubles). */
@@ -40,17 +63,10 @@ object KMeans {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
 
     (1 to iters).foreach { _ =>
-      val cents = centroids.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("c_id"), typedlit(c).as("c_vec"))
-      }
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
       val assigned = df
-        .select(col(idCol), col(vecCol))
-        .withColumn("c", explode(array(cents: _*)))
-        .select(col(idCol), col(vecCol), col("c.c_id").as("c_id"),
-          cosine(col(vecCol), col("c.c_vec")).as("c_cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .select(col(idCol), col(vecCol),
+          element_at(nearestCells(col(vecCol), centroids, 1), 1)
+            .getField("c_id").as("c_id"))
       // exact decimal mean: double avg is merge-order-sensitive across
       // partitions; decimal sums make centroids bit-identical run-to-run
       val means = assigned

@@ -109,18 +109,14 @@ object Similarity {
     "ss03_ivf_topk" -> { (s, d) =>
       val all = emb(s, d)
       val trained = KMeans.fit(s, all, "vec_id", "embedding", k = 20, iters = 3)
-      import s.implicits._
-      val centroids = broadcast(
-        trained.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-          .toDF("c_id", "c_vec"))
-      def assign(df: DataFrame, keep: Int): DataFrame = {
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-        df.crossJoin(centroids)
-          .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
-          .withColumn("c_rank", row_number().over(w))
-          .filter(col("c_rank") <= keep)
-          .select(col("vec_id"), col("embedding"), col("c_id"))
-      }
+      // Map-only assignment: centroids are plan-time literals, so the
+      // nearest cell(s) for each vector are a per-row expression
+      // (KMeans.nearestCells) — no crossJoin, no window, no exchange
+      // until the actual cell-probe join below.
+      def assign(df: DataFrame, keep: Int): DataFrame =
+        df.select(col("vec_id"), col("embedding"),
+            explode(KMeans.nearestCells(col("embedding"), trained, keep)).as("cell"))
+          .select(col("vec_id"), col("embedding"), col("cell.c_id").as("c_id"))
       val cells = assign(all, 1)
       val probes = assign(all.filter(col("vec_id") < 10), 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("c_id"))

@@ -103,12 +103,18 @@ object Extras {
     // Array aggregation: per-order sorted part list + distinct supplier
     // list (collect_list/collect_set are order-nondeterministic — the
     // sort_array wrapper restores determinism, required at any DOP).
+    // The sorted arrays are serialized to canonical CSV strings so the
+    // result is hashable/sortable by any comparison harness — the
+    // numeric sort happens before the cast, so ordering is numeric on
+    // both sides.
     "q22_array_agg" -> { (s, d) =>
+      def canon(c: org.apache.spark.sql.Column) =
+        array_join(transform(sort_array(c), _.cast("string")), ",")
       Tables.load(s, d, "lineitem")
         .filter(col("l_orderkey") < 500)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"),
-          sort_array(collect_set(col("l_suppkey"))).as("supps"),
+        .agg(canon(collect_list(col("l_partkey"))).as("parts"),
+          canon(collect_set(col("l_suppkey"))).as("supps"),
           count(lit(1)).as("n_items"))
     },
 
@@ -177,8 +183,8 @@ object Extras {
 
     "q22_array_agg" ->
       """SELECT l_orderkey,
-        |  list_sort(list(l_partkey)) AS parts,
-        |  list_sort(list(DISTINCT l_suppkey)) AS supps,
+        |  array_to_string(list_sort(list(l_partkey)), ',') AS parts,
+        |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supps,
         |  COUNT(*) AS n_items
         |FROM lineitem WHERE l_orderkey < 500
         |GROUP BY l_orderkey""".stripMargin,
