@@ -1,6 +1,8 @@
 package graft
 
 import java.util.Properties
+import org.apache.logging.log4j.LogManager
+import org.apache.logging.log4j.message.StringMapMessage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest._
 
@@ -16,10 +18,14 @@ import graft.ingest._
   */
 object Main {
 
+  // log4j2 (ships with Spark) with key=value fields — the reference logs
+  // the same run summary through zap's structured fields (main.go:132-138)
+  private val log = LogManager.getLogger("graft.ingest")
+
   final case class Args(file: String = null, model: String = "MistAMS",
       table: String = null, exportDir: String = null, jdbc: Boolean = false,
       archive: Boolean = false, configPath: String = null,
-      jdbcUrl: String = null)
+      jdbcUrl: String = null, template: String = null, schemaMap: String = null)
 
   def main(argv: Array[String]): Unit = {
     val args = parse(argv)
@@ -27,7 +33,8 @@ object Main {
       // all three flags are required, as in main.go:44-50
       System.err.println(
         "usage: graft.Main -file <path> -model <name> -table <table> " +
-          "[--export-dir <dir>] [--jdbc] [--archive] [--config <path>]")
+          "[--template <xlsx>] [--schema-map <json>] [--export-dir <dir>] " +
+          "[--jdbc] [--archive] [--config <path>]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -47,13 +54,27 @@ object Main {
 
   /** Runs the pipeline; returns (flattened df, row count) for testability. */
   def run(spark: SparkSession, args: Args): (DataFrame, Long) = {
+    // Declarative schema acquisition, as in the reference's startup
+    // (main.go:65 loads db-template.xlsx row 3 as the column whitelist):
+    // edit the template → the projection changes, no code change.
+    val whitelist =
+      if (args.template != null) IngestSchema.columnsFromXlsx(args.template)
+      else IngestSchema.sinkColumns
+    // -model selects the rename block in data-schema.json (the
+    // reference's declared-but-dead mapping, honored here as intent —
+    // SURVEY.md §1.2 / fileloader-schema.go:25-58 model dispatch). The
+    // read schema uses SOURCE field names so mapped fields are captured.
+    val mapping: Map[String, String] =
+      if (args.schemaMap != null) IngestSchema.mappingFromJson(args.schemaMap, args.model)
+      else Map.empty
+    val readSchema = IngestSchema.sourceSchema(mapping)
     val raw = detectFileType(args.file) match {
-      case "json" => JsonIngest.read(spark, args.file)
-      case "xml" => XmlRecordReader.read(spark, args.file, "Record", IngestSchema.raw)
+      case "json" => JsonIngest.read(spark, args.file, readSchema)
+      case "xml" => XmlRecordReader.read(spark, args.file, "Record", readSchema)
       case other => throw new IllegalArgumentException(s"unsupported file type: $other")
     }
-    val flat = Flatten(raw)
-    val projected = JsonIngest.projectWhitelist(flat, IngestSchema.sinkColumns,
+    val flat = JsonIngest.applyMapping(Flatten(raw), mapping)
+    val projected = JsonIngest.projectWhitelist(flat, whitelist,
       IngestSchema.flattened.fields.map(f => f.name -> f.dataType).toMap)
     val n = projected.count()
 
@@ -78,6 +99,15 @@ object Main {
       }
       val res = JdbcTransactionalSink.write(projected, url, props, args.table)
       // the reference logs total/succeeded/errors at main.go:132-138
+      log.info(new StringMapMessage()
+        .`with`("event", "ingest_complete")
+        .`with`("file", args.file)
+        .`with`("model", args.model)
+        .`with`("table", args.table)
+        .`with`("total", res.total.toString)
+        .`with`("succeeded", res.succeeded.toString)
+        .`with`("errors", res.errors.toString)
+        .`with`("committed", res.committed.toString))
       println(s"[graft] table=${args.table} total=${res.total} " +
         s"succeeded=${res.succeeded} errors=${res.errors} committed=${res.committed}")
       if (args.archive && res.committed)
@@ -100,6 +130,8 @@ object Main {
         case "-table" => a = a.copy(table = argv(i + 1)); i += 2
         case "--export-dir" => a = a.copy(exportDir = argv(i + 1)); i += 2
         case "--config" => a = a.copy(configPath = argv(i + 1)); i += 2
+        case "--template" => a = a.copy(template = argv(i + 1)); i += 2
+        case "--schema-map" => a = a.copy(schemaMap = argv(i + 1)); i += 2
         case "--jdbc-url" => a = a.copy(jdbcUrl = argv(i + 1)); i += 2
         case "--jdbc" => a = a.copy(jdbc = true); i += 1
         case "--archive" => a = a.copy(archive = true); i += 1

@@ -27,9 +27,13 @@ object Tables {
   // reuse only, no data is pinned.
   private val dfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  SessionCaches.registerEvictor(s =>
+    dfCache.keySet.toSeq.filter(_._1 eq s).foreach(dfCache.remove))
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    SessionCaches.track(spark)
     dfCache.getOrElseUpdate((spark, sfDir, name), doLoad(spark, sfDir, name))
+  }
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {

@@ -47,6 +47,25 @@ object IngestSchema {
       StructField("fnumber", StringType),
       StructField("scan_time", StringType)))
 
+  /** Raw schema with field names translated to SOURCE names via the
+    * inverse of a source→column mapping (so a mapped read captures the
+    * source-named fields, which [[JsonIngest.applyMapping]] then renames
+    * back to sink columns). Array-of-struct inner fields translate too
+    * (fNumber/scanTime in data-schema.json). */
+  def sourceSchema(mapping: Map[String, String], base: StructType = raw): StructType = {
+    if (mapping.isEmpty) return base
+    val inv = mapping.map(_.swap)
+    def rename(n: String): String = inv.getOrElse(n, n)
+    StructType(base.fields.map { f =>
+      f.dataType match {
+        case ArrayType(st: StructType, n) =>
+          f.copy(name = rename(f.name), dataType = ArrayType(
+            StructType(st.fields.map(g => g.copy(name = rename(g.name)))), n))
+        case _ => f.copy(name = rename(f.name))
+      }
+    })
+  }
+
   /** Read column names from row `line` of an xlsx sheet — a dependency-free
     * xlsx reader (xlsx = zip of XML; shared strings + sheet parsed with
     * StAX). Driver-side only: schema acquisition is metadata, not data. */
@@ -54,13 +73,7 @@ object IngestSchema {
     val zip = new ZipFile(path)
     try {
       val shared = readSharedStrings(zip)
-      val entry = zip.entries().asIterator()
-      var sheetPath: String = "xl/worksheets/sheet1.xml"
-      while (entry.hasNext) {
-        val e = entry.next()
-        if (e.getName.matches("xl/worksheets/sheet\\d+\\.xml")) sheetPath = e.getName
-      }
-      val in = zip.getInputStream(zip.getEntry(sheetPath))
+      val in = zip.getInputStream(zip.getEntry(sheetPathFor(zip, sheet)))
       val rd = XMLInputFactory.newInstance().createXMLStreamReader(in)
       val out = mutable.ArrayBuffer[(Int, String)]()
       var inTargetRow = false
@@ -103,6 +116,53 @@ object IngestSchema {
       rd.close()
       out.sortBy(_._1).map(_._2).toSeq
     } finally zip.close()
+  }
+
+  /** Resolve a sheet NAME to its worksheet zip entry via workbook.xml
+    * (name → r:id) and workbook.xml.rels (r:id → target path). A
+    * multi-sheet workbook thus reads the sheet asked for, not whichever
+    * entry the zip happens to list last. Falls back to the first
+    * worksheets/sheet*.xml entry when the lookup can't resolve (e.g.
+    * our own minimal xlsx writer emits no workbook part). */
+  private def sheetPathFor(zip: ZipFile, sheet: String): String = {
+    def fallback: String = {
+      val entry = zip.entries().asIterator()
+      var p: String = "xl/worksheets/sheet1.xml"
+      var found = false
+      while (entry.hasNext && !found) {
+        val e = entry.next()
+        if (e.getName.matches("xl/worksheets/sheet\\d+\\.xml")) { p = e.getName; found = true }
+      }
+      p
+    }
+    val wb = zip.getEntry("xl/workbook.xml")
+    val rels = zip.getEntry("xl/_rels/workbook.xml.rels")
+    if (wb == null || rels == null) return fallback
+    var rid: String = null
+    val rd = XMLInputFactory.newInstance().createXMLStreamReader(zip.getInputStream(wb))
+    while (rd.hasNext) {
+      if (rd.next() == XMLStreamConstants.START_ELEMENT && rd.getLocalName == "sheet" &&
+          rid == null && sheet.equalsIgnoreCase(rd.getAttributeValue(null, "name"))) {
+        var i = 0
+        while (i < rd.getAttributeCount) {
+          if (rd.getAttributeLocalName(i) == "id") rid = rd.getAttributeValue(i)
+          i += 1
+        }
+      }
+    }
+    rd.close()
+    if (rid == null) return fallback
+    var target: String = null
+    val rr = XMLInputFactory.newInstance().createXMLStreamReader(zip.getInputStream(rels))
+    while (rr.hasNext) {
+      if (rr.next() == XMLStreamConstants.START_ELEMENT &&
+          rr.getLocalName == "Relationship" && rid == rr.getAttributeValue(null, "Id"))
+        target = rr.getAttributeValue(null, "Target")
+    }
+    rr.close()
+    if (target == null) fallback
+    else if (target.startsWith("/")) target.substring(1)
+    else "xl/" + target
   }
 
   private def readSharedStrings(zip: ZipFile): IndexedSeq[String] = {

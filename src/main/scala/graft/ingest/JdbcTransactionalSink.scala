@@ -34,6 +34,10 @@ object JdbcTransactionalSink {
   final case class IngestResult(total: Long, succeeded: Long, errors: Long,
       committed: Boolean, stagingTable: String)
 
+  /** Staging-only bookkeeping column tagging each row with the Spark
+    * partition that wrote it (never promoted to the target). */
+  private val PartCol = "_graft_part"
+
   /** If true (reference behavior), any record error rolls back the whole
     * file; if false, good records commit and bad ones are only counted.
     * `numWriters` mirrors RUNTIME.WORKER_COUNT / SetMaxOpenConns
@@ -54,23 +58,42 @@ object JdbcTransactionalSink {
     // so per-record type/length violations surface at staging-insert time
     // — the reference's per-record insert error point (mapreduce.go:44-50)
     // — and the promote statement can never fail on data.
+    //
+    // Staging rows are tagged with the Spark partition id and each task
+    // DELETEs its partition's rows before inserting, so a retried task
+    // (the write commits per batch, which a plain retry would otherwise
+    // double-insert) leaves staging exactly as if it ran once. Two
+    // CONCURRENT attempts of one partition (speculation) can still
+    // interleave delete/insert — run with spark.speculation=false (the
+    // default) for the strict all-or-nothing guarantee.
     withConnection(url, props) { c =>
       val ddl = targetDdl(c, table, schema).getOrElse(ddlColumns(schema))
-      exec(c, s"CREATE TABLE $staging ($ddl)")
+      exec(c, s"CREATE TABLE $staging ($ddl, ${quoteId(PartCol)} INTEGER)")
     }
     try {
       val insertSql =
-        s"""INSERT INTO $staging (${schema.fieldNames.map(quoteId).mkString(", ")})
-           |VALUES (${schema.fields.map(_ => "?").mkString(", ")})""".stripMargin
+        s"""INSERT INTO $staging (${schema.fieldNames.map(quoteId).mkString(", ")}, ${quoteId(PartCol)})
+           |VALUES (${schema.fields.map(_ => "?").mkString(", ")}, ?)""".stripMargin
       val fields = schema.fields
       val batchSize = opts.batchSize
       val writeDf = opts.numWriters.map(df.repartition(_)).getOrElse(df)
       writeDf.foreachPartition { rows: Iterator[Row] =>
         if (rows.nonEmpty) {
+          val partId = org.apache.spark.TaskContext.getPartitionId()
           val conn = DriverManager.getConnection(url, props)
           try {
             conn.setAutoCommit(false)
+            // idempotency on retry: clear anything a failed prior attempt
+            // of THIS partition already committed into staging
+            val del = conn.prepareStatement(
+              s"DELETE FROM $staging WHERE ${quoteId(PartCol)} = ?")
+            try { del.setInt(1, partId); del.executeUpdate(); conn.commit() }
+            finally del.close()
             val ps = conn.prepareStatement(insertSql)
+            def bindRow(r: Row): Unit = {
+              bind(ps, r, fields)
+              ps.setInt(fields.length + 1, partId)
+            }
             val pending = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
             def flush(): Unit = if (pending.nonEmpty) {
               try {
@@ -84,7 +107,7 @@ object JdbcTransactionalSink {
                   conn.rollback()
                   pending.foreach { r =>
                     try {
-                      bind(ps, r, fields); ps.executeUpdate(); conn.commit()
+                      bindRow(r); ps.executeUpdate(); conn.commit()
                       ok.add(1)
                     } catch {
                       case _: java.sql.SQLException => conn.rollback(); err.add(1)
@@ -95,7 +118,7 @@ object JdbcTransactionalSink {
               pending.clear()
             }
             rows.foreach { r =>
-              bind(ps, r, fields)
+              bindRow(r)
               ps.addBatch()
               pending += r
               if (pending.length >= batchSize) { flush(); conn.commit() }

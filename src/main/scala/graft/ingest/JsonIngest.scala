@@ -57,6 +57,10 @@ object JsonIngest {
     val unknown = df.columns.filterNot(whitelist.contains)
     if (unknown.nonEmpty) {
       // warn-and-drop, never fail (fileloader-schema.go:352-359)
+      org.apache.logging.log4j.LogManager.getLogger("graft.ingest").warn(
+        new org.apache.logging.log4j.message.StringMapMessage()
+          .`with`("event", "unmapped_columns_dropped")
+          .`with`("columns", unknown.mkString(",")))
       System.err.println(
         s"[ingest] dropping unmapped columns: ${unknown.mkString(", ")}")
     }

@@ -60,11 +60,15 @@ object Dedup {
   // table out and read it back", with lineage kept for recomputation.
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.SessionCaches.registerEvictor(s =>
+    pairCache.keySet.toSeq.filter(_._1 eq s).foreach(pairCache.remove))
 
-  def minhashPairs(s: SparkSession, d: String): DataFrame =
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    graft.SessionCaches.track(s)
     pairCache.getOrElseUpdate((s, d),
       queries("dd03_minhash_lsh")(s, d)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups: hash-groupBy on content hash.

@@ -19,6 +19,8 @@ object KMeans {
   // repeated query construction (bench reps, pipeline reuse) trains once
   private val fitCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String, String, Int, Int), Seq[Seq[Double]]]
+  graft.SessionCaches.registerEvictor(s =>
+    fitCache.keySet.toSeq.filter(_._1 eq s).foreach(fitCache.remove))
 
   /** The `keep` nearest centroids for a vector column, as an array of
     * struct(cos, c_id) ordered by cosine desc then c_id asc.
@@ -47,10 +49,12 @@ object KMeans {
   /** Returns the trained centroids as a local k×dim structure (tiny by
     * construction: k centroids of `dim` doubles). */
   def fit(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[Seq[Double]] =
+      k: Int, iters: Int): Seq[Seq[Double]] = {
+    graft.SessionCaches.track(spark)
     fitCache.getOrElseUpdate(
       (spark, df.queryExecution.logical.canonicalized.toString, idCol, vecCol, k, iters),
       doFit(spark, df, idCol, vecCol, k, iters))
+  }
 
   private def doFit(spark: SparkSession, df: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int): Seq[Seq[Double]] = {

@@ -7,12 +7,15 @@ import graft.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * processed per-partition in batches.
   *
-  * The real decode (image/audio libraries) is STUBBED — this container
-  * has no codec libs — behind [[FakeDecode]], a clearly-marked
-  * deterministic fake. Everything Spark-side is real and tested: the
-  * binary column representation, the `Dataset.mapPartitions` batch shape
-  * (the Scala analog of `mapInPandas`), the output schema, and partition
-  * preservation (narrow op — no shuffle).
+  * Image decode is REAL ([[ImageDecode]], JDK ImageIO — PNG/BMP/GIF/JPEG,
+  * no extra dependency), with a clearly-marked deterministic fallback
+  * ([[FakeDecode]]) for payloads that aren't a decodable image, so the
+  * operator is total over arbitrary binary columns. The Spark side is
+  * the production shape: binary column representation, the
+  * `Dataset.mapPartitions` batch shape (the Scala analog of
+  * `mapInPandas`), typed output schema, partition preservation (narrow
+  * op — no shuffle). Audio/video codecs stay out of scope (none in the
+  * JRE); their plumbing would be this same shape.
   *
   * At 100 TB: binary payloads ride in their own column so parquet column
   * pruning skips them unless the decode stage runs; decode is a narrow
@@ -27,25 +30,45 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, channels: Int)
 
-  /** STUB decoder — deterministic fake standing in for an image decode.
-    * Replace with a real codec when the runtime has one. */
+  /** Deterministic fallback for payloads that are not a decodable image
+    * (dims derived from byte length) — keeps the operator total over
+    * arbitrary binary columns. */
   object FakeDecode {
     def apply(r: BinRecord): MediaMeta = {
       val n = r.payload.length.toLong
-      // ??? real decode goes here; the fake derives dims from byte length
       MediaMeta(r.doc_id, n, 64 + (n % 1920).toInt, 64 + ((n * 7) % 1080).toInt, 3)
     }
   }
 
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers
+    * ship with the JRE — no extra dependency). Width/height/channels
+    * come from the actual decoded pixels; non-image payloads fall back
+    * to [[FakeDecode]]. Runs inside the same mapPartitions batch shape,
+    * so the 100 TB plumbing (binary column pruning, narrow per-partition
+    * pass) is identical for the real and fallback paths. */
+  object ImageDecode {
+    def apply(r: BinRecord): MediaMeta = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeDecode(r)
+      else MediaMeta(r.doc_id, r.payload.length.toLong, img.getWidth,
+        img.getHeight, img.getColorModel.getNumComponents)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = resizeQueries ++ Map(
-    // Binary ingestion + per-partition batch "decode" (stubbed kernel,
-    // real Spark plumbing: binary column → mapPartitions → typed schema).
+    // Binary ingestion + per-partition batch decode. The decode kernel
+    // is REAL (JDK ImageIO) — MultimodalSpec drives it with synthetic
+    // PNGs and checks actual pixel dimensions; the documents payloads
+    // here are text bytes, so they take the deterministic fallback,
+    // which is what the SQL oracle mirrors.
     "mm01_binary_meta" -> { (s, d) =>
       import s.implicits._
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[BinRecord]
-        .mapPartitions(_.map(FakeDecode(_)))
+        .mapPartitions(_.map(ImageDecode(_)))
         .toDF()
     }
   )

@@ -61,8 +61,13 @@ object Pipeline {
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .withColumn("n_bytes", length(col("payload")))
+        // empty payloads must emit no frames: sequence(0, -1) would
+        // yield the descending array [0, -1] (two spurious frames),
+        // where the oracle's range(0, 0) yields none
+        .filter(col("n_bytes") > 0)
         .select(col("doc_id"), col("n_bytes"), col("payload"),
-          posexplode(sequence(lit(0), ceil(col("n_bytes") / 256.0).cast("int") - 1)))
+          posexplode(sequence(lit(0),
+            greatest(ceil(col("n_bytes") / 256.0).cast("int") - 1, lit(0)))))
         .withColumnRenamed("col", "frame_idx")
         .drop("pos")
         .withColumn("frame_len",

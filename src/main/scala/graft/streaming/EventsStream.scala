@@ -77,9 +77,14 @@ object EventsStream {
           var seq = seq0
           var open: Option[SessionState] = open0.headOption
           val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          val sorted = it.toArray.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+          // sort by the SAME microsecond value the session arithmetic
+          // uses — a millisecond sort key would process same-ms events
+          // out of time order and disagree with the batch ev02 oracle
+          def micros(e: Event): Long =
+            e.ts.getTime / 1000 * 1000000 + (e.ts.getNanos / 1000) % 1000000
+          val sorted = it.toArray.sortBy(e => (micros(e), e.event_id))
           sorted.foreach { e =>
-            val us = e.ts.getTime / 1000 * 1000000 + (e.ts.getNanos / 1000) % 1000000
+            val us = micros(e)
             open match {
               case Some(s) if us - s.lastUs <= gapUs =>
                 open = Some(s.copy(lastUs = us, n = s.n + 1))

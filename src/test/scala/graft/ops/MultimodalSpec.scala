@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** The decode kernel itself: real PNGs in, actual pixel dimensions out
+  * (mm01's oracle covers the fallback arithmetic; this spec covers the
+  * ImageIO path the oracle can't express). */
+class MultimodalSpec extends SparkSpec {
+
+  private def png(w: Int, h: Int, rgba: Boolean = false): Array[Byte] = {
+    val t =
+      if (rgba) java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, t)
+    img.setRGB(0, 0, 0xff00ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageDecode reads real PNG pixel dimensions inside mapPartitions") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.BinRecord(1L, png(17, 9)),
+      Multimodal.BinRecord(2L, png(256, 128, rgba = true)),
+      Multimodal.BinRecord(3L, "not an image".getBytes("UTF-8")))
+    val out = spark.createDataset(recs)
+      .mapPartitions(_.map(Multimodal.ImageDecode(_)))
+      .collect().sortBy(_.doc_id)
+    assert(out(0).width == 17 && out(0).height == 9 && out(0).channels == 3)
+    assert(out(1).width == 256 && out(1).height == 128 && out(1).channels == 4)
+    // non-image payload falls back to the deterministic fake
+    assert(out(2) == Multimodal.FakeDecode(recs(2)))
+    assert(out(2).n_bytes == "not an image".getBytes("UTF-8").length.toLong)
+  }
+}
