@@ -103,6 +103,21 @@ object Similarity {
           col("col.score").as("cos"), (col("pos") + 1).as("rank"))
     },
 
+    // Symmetric int8 quantization per embedding (the PQ-lite compression
+    // step an ANN index runs before storing vectors): scale = max|x|/127,
+    // q_i = round(x_i/scale). Map-only (no shuffle); the quantized
+    // vector is serialized to a canonical CSV string so the result is
+    // exactly comparable across engines.
+    "ss05_quantize_int8" -> { (s, d) =>
+      val xd = transform(col("embedding"), x => x.cast("double"))
+      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      emb(s, d)
+        .withColumn("scale", maxabs / 127.0)
+        .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q_str"))
+    },
+
     // IVF top-k: coarse cells from a DataFrame-native Lloyd's k-means
     // (deterministic init, 3 iterations — see KMeans), nearest-cell
     // assignment, queries probe the 3 closest cells.
@@ -136,7 +151,15 @@ object Similarity {
   // the sequential double fold of VecDot (validated empirically).
   def oracle: Map[String, String] = Map(
     "ss04_topk_aggregated" -> ss01Sql,
-    "ss01_topk_bruteforce" -> ss01Sql)
+    "ss01_topk_bruteforce" -> ss01Sql,
+    "ss05_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |      FROM e)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(v, x -> CAST(round(x / scale) AS INT)), ',') AS q_str
+        |FROM s""".stripMargin)
 
   private val ss01Sql: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -130,6 +130,28 @@ object TextAnalysis {
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(100)
+    },
+
+    // TF-IDF top-3 terms per document. IDF uses the rational form
+    // n_docs/df (not log) so scores are exact integer ratios in double —
+    // bit-identical across engines; log-idf only reorders monotonically
+    // when df varies, and rank ties break on the word. Shape: tf is one
+    // explode+agg shuffle on (doc, word); df and the corpus count are
+    // tiny aggregates broadcast back — the big side shuffles once.
+    "tx09_tfidf" -> { (s, d) =>
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(toks(lower(col("text")))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val ndocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+      tf.join(broadcast(dfreq), "word").crossJoin(broadcast(ndocs))
+        .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          col("score"), col("rank").cast("int").as("rank"))
     }
   )
 
@@ -192,6 +214,23 @@ object TextAnalysis {
     "tx05_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
-        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "tx09_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents) t
+        |  GROUP BY doc_id, word
+        |), dfreq AS (
+        |  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, word, tf, df, score, CAST(rank AS INT) AS rank FROM (
+        |  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC, tf.word) AS rank
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n) z
+        |WHERE rank <= 3""".stripMargin
   )
 }

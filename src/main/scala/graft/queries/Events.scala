@@ -90,6 +90,39 @@ object Events {
         .agg(count(col("pu")).as("n_prior_purchases"))
     },
 
+    // AS-OF join: each purchase matched to the user's most recent view
+    // at-or-before it. Spark has no asof operator; rather than an
+    // inequality join (which Catalyst executes as a per-user cross
+    // product + filter), both sides union into ONE stream and a running
+    // `last(ignoreNulls)` window carries the latest view forward — a
+    // single shuffle on user_id and a single sort, the merge-join shape
+    // an asof join compiles to in engines that have it natively. At
+    // equal timestamps the view sorts first (side 0), so ties match
+    // like DuckDB's `ON c.us >= v.us`. Views pre-aggregate to one row
+    // per (user, us) — max event_id — making ties deterministic.
+    "ev08_asof_join" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("v_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      val tagged = views
+        .select(col("user_id"), col("us"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          struct(col("us").as("v_us"), col("v_event_id")).as("v"))
+        .unionByName(purchases
+          .select(col("user_id"), col("us"), lit(1).as("side"), col("event_id"),
+            lit(null).cast("struct<v_us:bigint,v_event_id:bigint>").as("v")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged.withColumn("last_v", last(col("v"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("last_v.v_us").as("matched_us"),
+          col("last_v.v_event_id").as("matched_event_id"))
+    },
+
     // Top-5 users by total value within each event type (rank + filter —
     // the SQL QUALIFY pattern).
     "ev04_top_users" -> { (s, d) =>
@@ -162,6 +195,17 @@ object Events {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev08_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id
+        |      FROM ev WHERE event_type = 'view' GROUP BY user_id, us),
+        |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.us,
+        |  v.us AS matched_us, v.v_event_id AS matched_event_id
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.us >= v.us""".stripMargin,
 
     "ev04_top_users" ->
       """SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank FROM (

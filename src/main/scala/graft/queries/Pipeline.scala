@@ -53,6 +53,44 @@ object Pipeline {
         .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
     },
 
+    // Deterministic train/val/test split: bucket by a hex prefix of
+    // md5(doc_id) — reproducible on any engine, any cluster size, any
+    // run (unlike rand()-based sampling), and map-only: no shuffle
+    // until the exposure agg. 'cc'/'e6' hex cutoffs ≈ 80/10/10.
+    "pp03_hash_split" -> { (s, d) =>
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val split = when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), split.as("split"), col("n_chars"))
+    },
+
+    // Per-source quota sampling: keep at most 30 docs per source (by
+    // doc_id order) — the "cap any one domain's share of the corpus"
+    // op. One shuffle on source; rank state is bounded per key, and
+    // WindowGroupLimit stops each group at the quota at scan time.
+    "pp04_source_quota" -> { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.load(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 30)
+        .select(col("doc_id"), col("source"), col("rn").cast("int").as("rn"))
+    },
+
+    // Token-budget selection: greedily keep the largest docs until a
+    // char budget is exhausted (the "fill the training mix to N tokens"
+    // op). The global ordered cumsum is a single-partition window at
+    // this scale; the 100 TB form replaces it with a two-pass cutoff
+    // (per-partition sums → offset prefix) or an approx-quantile
+    // threshold — same semantics, documented trade-off.
+    "pp05_token_budget" -> { (s, d) =>
+      val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.load(s, d, "documents")
+        .withColumn("cum_chars", sum(col("n_chars")).over(w))
+        .filter(col("cum_chars") <= 50000)
+        .select(col("doc_id"), col("n_chars"), col("cum_chars"))
+    },
+
     // Multimodal frame sampling: one row per fixed-size frame of the
     // binary payload, length computed from the REAL binary slice
     // (substring on binary) — the batch shape a video/audio frame
@@ -100,6 +138,29 @@ object Pipeline {
         |JOIN customer ON user_id = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name, event_type""".stripMargin,
+
+    "pp03_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  n_chars
+        |FROM documents""".stripMargin,
+
+    "pp04_source_quota" ->
+      """SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 30""".stripMargin,
+
+    "pp05_token_budget" ->
+      """SELECT doc_id, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+        |  FROM documents) t
+        |WHERE cum_chars <= 50000""".stripMargin,
 
     "mm02_frame_sample" ->
       """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
