@@ -19,11 +19,15 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.entry(spark).count() // warmup
+    // same materialization as Bench (noop sink) so profiles measure the
+    // full expression evaluation, not a count()-pruned scan
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    materialize(graft.SparkEntry.entry(spark)) // warmup
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"$name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      materialize(graft.SparkEntry.queries(name)(spark, sfDir))
+      println(f"$name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

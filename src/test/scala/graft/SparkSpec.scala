@@ -11,8 +11,10 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4,2]: allow one task retry so retry-semantics tests (e.g.
+    // idempotent JDBC staging) can exercise Spark's real re-execution
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

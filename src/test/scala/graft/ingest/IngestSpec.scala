@@ -79,6 +79,35 @@ class IngestSpec extends SparkSpec {
     assert(cols == IngestSchema.sinkColumns)
   }
 
+  test("columnsFromXlsx resolves the NAMED sheet in a multi-sheet workbook") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val p = java.nio.file.Files.createTempFile("multi", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    def sheetXml(cells: Seq[String]): String =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row>""" +
+        cells.map(c => s"""<c t="inlineStr"><is><t>$c</t></is></c>""").mkString +
+        "</row></sheetData></worksheet>"
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Other" sheetId="1" r:id="rId1"/><sheet name="Schema" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/></Relationships>""")
+    // zip order puts the WRONG sheet last — the old last-entry heuristic
+    // would pick sheet2 only by luck of ordering; assert name resolution
+    put("xl/worksheets/sheet2.xml", sheetXml(Seq("right", "columns")))
+    put("xl/worksheets/sheet1.xml", sheetXml(Seq("wrong", "cols")))
+    zos.close()
+    assert(IngestSchema.columnsFromXlsx(p.toString, sheet = "Schema", line = 1) ==
+      Seq("right", "columns"))
+    assert(IngestSchema.columnsFromXlsx(p.toString, sheet = "Other", line = 1) ==
+      Seq("wrong", "cols"))
+  }
+
   test("JSONL path: envelope records re-written as lines parse identically") {
     val env = pipeline(JsonIngest.read(spark, jsonFixture)).cache()
     // rewrite the fixture's records as JSON-Lines

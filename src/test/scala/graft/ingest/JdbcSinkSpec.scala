@@ -73,6 +73,34 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("a retried task does not double-insert its partition (idempotent staging)") {
+    withTable("""CREATE TABLE tgt5 ("name" VARCHAR(255), "v" BIGINT)""", "tgt5") {
+      val ds = (1 to 40).map(i => (s"r$i", i.toLong)).toDS()
+        .repartition(2)
+        .mapPartitions { it =>
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+            // first attempt: yield enough rows for one committed batch,
+            // then die — the retry (attempt 1) must overwrite, not append
+            val rows = it.toVector
+            new Iterator[(String, Long)] {
+              private var i = 0
+              def hasNext: Boolean = true
+              def next(): (String, Long) =
+                if (i < 15 && i < rows.size) { i += 1; rows(i - 1) }
+                else throw new RuntimeException("boom: simulated mid-write failure")
+            }
+          } else it
+        }
+        .toDF("name", "v")
+      val res = JdbcTransactionalSink.write(ds, url, props, "tgt5",
+        JdbcTransactionalSink.Options(batchSize = 10))
+      assert(res.committed && res.errors == 0, s"unexpected result: $res")
+      assert(res.succeeded == 40, s"retry must not double-count: $res")
+      assert(countRows("tgt5") == 40, "retried partition must land exactly once")
+    }
+  }
+
   test("full ingest pipeline into Derby: fixture → flatten → project → atomic load") {
     val cols = IngestSchema.sinkColumns.map(c => s""""$c" VARCHAR(255)""")
       .updated(1, """"dt_created" BIGINT""").updated(2, """"dt_submitted" BIGINT""")
