@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration for every custom Catalyst expression, so the whole
+  * engine surface — including the fused dedup/similarity/text kernels —
+  * is reachable from plain `spark.sql` (GraftSql wires this into the
+  * view facade). Registered as temp functions: session-scoped, no
+  * catalog mutation.
+  */
+object Registry {
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: the size argument must be an INT literal")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    def reg(name: String, b: Seq[Expression] => Expression): Unit =
+      fr.createOrReplaceTempFunction(name, b, "scala_udf")
+    reg("vec_dot", es => VecDot(es(0), es(1)))
+    reg("minhash_sig", es => MinHashSig(es(0)))
+    reg("shingle_hashes", es => ShingleHashes(es(0), litInt(es(1), "shingle_hashes")))
+    reg("char_gram_hashes", es => CharGramHashes(es(0), litInt(es(1), "char_gram_hashes")))
+    reg("simhash64", es => SimHash64(es(0)))
+    reg("winnow_fingerprint", es => WinnowFingerprint(es(0)))
+    reg("char_entropy", es => CharEntropy(es(0)))
+  }
+}

@@ -60,6 +60,49 @@ object EventsStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  final case class AsofOut(event_id: Long, user_id: Long, us: Long,
+      matched_us: Option[Long], matched_event_id: Option[Long])
+
+  /** Streaming as-of join (streaming twin of batch ev08): each purchase
+    * matched to the user's latest view at-or-before it. State per user
+    * is O(1) — just the latest view — which is what makes asof the
+    * streaming-friendly enrichment join: unlike an interval join, no
+    * buffer of past events is retained. Within a trigger, events are
+    * processed in event-time order (views before purchases on ties,
+    * matching DuckDB ASOF `ON c.us >= v.us`); a view arriving in a
+    * later trigger cannot retro-match an earlier purchase, the standard
+    * monotone-source asof semantics. */
+  def asofJoin(spark: SparkSession, events: DataFrame): Dataset[AsofOut] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          def micros(e: Event): Long =
+            e.ts.getTime / 1000 * 1000000 + (e.ts.getNanos / 1000) % 1000000
+          var latest: Option[(Long, Long)] = state.getOption // (us, event_id)
+          val out = scala.collection.mutable.ArrayBuffer[AsofOut]()
+          val sorted = it.toArray.sortBy(e =>
+            (micros(e), if (e.event_type == "view") 0 else 1, e.event_id))
+          sorted.foreach { e =>
+            val us = micros(e)
+            if (e.event_type == "view") {
+              // same-us views keep the max event_id, matching the batch
+              // side's pre-aggregation
+              if (latest.forall(l => l._1 < us || (l._1 == us && l._2 < e.event_id)))
+                latest = Some((us, e.event_id))
+            } else {
+              out += AsofOut(e.event_id, user, us, latest.map(_._1), latest.map(_._2))
+            }
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Stateful 30-min-gap sessionization via flatMapGroupsWithState
     * (streaming ev02). State per user is O(1): (start, last, count).
     * Emits every affected session per trigger (Update mode); closed

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.{GraftSql, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Every custom expression is reachable from plain SQL, and the SQL
+  * path computes the same values as the Column API path. */
+class RegistrySpec extends SparkSpec {
+
+  test("all custom functions resolve and evaluate through spark.sql") {
+    val df = GraftSql.sql(spark, sf,
+      """SELECT doc_id,
+        |  size(shingle_hashes(split(text, ' '), 3)) AS n_sh,
+        |  size(minhash_sig(shingle_hashes(split(text, ' '), 3))) AS n_sig,
+        |  size(char_gram_hashes(text, 5)) AS n_grams,
+        |  simhash64(split(text, ' ')) AS sh64,
+        |  char_entropy(text) AS ent,
+        |  size(winnow_fingerprint(text)) AS n_fp,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot
+        |FROM documents ORDER BY doc_id LIMIT 10""".stripMargin).collect()
+    assert(df.length == 10)
+    df.foreach { r =>
+      assert(r.getAs[Int]("n_sig") == 64)
+      assert(r.getAs[Int]("n_sh") > 0 && r.getAs[Int]("n_grams") > 0)
+      assert(r.getAs[Double]("dot") == 11.0)
+      assert(r.getAs[Double]("ent") > 0.0 && r.getAs[Int]("n_fp") > 0)
+    }
+  }
+
+  test("SQL path equals Column API path on the same rows") {
+    val viaSql = GraftSql.sql(spark, sf,
+      "SELECT doc_id, simhash64(split(text, ' ')) AS sh, char_entropy(text) AS e " +
+        "FROM documents ORDER BY doc_id LIMIT 20").collect()
+    val viaCol = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), SimHash.simhash64(split(col("text"), " ")).as("sh"),
+        Entropy.charEntropy(col("text")).as("e"))
+      .orderBy("doc_id").limit(20).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      GraftSql.sql(spark, sf,
+        "SELECT shingle_hashes(split(text, ' '), CAST(n_chars AS INT)) FROM documents").collect()
+    }
+    assert(e.getMessage.contains("INT literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("INT literal")))
+  }
+}

@@ -125,6 +125,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches the oracle-checked batch ev08 exactly") {
+    val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
+    val q = EventsStream.asofJoin(spark, stream)
+      .writeStream.format("memory").queryName("asof").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      val streamed = spark.table("asof")
+        .select("event_id", "user_id", "us", "matched_us", "matched_event_id")
+        .collect().map(key).toSet
+      val batch = graft.queries.Events.queries("ev08_asof_join")(spark, sf)
+        .select("event_id", "user_id", "us", "matched_us", "matched_event_id")
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermarked append mode emits only watermark-closed windows (late-data semantics)") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val q = EventsStream.hourlyStats(stream)
