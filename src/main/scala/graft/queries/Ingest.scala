@@ -8,10 +8,12 @@ import graft.ingest.{Flatten, IngestSchema, JsonIngest, XmlRecordReader}
 /** Ingest-pipeline operators surfaced as verifiable queries.
   *
   * in01 runs the flatten/explode shape on driver testdata (DuckDB-
-  * checkable); in02/in03 run the FULL reference ingest pipeline — typed
-  * read → flatten → whitelist projection — on the reference's own
-  * fixtures (golden row counts 20 / 16, SURVEY.md §5). Rows-only checks:
-  * DuckDB sees only the sf parquet tables.
+  * checkable); in02/in03/in04 run the FULL reference ingest pipeline —
+  * typed read → flatten → whitelist projection — on the reference's own
+  * fixtures (golden row counts 20 / 16, SURVEY.md §5). in02 is fully
+  * oracle-checked (DuckDB read_json replays the flatten with an
+  * explicit schema so scan_time stays VARCHAR); the XML paths stay
+  * rows-only (DuckDB has no XML reader) backed by golden specs.
   */
 object Ingest {
 
@@ -55,6 +57,20 @@ object Ingest {
   def oracle: Map[String, String] = Map(
     "in01_flatten_words" ->
       """SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |FROM documents WHERE doc_id < 50""".stripMargin
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "in02_reference_json_flatten" ->
+      s"""WITH src AS (
+         |  SELECT unnest(Records) AS r FROM read_json('$fixtureJson',
+         |    columns={'Records': 'STRUCT("user" VARCHAR, dt_created BIGINT,
+         |      dt_submitted BIGINT, ast_name VARCHAR, location VARCHAR,
+         |      status VARCHAR, json_hash VARCHAR, local_id VARCHAR,
+         |      filename VARCHAR,
+         |      fnumbers STRUCT(fnumber VARCHAR, scan_time VARCHAR)[])[]'})
+         |)
+         |SELECT r."user" AS "user", r.dt_created, r.dt_submitted, r.ast_name,
+         |       r.location, r.status, r.json_hash, r.local_id, r.filename,
+         |       f.fnumber, f.scan_time
+         |FROM src, unnest(r.fnumbers) AS u(f)""".stripMargin
   )
 }
