@@ -57,6 +57,26 @@ object Multimodal {
     }
   }
 
+  /** Ingest a directory of binary files (images/audio/video) via Spark's
+    * `binaryFile` source and decode each payload. This is the real
+    * multimodal ingestion shape: the source yields (path, length,
+    * content) with partition-parallel reads, `pathGlobFilter` prunes by
+    * extension BEFORE bytes are read, and decode stays the same narrow
+    * mapPartitions pass as mm01. doc_id is derived from the file name
+    * (stable across runs and cluster sizes). */
+  def readBinaryDir(spark: SparkSession, dir: String,
+      glob: String = "*.png"): org.apache.spark.sql.Dataset[MediaMeta] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        abs(xxhash64(element_at(split(col("path"), "/"), -1))).as("doc_id"),
+        col("content").as("payload"))
+      .as[BinRecord]
+      .mapPartitions(_.map(ImageDecode(_)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = resizeQueries ++ Map(
     // Binary ingestion + per-partition batch decode. The decode kernel
     // is REAL (JDK ImageIO) — MultimodalSpec drives it with synthetic

@@ -18,6 +18,17 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("binaryFile ingestion: a directory of PNGs decodes to real dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("png_ingest")
+    java.nio.file.Files.write(dir.resolve("a.png"), png(33, 21))
+    java.nio.file.Files.write(dir.resolve("b.png"), png(48, 12))
+    java.nio.file.Files.write(dir.resolve("ignore.txt"), "not an image".getBytes)
+    val out = Multimodal.readBinaryDir(spark, dir.toString).collect()
+    assert(out.length == 2, "pathGlobFilter must prune the non-png file")
+    assert(out.map(m => (m.width, m.height)).toSet == Set((33, 21), (48, 12)))
+    assert(out.forall(_.channels == 3))
+  }
+
   test("ImageDecode reads real PNG pixel dimensions inside mapPartitions") {
     import spark.implicits._
     val recs = Seq(
