@@ -132,6 +132,24 @@ object TextAnalysis {
         .limit(100)
     },
 
+    // Repetition detection (the Gopher "duplicate n-gram fraction"
+    // rule): share of word 2-grams that are repeats within the doc.
+    // Narrow per-row expression — integer counts, exact division.
+    "tx10_repetition" -> { (s, d) =>
+      val t = toks(lower(col("text")))
+      val grams = expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+      docs(s, d)
+        .withColumn("t", t)
+        .filter(size(col("t")) >= 2)
+        .withColumn("g", grams)
+        .select(col("doc_id"),
+          size(col("g")).as("n_2grams"),
+          size(array_distinct(col("g"))).as("n_uniq_2grams"),
+          ((size(col("g")) - size(array_distinct(col("g")))).cast("double") /
+            size(col("g"))).as("dup_share"))
+    },
+
     // TF-IDF top-3 terms per document. IDF uses the rational form
     // n_docs/df (not log) so scores are exact integer ratios in double —
     // bit-identical across engines; log-idf only reorders monotonically
@@ -215,6 +233,18 @@ object TextAnalysis {
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
         |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "tx10_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(g) AS INT) AS n_2grams,
+        |  CAST(len(list_distinct(g)) AS INT) AS n_uniq_2grams,
+        |  CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) AS dup_share
+        |FROM (
+        |  SELECT doc_id,
+        |    [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))] AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents) z
+        |  WHERE len(t) >= 2) y""".stripMargin,
 
     "tx09_tfidf" ->
       """WITH tf AS (

@@ -91,6 +91,23 @@ object Pipeline {
         .select(col("doc_id"), col("n_chars"), col("cum_chars"))
     },
 
+    // Sequence packing (GPT-style): concatenate the token stream in
+    // doc_id order and assign each document the 2048-token bin where it
+    // starts (docs may span bins — the training-time packer splits
+    // them; this op computes the placement map). Same global-cumsum
+    // caveat as pp05: single-partition window here, two-pass prefix
+    // sums at 100 TB.
+    "pp06_sequence_pack" -> { (s, d) =>
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("cum_before") / 2048).as("bin_id"),
+          (col("cum_before") % 2048).as("offset_in_bin"))
+    },
+
     // Multimodal frame sampling: one row per fixed-size frame of the
     // binary payload, length computed from the REAL binary slice
     // (substring on binary) — the batch shape a video/audio frame
@@ -161,6 +178,17 @@ object Pipeline {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
         |  FROM documents) t
         |WHERE cum_chars <= 50000""".stripMargin,
+
+    "pp06_sequence_pack" ->
+      """SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin_id,
+        |  CAST(cum_before % 2048 AS BIGINT) AS offset_in_bin
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |        FROM documents) z) y""".stripMargin,
 
     "mm02_frame_sample" ->
       """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
