@@ -54,6 +54,28 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(df.collect()(0) == viaScan.collect()(0))
   }
 
+  test("runtime bloom-filter join pruning activates on a selective fact-fact join") {
+    // dedicated session: bloom injection needs the threshold lowered
+    // below our test-data sizes and no broadcast shortcut
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = s2.read.parquet(s"$sf/lineitem.parquet")
+    val o = s2.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 300000.0) // selective build side
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+      s"expected a runtime bloom filter in the optimized plan:\n$plan")
+    // and the filtered join result is unchanged vs the plain session
+    val plain = spark.read.parquet(s"$sf/lineitem.parquet").join(
+      spark.read.parquet(s"$sf/orders.parquet").filter(col("o_totalprice") > 300000.0),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() == plain)
+  }
+
   test("SQL facade: full engine surface through spark.sql, including vec_dot") {
     val df = GraftSql.sql(spark, sf,
       """SELECT n_name, COUNT(*) AS n
