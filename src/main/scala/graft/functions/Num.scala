@@ -61,4 +61,22 @@ object Num {
 
   /** Deterministic average: exact decimal sum, double-divided by count. */
   def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  // Two-phase (pre-agg → rollup/cube) forms: Spark's Expand duplicates
+  // every input row per grouping set BEFORE aggregation, so a rollup
+  // over a fact table processes a multiple of the fact rows. Decimal
+  // sums and counts re-aggregate exactly, so the scalable form is:
+  // groupBy(finest grouping).agg(dsumPartial…) → rollup/cube over the
+  // tiny intermediate → finishDouble. Results are bit-identical to the
+  // one-phase form (same exact rational, one final cast).
+
+  /** Exact decimal partial sum of a money column (finish with [[finishDouble]]). */
+  def dsumPartial(c: Column): Column = sum(dec(c))
+
+  /** Exact decimal partial sum of money × rate2 (finish with [[finishDouble]]). */
+  def dsum2Partial(a: Column, b: Column): Column =
+    sum(a.cast(DMoney) * b.cast(DRate2))
+
+  /** Re-aggregate exact decimal partials to the final double. */
+  def finishDouble(partial: Column): Column = sum(partial).cast(DoubleType)
 }

@@ -13,11 +13,15 @@ import graft.functions.Num._
 object Extras {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // CUBE over status × priority.
+    // CUBE over status × priority — two-phase like q07: pre-aggregate
+    // to the (status, priority) cells (one pass over orders), cube over
+    // the ~15-row intermediate (Expand ×4 on 15 rows, not 4× the fact).
     "q16_cube_status_priority" -> { (s, d) =>
-      Tables.load(s, d, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      val base = Tables.load(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_p"), dsumPartial(col("o_totalprice")).as("sum_p"))
+      base.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("n_p")).as("n_orders"), finishDouble(col("sum_p")).as("sum_price"))
     },
 
     // Pivot: month × status revenue matrix (fixed pivot values → stable

@@ -107,18 +107,27 @@ object Relational {
           count(lit(1)).as("n_rows"))
     },
 
-    // ROLLUP region → nation of supplier revenue.
+    // ROLLUP region → nation of supplier revenue — TWO-PHASE: the fact
+    // is aggregated once to the finest grouping (region, nation), and
+    // the rollup's Expand runs over that ~125-row intermediate instead
+    // of duplicating every fact row per grouping set. Decimal partials
+    // re-aggregate exactly, so results are bit-identical to the
+    // one-phase rollup (oracle unchanged). At 100 TB this is the
+    // difference between scanning the fact once and three times.
     "q07_rollup_region_nation" -> { (s, d) =>
       val li = Tables.load(s, d, "lineitem")
       val sup = Tables.dim(s, d, "supplier")
       val n = Tables.dim(s, d, "nation")
       val r = Tables.dim(s, d, "region")
-      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      val base = li.join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
-        .rollup(col("r_name"), col("n_name"))
-        .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum2Partial(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("rev_p"),
+          count(lit(1)).as("n_p"))
+      base.rollup(col("r_name"), col("n_name"))
+        .agg(finishDouble(col("rev_p")).as("revenue"),
+          sum(col("n_p")).as("n_items"))
     },
 
     // Exact distinct counts (shuffle-expand agg) per return flag.
