@@ -24,6 +24,44 @@ object Extras {
         .agg(sum(col("n_p")).as("n_orders"), finishDouble(col("sum_p")).as("sum_price"))
     },
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize)
+    // through the SQL facade — supplier counts by region, by nation,
+    // and the grand total, with grouping() flags for disambiguation.
+    // Same two-phase trick as q07: the sets expand over a pre-joined
+    // 25-row (region, nation) aggregate, not the supplier table.
+    "q25_grouping_sets" -> { (s, d) =>
+      graft.GraftSql.sql(s, d,
+        """SELECT r_name, n_name,
+          |  CAST(grouping(r_name) AS INT) AS g_region,
+          |  CAST(grouping(n_name) AS INT) AS g_nation,
+          |  SUM(n_sup) AS n_suppliers
+          |FROM (
+          |  SELECT r_name, n_name, COUNT(*) AS n_sup
+          |  FROM supplier
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  GROUP BY r_name, n_name)
+          |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin)
+    },
+
+    // RANGE window frame: 30-day trailing order revenue per customer —
+    // frames defined by VALUE distance (epoch seconds), not row count;
+    // order-date ties share one frame, so results are deterministic
+    // without a tiebreak column.
+    "q26_trailing_revenue" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_epoch"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.load(s, d, "orders")
+        .filter(col("o_custkey") < 200)
+        .withColumn("o_epoch", unix_timestamp(col("o_orderdate")))
+        .withColumn("trailing_rev",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_epoch"), col("trailing_rev"))
+    },
+
     // Pivot: month × status revenue matrix (fixed pivot values → stable
     // schema, the scalable form — dynamic pivot needs a driver pass).
     "q17_pivot_monthly_status" -> { (s, d) =>
@@ -149,6 +187,28 @@ object Extras {
          |  ${ds("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
          |  ${ds("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
          |FROM orders GROUP BY 1""".stripMargin,
+
+    "q25_grouping_sets" ->
+      """SELECT r_name, n_name,
+        |  CAST(grouping(r_name) AS INT) AS g_region,
+        |  CAST(grouping(n_name) AS INT) AS g_nation,
+        |  CAST(SUM(n_sup) AS BIGINT) AS n_suppliers
+        |FROM (
+        |  SELECT r_name, n_name, COUNT(*) AS n_sup
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name) t
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin,
+
+    "q26_trailing_revenue" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_epoch,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_rev
+        |FROM orders WHERE o_custkey < 200""".stripMargin,
 
     "q18_exists_heavy_line" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders

@@ -49,4 +49,23 @@ class NumPropertySpec extends SparkSpec {
       a == b
     })
   }
+
+  test("two-phase (partial → finish) equals one-phase dsum2 bit-exactly") {
+    // the invariant the q07/q16 pre-agg-then-rollup rewrite rests on:
+    // decimal partials re-aggregate to the same exact rational
+    val pairGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 9L), // group key
+        Gen.zip(Gen.chooseNum(0L, 999999L).map(_ / 100.0),
+          Gen.chooseNum(0L, 100L).map(_ / 100.0))))
+    run(Prop.forAllNoShrink(pairGen) { rows =>
+      val df = rows.map { case (g, (a, b)) => (g, a, b) }.toDF("g", "a", "b")
+        .repartition(4)
+      val onePhase = df.agg(Num.dsum2(col("a"), col("b"))).as[Double].collect()(0)
+      val twoPhase = df.groupBy(col("g"))
+        .agg(Num.dsum2Partial(col("a"), col("b")).as("p"))
+        .agg(Num.finishDouble(col("p"))).as[Double].collect()(0)
+      java.lang.Double.doubleToLongBits(onePhase) ==
+        java.lang.Double.doubleToLongBits(twoPhase)
+    })
+  }
 }
