@@ -144,6 +144,24 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+    },
+
+    // Per-label centroid (the class-prototype / cluster-summary pass a
+    // labeled embedding corpus runs for retrieval or distillation):
+    // posexplode to (label, dim, value), one agg shuffle whose partial
+    // (map-side) aggregation collapses the ×64 explosion to
+    // labels×dims rows before any exchange. Centroid components round
+    // to 4 decimals so cross-engine float-summation-order noise
+    // (~1e-13) cannot flip a digit (closest sf0.01 value is 3.5e-8
+    // from a rounding boundary).
+    "emb01_label_centroid" -> { (s, d) =>
+      Tables.load(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 4).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("pos").cast("int").as("dim"),
+          col("centroid"), col("n_vecs"))
     }
   )
 
@@ -152,6 +170,15 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "ss04_topk_aggregated" -> ss01Sql,
     "ss01_topk_bruteforce" -> ss01Sql,
+    // `+ 0.0` canonicalizes IEEE -0.0 to +0.0: DuckDB's double round
+    // yields -0.0 for tiny negative means where Spark's BigDecimal-based
+    // round yields +0.0, and the comparator distinguishes their reprs.
+    "emb01_label_centroid" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid,
+        |  count(*) AS n_vecs
+        |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |GROUP BY label, i""".stripMargin,
     "ss05_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -31,6 +31,22 @@ object TextAnalysis {
   private def hitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(x => x: Any): _*)))
 
+  /** Word n-grams as space-joined strings, with the token array
+    * LET-BOUND through a single-element transform. Without the binding,
+    * Catalyst's projection collapse inlines the split() feeding
+    * `tokens` into every lambda element and into the Generate's
+    * emptiness checks, so each gram re-splits the whole document —
+    * O(words²) per row (measured 4-5× on dc01). Binding the array as a
+    * lambda variable forces one split per evaluation no matter how the
+    * plan collapses. */
+  def wordGrams(tokens: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens), tt =>
+        when(size(tt) >= n,
+          transform(sequence(lit(1), size(tt) - (n - 1)), i =>
+            concat_ws(" ", slice(tt, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))), 1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, distinct tokens, and a BPE-ish
     // regex tokenization (letter runs / digit runs / single symbols —
@@ -113,14 +129,17 @@ object TextAnalysis {
           element_at(col("fp"), -1).as("fp_max"))
     },
 
-    // Byte-entropy quality signal (custom fused expression). Rows-only:
-    // transcendental math is not guaranteed bit-identical across engines;
-    // EntropySpec pins the values against a model implementation.
+    // Byte-entropy quality signal (custom fused expression). Oracle-checked:
+    // output rounds to 4 decimals so cross-engine float noise (~1e-15)
+    // cannot flip a digit (closest sf0.01 value sits 1.3e-8 from a
+    // rounding boundary); EntropySpec additionally pins unrounded values
+    // against a model implementation. The gate thresholds sit >0.6 bits
+    // from any observed value, so entropy_ok is deterministic too.
     "tx08_entropy" -> { (s, d) =>
+      val h = graft.functions.Entropy.charEntropy(col("text"))
       docs(s, d).select(col("doc_id"),
-        graft.functions.Entropy.charEntropy(col("text")).as("entropy_bits"),
-        (graft.functions.Entropy.charEntropy(col("text")) >= 3.0 &&
-          graft.functions.Entropy.charEntropy(col("text")) <= 6.0).as("entropy_ok"))
+        round(h, 4).as("entropy_bits"),
+        (h >= 3.0 && h <= 6.0).as("entropy_ok"))
     },
 
     // Corpus top-100 tokens: explode → partial-agg count → global top-k.
@@ -137,17 +156,42 @@ object TextAnalysis {
     // Narrow per-row expression — integer counts, exact division.
     "tx10_repetition" -> { (s, d) =>
       val t = toks(lower(col("text")))
-      val grams = expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
       docs(s, d)
         .withColumn("t", t)
         .filter(size(col("t")) >= 2)
-        .withColumn("g", grams)
+        .withColumn("g", wordGrams(col("t"), 2))
         .select(col("doc_id"),
           size(col("g")).as("n_2grams"),
           size(array_distinct(col("g"))).as("n_uniq_2grams"),
           ((size(col("g")) - size(array_distinct(col("g")))).cast("double") /
             size(col("g"))).as("dup_share"))
+    },
+
+    // Corpus bigram language-model stats: P(w2|w1) = c(w1 w2)/c(w1 ·),
+    // top-3 continuations per head word. All integer counts plus one
+    // exact double division → bit-identical across engines. Shape: one
+    // explode+agg shuffle on (w1, w2); the per-head totals are a tiny
+    // dictionary-sized aggregate broadcast back; the per-head top-k is
+    // bounded window state (WindowGroupLimit).
+    "tx11_bigram_lm" -> { (s, d) =>
+      val t = toks(lower(col("text")))
+      val big = docs(s, d)
+        .withColumn("t", t).filter(size(col("t")) >= 2)
+        // explode_outer skips the Generate's size/notnull re-evaluations
+        // of the gram array; the size>=2 filter guarantees no null rows
+        .select(explode_outer(wordGrams(col("t"), 2)).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w1")).orderBy(col("p").desc, col("w2"))
+      big.join(broadcast(uni), "w1")
+        .withColumn("p", col("c12").cast("double") / col("c1"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("p"),
+          col("rank").cast("int").as("rank"))
     },
 
     // TF-IDF top-3 terms per document. IDF uses the rational form
@@ -229,6 +273,21 @@ object TextAnalysis {
                  .mkString(",\n      ")}
          |    FROM documents) h) p""".stripMargin,
 
+    // DuckDB's entropy() is log2 Shannon entropy of the value distribution;
+    // splitting into single characters equals the Spark expression's
+    // byte-distribution entropy because the corpus is pure ASCII (verified
+    // octet_length(encode(text)) == length(text) for every row at every SF).
+    "tx08_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        |), e AS (
+        |  SELECT doc_id, entropy(c) AS h FROM ch GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  round(coalesce(e.h, 0.0), 4) AS entropy_bits,
+        |  (coalesce(e.h, 0.0) >= 3.0 AND coalesce(e.h, 0.0) <= 6.0) AS entropy_ok
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin,
+
     "tx05_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
@@ -245,6 +304,25 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
         |        FROM documents) z
         |  WHERE len(t) >= 2) y""".stripMargin,
+
+    "tx11_bigram_lm" ->
+      """WITH pairs AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT string_split(lower(text), ' ') AS t FROM documents) z,
+        |       unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), big AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+        |), uni AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1
+        |)
+        |SELECT w1, w2, c12, c1, p, CAST(rank AS INT) AS rank FROM (
+        |  SELECT big.w1, big.w2, big.c12, uni.c1,
+        |    CAST(big.c12 AS DOUBLE) / uni.c1 AS p,
+        |    ROW_NUMBER() OVER (PARTITION BY big.w1
+        |      ORDER BY CAST(big.c12 AS DOUBLE) / uni.c1 DESC, big.w2) AS rank
+        |  FROM big JOIN uni USING (w1)) z
+        |WHERE rank <= 3""".stripMargin,
 
     "tx09_tfidf" ->
       """WITH tf AS (

@@ -108,6 +108,52 @@ object Pipeline {
           (col("cum_before") % 2048).as("offset_in_bin"))
     },
 
+    // Benchmark decontamination: flag training docs that share any word
+    // 5-gram with a held-out benchmark set (doc_id % 20 == 0 — the
+    // standard "does my corpus contain the eval set" sweep). Scale
+    // shape: the benchmark gram set is tiny by construction (eval
+    // benchmarks are MBs against a 100 TB corpus), so it broadcasts;
+    // the corpus side is map-only explode + one agg shuffle on doc_id.
+    "dc01_decontaminate" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 5)
+        // let-bound gram builder: one split per row, not per gram —
+        // see TextAnalysis.wordGrams for why the naive transform is
+        // O(words²) after projection collapse
+        .withColumn("g", graft.ops.TextAnalysis.wordGrams(col("t"), 5))
+      // explode_outer: a plain explode's Generate adds size(g)>0 and
+      // isnotnull(g) filter conditions that each re-evaluate the whole
+      // gram array per row; outer mode skips them, and the null rows it
+      // could add never match an equi-join key / count as distinct
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(explode_outer(col("g")).as("g")).distinct()
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val hits = corpus.select(col("doc_id"), explode_outer(col("g")).as("g"))
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hit_grams"))
+      corpus.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+          (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+    },
+
+    // Overlapping character chunking (RAG/context-window prep): size-200
+    // windows at stride 150, one row per chunk with its md5. Map-only —
+    // explode of an arithmetic sequence, no shuffle at any scale.
+    "pp07_chunk_overlap" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("start",
+          explode(sequence(lit(1), length(col("text")), lit(150))))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 150).cast("int").as("chunk_idx"),
+          length(expr("substring(text, start, 200)")).as("chunk_len"),
+          md5(expr("substring(text, start, 200)")).as("chunk_md5"))
+    },
+
     // Multimodal frame sampling: one row per fixed-size frame of the
     // binary payload, length computed from the REAL binary slice
     // (substring on binary) — the batch shape a video/audio frame
@@ -189,6 +235,36 @@ object Pipeline {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |        FROM documents) z) y""".stripMargin,
+
+    "dc01_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
+        |  FROM t WHERE len(t) >= 5
+        |), bench AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 20 = 0
+        |), corpus AS (
+        |  SELECT doc_id, gs FROM g WHERE doc_id % 20 <> 0
+        |), hits AS (
+        |  SELECT c.doc_id, count(DISTINCT c.g) AS n
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) c
+        |  JOIN bench b USING (g) GROUP BY c.doc_id
+        |)
+        |SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "pp07_chunk_overlap" ->
+      """SELECT doc_id,
+        |  CAST((start - 1) // 150 AS INT) AS chunk_idx,
+        |  CAST(length(substr(text, start, 200)) AS INT) AS chunk_len,
+        |  md5(substr(text, start, 200)) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1, 150)) AS start
+        |  FROM documents WHERE length(text) > 0) t""".stripMargin,
 
     "mm02_frame_sample" ->
       """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
