@@ -33,4 +33,24 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"IVF mean recall@10 $mean below 0.3")
   }
+
+  test("emb01 label centroids match a driver-side model computation") {
+    val out = Similarity.queries("emb01_label_centroid")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val byLabel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.size == byLabel.size * byLabel.head._2.head.size)
+    byLabel.foreach { case (label, vs) =>
+      (0 until vs.head.size).foreach { d =>
+        val mean = vs.map(_(d).toDouble).sum / vs.size
+        val (c, n) = out((label, d))
+        assert(n == vs.size, s"label $label dim $d count")
+        // output rounds to 4 decimals
+        assert(math.abs(c - mean) <= 5e-5 + 1e-9, s"label $label dim $d")
+      }
+    }
+  }
 }

@@ -18,6 +18,43 @@ class PipelineSpec extends SparkSpec {
     assert(keptCopies <= nDocs / 5, s"too many near-dup copies survived: $keptCopies")
   }
 
+  test("dc01: benchmark docs excluded; hit counts match a model recount") {
+    val out = Pipeline.queries("dc01_decontaminate")(spark, sf).cache()
+    assert(out.filter(col("doc_id") % 20 === 0).count() == 0)
+    assert(out.filter(col("contaminated") =!= (col("n_hit_grams") > 0)).count() == 0)
+    // recompute hit counts in plain Scala for a sample of docs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
+      .toMap
+    def grams(t: Seq[String]): Set[String] =
+      if (t.size >= 5) t.sliding(5).map(_.mkString(" ")).toSet
+      else Set.empty[String]
+    val benchGrams =
+      docs.collect { case (id, t) if id % 20 == 0 => grams(t) }.flatten.toSet
+    out.orderBy("doc_id").limit(25).collect().foreach { r =>
+      val expect = grams(docs(r.getLong(0))).count(benchGrams.contains)
+      assert(r.getLong(1) == expect, s"doc ${r.getLong(0)}")
+    }
+    out.unpersist()
+  }
+
+  test("pp07: chunk count, index, and length laws hold per document") {
+    val out = Pipeline.queries("pp07_chunk_overlap")(spark, sf).cache()
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val j = out.join(lens, "doc_id")
+    assert(j.filter(
+      col("chunk_len") =!= least(lit(200), col("len") - col("chunk_idx") * 150))
+      .count() == 0)
+    val counts = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_idx").as("mx"))
+      .join(lens, "doc_id")
+    assert(counts.filter(col("n") =!= (floor((col("len") - 1) / 150) + 1)).count() == 0)
+    assert(counts.filter(col("mx") =!= col("n") - 1).count() == 0)
+    out.unpersist()
+  }
+
   test("mm03 resize: constant output size, correct kept-byte accounting") {
     val df = graft.ops.Multimodal.queries("mm03_resize_payload")(spark, sf).cache()
     assert(df.filter(col("resized_bytes") =!= 1024).count() == 0)
