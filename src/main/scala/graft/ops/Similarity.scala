@@ -146,6 +146,33 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
     },
 
+    // Quantized brute-force top-k: ss05's int8 vectors searched with an
+    // INTEGER dot product. Unlike float cosine, every score is an exact
+    // integer (|score| ≤ 64·127² ≪ 2⁵³), so the ranking is bit-exact
+    // across engines and fully oracle-checked — the verification story
+    // for a quantized ANN tier that float math can't give you. Shape:
+    // same broadcast-queries scan as ss01; quantization is map-only.
+    "ss06_int8_topk" -> { (s, d) =>
+      val xd = transform(col("embedding"), x => x.cast("double"))
+      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val q8 = emb(s, d)
+        .withColumn("scale", maxabs / 127.0)
+        .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
+        .select(col("vec_id"), col("q"))
+      val qs = broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      q8.crossJoin(qs)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score",
+          expr("aggregate(zip_with(q, q_q, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("score"),
+          col("rank").cast("int").as("rank"))
+    },
+
     // Per-label centroid (the class-prototype / cluster-summary pass a
     // labeled embedding corpus runs for retrieval or distillation):
     // posexplode to (label, dim, value), one agg shuffle whose partial
@@ -170,6 +197,26 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "ss04_topk_aggregated" -> ss01Sql,
     "ss01_topk_bruteforce" -> ss01Sql,
+    "ss06_int8_topk" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(
+        |      CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+        |    ) AS INT)) AS q
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS q_id, x.vec_id,
+        |    CAST(list_dot_product(x.q, q.q) AS BIGINT) AS score
+        |  FROM q8 x, q8 q
+        |  WHERE q.vec_id < 10 AND x.vec_id != q.vec_id
+        |)
+        |SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q_id, vec_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin,
+
     // `+ 0.0` canonicalizes IEEE -0.0 to +0.0: DuckDB's double round
     // yields -0.0 for tiny negative means where Spark's BigDecimal-based
     // round yields +0.0, and the comparator distinguishes their reprs.

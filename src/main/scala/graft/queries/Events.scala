@@ -123,6 +123,65 @@ object Events {
           col("last_v.v_event_id").as("matched_event_id"))
     },
 
+    // Ordered conversion funnel: first view → first click at-or-after
+    // it → first purchase at-or-after that, per user; output is the
+    // per-stage user counts. Every join and aggregation keys on
+    // user_id, so one hash partitioning serves the whole chain (the
+    // per-stage aggregates shrink monotonically and AQE broadcasts
+    // them back against the event scan).
+    "ev09_funnel" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") >= col("v_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") >= col("c_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("c_us")).as("n_click_after_view"),
+          count(col("p_us")).as("n_purchase_funnel"))
+    },
+
+    // Cohort retention: users grouped by the week of their first event
+    // (cohort), counted per week they were active in. Two aggregations
+    // on user_id plus one on the (cohort, week) pair — the classic
+    // retention-matrix shape; weeks serialize to dates for exact
+    // cross-engine comparison.
+    "ev10_cohort_retention" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val active = ev.distinct()
+      active.join(first, "user_id")
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          date_format(col("wk"), "yyyy-MM-dd").as("active_week"),
+          col("n_users"))
+    },
+
+    // Salted equi-join (the skew-mitigation operator): semantically a
+    // plain events⋈customer inner join — the oracle IS the plain join —
+    // but executed with an 8-way key salt so a hot user lands on 8
+    // reducers instead of one. Broadcast is disabled via the salted
+    // right side's explode; see graft.ops.Skew.
+    "sk01_salted_join" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      graft.ops.Skew
+        .saltedJoin(ev, cust, col("user_id") === col("c_custkey"),
+          saltBy = col("event_id"), salts = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+    },
+
     // Top-5 users by total value within each event type (rank + filter —
     // the SQL QUALIFY pattern).
     "ev04_top_users" -> { (s, d) =>
@@ -159,6 +218,46 @@ object Events {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
         |  MIN(us) AS start_us, MAX(us) - MIN(us) AS duration_us
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "ev09_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.us) AS c_us FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us >= v.v_us GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.us) AS p_us FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= c.c_us GROUP BY e.user_id
+        |)
+        |SELECT count(*) AS n_view,
+        |  count(c.c_us) AS n_click_after_view,
+        |  count(p.p_us) AS n_purchase_funnel
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "ev10_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        |), first AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+        |), active AS (
+        |  SELECT DISTINCT user_id, wk FROM e
+        |)
+        |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |  strftime(wk, '%Y-%m-%d') AS active_week,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM active JOIN first USING (user_id)
+        |GROUP BY cohort_wk, wk""".stripMargin,
+
+    // the salted join is semantically the PLAIN join — that equivalence
+    // is exactly what this oracle verifies
+    "sk01_salted_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
 
     "ev07_interval_join" ->
       """SELECT e.event_id, COUNT(p.pu) AS n_prior_purchases
