@@ -71,6 +71,24 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental-ingest dedup: drop new-batch docs whose normalized
+    // fingerprint already exists in the standing corpus — the "dedup
+    // today's crawl against the existing 100 TB corpus" op. Shape: one
+    // anti-join shuffle on the 16-byte fingerprint (never the text); at
+    // full scale the standing side is the persisted fingerprint table,
+    // optionally pre-filtered by a bloom filter so only probable hits
+    // shuffle (the scale suite demonstrates that bloom pattern).
+    "dd07_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      val standing = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(fp.as("fp")).distinct()
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("fp", fp)
+        .join(standing, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"))
+    },
+
     // Exact dedup groups: hash-groupBy on content hash.
     "dd01_exact_groups" -> { (s, d) =>
       corpusExact(s, d)
@@ -217,6 +235,18 @@ object Dedup {
       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dd07_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |), standing AS (
+        |  SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0
+        |)
+        |SELECT doc_id, fp FROM fp
+        |WHERE doc_id % 5 = 0
+        |  AND fp NOT IN (SELECT fp FROM standing)""".stripMargin,
+
     "dd01_exact_groups" ->
       s"""$exactCte
          |SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id

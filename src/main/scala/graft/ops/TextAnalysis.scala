@@ -167,6 +167,28 @@ object TextAnalysis {
             size(col("g"))).as("dup_share"))
     },
 
+    // Per-source corpus-health rollup: doc counts, token volume, and
+    // quality-gate pass share per source (the dashboard a 100 TB
+    // ingest pipeline watches to catch a degraded crawl source). One
+    // agg shuffle on the low-cardinality source key; all statistics
+    // are integer sums (exact in double regardless of partial-agg
+    // order) plus single divisions → bit-exact.
+    "qa01_source_quality" -> { (s, d) =>
+      val t = toks(col("text"))
+      val n = size(t)
+      val ok = n >= 30 && hitCount(t, stopwords).cast("double") / n <= 0.6
+      val nPass = sum(when(col("ok"), 1L).otherwise(0L))
+      docs(s, d)
+        .withColumn("n_tokens", n)
+        .withColumn("ok", ok)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          avg(col("n_tokens").cast("double")).as("avg_tokens"),
+          nPass.as("n_pass"),
+          (nPass.cast("double") / count(lit(1))).as("pass_share"))
+    },
+
     // Corpus bigram language-model stats: P(w2|w1) = c(w1 w2)/c(w1 ·),
     // top-3 continuations per head word. All integer counts plus one
     // exact double division → bit-identical across engines. Shape: one
@@ -304,6 +326,21 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
         |        FROM documents) z
         |  WHERE len(t) >= 2) y""".stripMargin,
+
+    "qa01_source_quality" ->
+      s"""WITH q AS (
+         |  SELECT source, len(string_split(text, ' ')) AS n_tokens,
+         |    (len(string_split(text, ' ')) >= 30 AND
+         |     CAST(${sqlHits("string_split(text, ' ')", stopwords)} AS DOUBLE)
+         |       / len(string_split(text, ' ')) <= 0.6) AS ok
+         |  FROM documents
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  avg(CAST(n_tokens AS DOUBLE)) AS avg_tokens,
+         |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_share
+         |FROM q GROUP BY source""".stripMargin,
 
     "tx11_bigram_lm" ->
       """WITH pairs AS (
