@@ -29,7 +29,17 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    try { materialize(SparkEntry.entry(spark)) } catch { case _: Throwable => } // warmup
+    // Warmup: run EVERY query once at the smallest SF so whole-stage
+    // codegen (Janino) compiles before timing — otherwise the first
+    // query in sort order absorbs ~2-3s of compilation that belongs to
+    // no query (measured: the alphabetically-first query consistently
+    // reported 3-4x its warm time). Compilation cost is constant per
+    // plan, not data-dependent — at the target scale it is noise, and
+    // timing it against sf0.1 data misattributes it.
+    val warmupDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { materialize(fn(spark, warmupDir)) } catch { case _: Throwable => }
+    }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

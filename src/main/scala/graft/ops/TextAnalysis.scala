@@ -119,8 +119,11 @@ object TextAnalysis {
 
     // Rolling-hash (winnowing) fingerprints — the structural document
     // fingerprint for containment/near-dup detection; selected hash count
-    // and extremes summarize the set deterministically. Rows-only gate
-    // (winnowing isn't SQL-expressible); properties in WinnowSpec.
+    // and extremes summarize the set deterministically. Oracle-checked:
+    // the rightmost-min rule only affects which INDEX is selected, never
+    // the value, so the fingerprint SET equals sorted-distinct window
+    // minima — and the mod-2^64 Rabin-Karp hash is computable
+    // per-position in DuckDB HUGEINT. WinnowSpec pins properties.
     "tx06_winnow_fingerprint" -> { (s, d) =>
       docs(s, d).select(col("doc_id"),
         graft.functions.Winnow.fingerprint(col("text")).as("fp"))
@@ -294,6 +297,46 @@ object TextAnalysis {
                   s"${sqlHits("string_split(lower(text), ' ')", ws)} AS $l" }
                  .mkString(",\n      ")}
          |    FROM documents) h) p""".stripMargin,
+
+    // Winnowing (k=8, w=4) replayed in SQL: per-position polynomial
+    // Rabin-Karp hashes in HUGEINT mod 2^64 (sign-folded to BIGINT to
+    // match Java's wrapping longs), window minima, sorted-distinct.
+    // Signed BIGINT comparison == Java signed long comparison, so the
+    // minima agree bit-for-bit. ascii(char) == byte value because the
+    // corpus is pure ASCII (checked at every SF).
+    "tx06_winnow_fingerprint" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    [ascii(text[i]) FOR i IN range(1, length(text) + 1)] AS b
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(b) >= 8 THEN
+        |      [ CAST(CASE WHEN m >= 9223372036854775808
+        |               THEN m - 18446744073709551616 ELSE m END AS BIGINT)
+        |        FOR m IN
+        |        [ (CAST(b[i] AS HUGEINT) * 74051159531521793 +
+        |           CAST(b[i+1] AS HUGEINT) * 288136807515649 +
+        |           CAST(b[i+2] AS HUGEINT) * 1121154893057 +
+        |           CAST(b[i+3] AS HUGEINT) * 4362470401 +
+        |           CAST(b[i+4] AS HUGEINT) * 16974593 +
+        |           CAST(b[i+5] AS HUGEINT) * 66049 +
+        |           CAST(b[i+6] AS HUGEINT) * 257 +
+        |           CAST(b[i+7] AS HUGEINT)) % 18446744073709551616::HUGEINT
+        |          FOR i IN range(1, len(b) - 6) ] ]
+        |    ELSE CAST([] AS BIGINT[]) END AS h
+        |  FROM ch
+        |), fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(h) >= 4 THEN list_sort(list_distinct(
+        |           [ list_min(h[s:s+3]) FOR s IN range(1, len(h) - 2) ]))
+        |         ELSE [h[1]] END AS f
+        |  FROM hs
+        |)
+        |SELECT doc_id, CAST(len(f) AS INT) AS n_fp,
+        |  f[1] AS fp_min, f[-1] AS fp_max
+        |FROM fp""".stripMargin,
 
     // DuckDB's entropy() is log2 Shannon entropy of the value distribution;
     // splitting into single characters equals the Spark expression's
