@@ -219,6 +219,32 @@ object TextAnalysis {
           col("rank").cast("int").as("rank"))
     },
 
+    // LM-based quality scoring (the perplexity-filter shape): train the
+    // corpus bigram LM, then score every document by its mean bigram
+    // log2-probability. Two-pass at scale: the LM table aggregates once
+    // on (w1, w2) — on a real vocabulary that table is large, so the
+    // score join keys on (w1, w2) rather than assuming a broadcast;
+    // the per-doc average is one agg on doc_id. Scores round to 4
+    // decimals (closest sf0.01 value sits 3.3e-9 from a boundary,
+    // cross-engine log/sum-order noise is ~1e-14).
+    "tx12_lm_score" -> { (s, d) =>
+      val pairs = docs(s, d)
+        .withColumn("t", toks(lower(col("text"))))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode_outer(wordGrams(col("t"), 2)).as("g"))
+        .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+      val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val lm = big.join(broadcast(uni), "w1")
+        .select(col("w1"), col("w2"),
+          (col("c12").cast("double") / col("c1")).as("p"))
+      pairs.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log2(col("p"))), 4).as("lm_score"))
+    },
+
     // TF-IDF top-3 terms per document. IDF uses the rational form
     // n_docs/df (not log) so scores are exact integer ratios in double —
     // bit-identical across engines; log-idf only reorders monotonically
@@ -403,6 +429,26 @@ object TextAnalysis {
         |      ORDER BY CAST(big.c12 AS DOUBLE) / uni.c1 DESC, big.w2) AS rank
         |  FROM big JOIN uni USING (w1)) z
         |WHERE rank <= 3""".stripMargin,
+
+    "tx12_lm_score" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents) z,
+        |       unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), big AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+        |), uni AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1
+        |), lm AS (
+        |  SELECT w1, w2, CAST(c12 AS DOUBLE) / c1 AS p
+        |  FROM big JOIN uni USING (w1)
+        |)
+        |SELECT pairs.doc_id, count(*) AS n_bigrams,
+        |  round(avg(log2(lm.p)), 4) AS lm_score
+        |FROM pairs JOIN lm USING (w1, w2)
+        |GROUP BY pairs.doc_id""".stripMargin,
 
     "tx09_tfidf" ->
       """WITH tf AS (
