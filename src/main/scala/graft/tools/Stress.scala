@@ -85,6 +85,40 @@ object Stress {
         .select(col("vec_id"), col("cell.c_id"))
         .count()
     }
+    // decontamination at amplified corpus scale: the benchmark side
+    // stays FIXED (eval sets don't grow with the corpus) while the
+    // corpus side amplifies — broadcast semi-join + one agg shuffle
+    time("decontamination 5-gram sweep") {
+      val g5 = graft.ops.TextAnalysis.wordGrams(split(lower(col("text")), " "), 5)
+      val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 20 === 0)
+        .select(explode_outer(g5).as("g")).distinct()
+      docs.withColumn("g", g5)
+        .select(col("doc_id"), explode_outer(col("g")).as("g"))
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("n"))
+        .count()
+    }
+    // LM scoring at amplified scale: LM table aggregates once on
+    // (w1, w2); the score join keys on the pair — no broadcast assumed
+    time("bigram LM train + score") {
+      val pairs = docs
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode_outer(graft.ops.TextAnalysis.wordGrams(col("t"), 2)).as("g"))
+        .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+      val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val lm = big.join(uni, "w1")
+        .select(col("w1"), col("w2"),
+          (col("c12").cast("double") / col("c1")).as("p"))
+      pairs.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(avg(log2(col("p"))).as("s"))
+        .count()
+    }
     spark.stop()
   }
 }
