@@ -103,6 +103,55 @@ object EventsStream {
       }
   }
 
+  final case class FunnelOut(user_id: Long, v_us: Option[Long],
+      c_us: Option[Long], p_us: Option[Long])
+
+  /** Streaming conversion funnel (streaming twin of batch ev09): per
+    * user, first view → first click at-or-after it → first purchase
+    * at-or-after that. State is O(1) per user — three microsecond
+    * stamps — and only ever moves FORWARD through the funnel, so this
+    * is the bounded-state shape a 100 TB event stream can actually
+    * hold (no event buffer, no replay). Same monotone-source caveat as
+    * [[asofJoin]]: an earlier-timestamped event arriving in a later
+    * trigger cannot rewrite a stage already set. Emits the updated
+    * stage snapshot per user per trigger (Update mode); the latest row
+    * per user is the funnel position. */
+  def funnel(spark: SparkSession, events: DataFrame): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          def micros(e: Event): Long =
+            e.ts.getTime / 1000 * 1000000 + (e.ts.getNanos / 1000) % 1000000
+          val None_ = -1L
+          var (v, c, p) = state.getOption.getOrElse((None_, None_, None_))
+          var changed = false
+          it.toArray.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+            val us = micros(e)
+            e.event_type match {
+              case "view" if v == None_ =>
+                v = us; changed = true
+              case "click" if v != None_ && c == None_ && us >= v =>
+                c = us; changed = true
+              case "purchase" if c != None_ && p == None_ && us >= c =>
+                p = us; changed = true
+              case _ =>
+            }
+          }
+          if (changed) {
+            state.update((v, c, p))
+            Iterator.single(FunnelOut(user,
+              Some(v).filter(_ != None_),
+              Some(c).filter(_ != None_),
+              Some(p).filter(_ != None_)))
+          } else Iterator.empty
+      }
+  }
+
   /** Stateful 30-min-gap sessionization via flatMapGroupsWithState
     * (streaming ev02). State per user is O(1): (start, last, count).
     * Emits every affected session per trigger (Update mode); closed

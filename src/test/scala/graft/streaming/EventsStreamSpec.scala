@@ -145,6 +145,27 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stage counts match the oracle-checked batch ev09") {
+    val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
+    val q = EventsStream.funnel(spark, stream)
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // latest snapshot per user = funnel position; count per stage
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(monotonically_increasing_id().desc)
+      val last = spark.table("funnel")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val sv = last.filter(col("v_us").isNotNull).count()
+      val sc = last.filter(col("c_us").isNotNull).count()
+      val sp = last.filter(col("p_us").isNotNull).count()
+      val b = graft.queries.Events.queries("ev09_funnel")(spark, sf).collect()(0)
+      assert((sv, sc, sp) == (b.getLong(0), b.getLong(1), b.getLong(2)))
+      assert(sv > 0 && sv >= sc && sc >= sp)
+    } finally q.stop()
+  }
+
   test("watermarked append mode emits only watermark-closed windows (late-data semantics)") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val q = EventsStream.hourlyStats(stream)
