@@ -62,6 +62,40 @@ object Extras {
           col("o_epoch"), col("trailing_rev"))
     },
 
+    // FULL OUTER join: per-nation customer and supplier counts in one
+    // result. The side filters guarantee keys unique to EACH side
+    // (customers only ≥5, suppliers only <20) so both null-padding
+    // directions are really exercised. Aggregate-then-join: each side
+    // collapses to ≤25 rows before the join, so the outer join runs on
+    // dictionary-sized inputs no matter the fact scale.
+    "q27_full_outer" -> { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+        .filter(col("c_nationkey") >= 5)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.load(s, d, "supplier")
+        .filter(col("s_nationkey") < 20)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
+    // NTILE window: quartile buckets by order value within each order
+    // priority, with per-bucket revenue totals — the distribution
+    // summary shape. ntile is rank-deterministic given a total order
+    // (totalprice is quantized to cents; ties broken by o_orderkey).
+    "q28_ntile_quartiles" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    },
+
     // Pivot: month × status revenue matrix (fixed pivot values → stable
     // schema, the scalable form — dynamic pivot needs a driver pass).
     "q17_pivot_monthly_status" -> { (s, d) =>
@@ -209,6 +243,30 @@ object Extras {
         |    ORDER BY CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_rev
         |FROM orders WHERE o_custkey < 200""".stripMargin,
+
+    "q27_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |  WHERE c_nationkey >= 5 GROUP BY c_nationkey
+        |), s AS (
+        |  SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+        |  WHERE s_nationkey < 20 GROUP BY s_nationkey
+        |)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin,
+
+    "q28_ntile_quartiles" ->
+      """SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    NTILE(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS quartile
+        |  FROM orders) t
+        |GROUP BY o_orderpriority, quartile""".stripMargin,
 
     "q18_exists_heavy_line" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
