@@ -70,7 +70,71 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
 
+  /** Distributed connected components over an undirected edge list
+    * (columns `a`, `b`) via min-label propagation with pointer jumping:
+    * each round every node adopts the minimum label in its closed
+    * neighborhood, then labels are compressed one hop
+    * (label := label(label)), giving O(log diameter) rounds instead of
+    * O(diameter). Each round is two bounded shuffles on (node, label)
+    * state — never on document text — and convergence is detected with
+    * a changed-label count, so the loop runs exactly as long as the
+    * graph needs. This is the pairs→clusters step a dedup pipeline
+    * needs after LSH: at 100 TB the edge list is the persisted
+    * candidate table and each round rewrites a (node, label) table.
+    * Returns (doc_id, cluster_rep, cluster_size).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .persist(disk)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(disk)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
+        .select(col("src").as("node"), col("nlabel"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val compressed = stepped
+        .join(stepped.select(col("node").as("label"), col("label").as("hop")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("hop"), col("label")).as("label"))
+        .persist(disk)
+      changed = compressed
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = compressed
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+        col("cluster_size"))
+    sym.unpersist()
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pairs → clusters: connected components over the strong-pair edge
+    // list (exact jaccard ≥ 0.7, the oracle-checked dd03b set). The
+    // cluster representative (min doc_id) is what a dedup pipeline
+    // keeps; everything else in the cluster is dropped. The DuckDB
+    // oracle recomputes the same strong pairs and takes the min
+    // reachable node per node via a recursive CTE — graph closure
+    // checked end-to-end, not just pair parity.
+    "dd08_cc_clusters" -> { (s, d) =>
+      connectedComponents(
+        minhashPairs(s, d).filter(col("jaccard") >= 0.7).select(col("a"), col("b")))
+    },
+
     // Incremental-ingest dedup: drop new-batch docs whose normalized
     // fingerprint already exists in the standing corpus — the "dedup
     // today's crawl against the existing 100 TB corpus" op. Shape: one
@@ -235,6 +299,43 @@ object Dedup {
       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Graph closure in SQL: recompute the strong pairs exactly as dd03b,
+    // then min-reachable-node per node via a recursive CTE (UNION
+    // dedups, so the fixpoint terminates), then cluster sizes per rep.
+    "dd08_cc_clusters" ->
+      s"""${nearCte.replace("WITH ", "WITH RECURSIVE ")},
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(t[i:i+2], ' ')
+         |                   FOR i IN range(1, len(t) - 1)]) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) z
+         |),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.doc_id AS a, y.doc_id AS b,
+         |      CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(x.g, y.g))) AS jaccard
+         |    FROM sh x JOIN sh y ON x.doc_id < y.doc_id) t
+         |  WHERE jaccard >= 0.7
+         |),
+         |und AS (
+         |  SELECT a AS u, b AS v FROM pairs
+         |  UNION
+         |  SELECT b AS u, a AS v FROM pairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und) n
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+         |),
+         |rep AS (
+         |  SELECT u AS doc_id, MIN(v) AS cluster_rep FROM reach GROUP BY u
+         |)
+         |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
+         |FROM rep r JOIN (
+         |  SELECT cluster_rep, COUNT(*) AS cluster_size FROM rep
+         |  GROUP BY cluster_rep) cs USING (cluster_rep)""".stripMargin,
+
     "dd07_incremental_dedup" ->
       """WITH fp AS (
         |  SELECT doc_id,

@@ -79,6 +79,35 @@ object TextAnalysis {
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
     },
 
+    // PII scrubbing: regex redaction of emails / phone numbers / IPv4
+    // addresses with per-kind hit counts — the privacy-filter pass every
+    // training corpus runs before release. The synthetic corpus has no
+    // real PII, so deterministic fake PII is appended per doc (presence
+    // varies by doc_id mod so the counts are non-trivial) and the op
+    // proves it finds and redacts exactly that. Map-only per-row
+    // expressions, no shuffle; md5 keeps the verified scrubbed text
+    // compact. Patterns stay in the Java∩RE2 common subset so the
+    // DuckDB oracle replays them byte-identically.
+    "tx13_pii_scrub" -> { (s, d) =>
+      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      val ip = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val pii = concat(col("text"),
+        when(col("doc_id") % 2 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0.1"))).otherwise(lit("")))
+      docs(s, d).withColumn("t", pii)
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).as("n_emails"),
+          regexp_count(col("t"), lit(phone)).as("n_phones"),
+          regexp_count(col("t"), lit(ip)).as("n_ips"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")).as("scrub_md5"))
+    },
+
     // Stopword-profile language ID (argmax of per-language hit counts,
     // tie priority en > de > fr > es), compared against the labeled lang.
     "tx04_langid" -> { (s, d) =>
@@ -308,6 +337,27 @@ object TextAnalysis {
          |   AND CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) <= 12.0
          |   AND ${sqlHits("t", stopwords)} > 0) AS keep
          |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) z""".stripMargin,
+
+    "tx13_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS scrub_md5
+        |FROM t""".stripMargin,
 
     "tx04_langid" ->
       s"""SELECT doc_id, lang, lang_pred, (lang = lang_pred) AS is_match FROM (

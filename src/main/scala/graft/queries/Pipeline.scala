@@ -64,6 +64,29 @@ object Pipeline {
         .select(col("doc_id"), split.as("split"), col("n_chars"))
     },
 
+    // Language-balanced stratified sampling: downsample every language
+    // to the minority language's size with a DETERMINISTIC hash gate —
+    // rate_l = min_count / count_l, keep iff the first 6 hex chars of
+    // md5(doc_id) fall below the rate cutoff (fixed-width lowercase hex
+    // compares like the number it encodes). Two tiny aggregates
+    // (per-lang counts, global min) broadcast back onto a map-only
+    // filter over the corpus — no shuffle of document rows at all, and
+    // the same doc is selected on any engine or cluster size, unlike
+    // rand()-based sampling. This is the "rebalance the training mix"
+    // op at its 100 TB shape.
+    "pp08_stratified_sample" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val minc = counts.agg(min(col("cnt")).as("min_cnt"))
+      val rate = col("min_cnt").cast("double") / col("cnt")
+      val cutoff = lower(lpad(hex(floor(rate * 16777216L).cast("long")), 6, "0"))
+      docs.join(broadcast(counts), "lang")
+        .crossJoin(broadcast(minc))
+        .filter(col("cnt") === col("min_cnt") ||
+          substring(md5(col("doc_id").cast("string")), 1, 6) < cutoff)
+        .select(col("doc_id"), col("lang"))
+    },
+
     // Per-source quota sampling: keep at most 30 docs per source (by
     // doc_id order) — the "cap any one domain's share of the corpus"
     // op. One shuffle on source; rank state is bounded per key, and
@@ -209,6 +232,17 @@ object Pipeline {
         |       ELSE 'test' END AS split,
         |  n_chars
         |FROM documents""".stripMargin,
+
+    "pp08_stratified_sample" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        |), m AS (SELECT MIN(cnt) AS min_cnt FROM counts)
+        |SELECT doc_id, lang
+        |FROM documents JOIN counts USING (lang) CROSS JOIN m
+        |WHERE cnt = min_cnt
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+        |      lower(lpad(to_hex(CAST(floor(CAST(min_cnt AS DOUBLE) / cnt
+        |        * 16777216) AS BIGINT)), 6, '0'))""".stripMargin,
 
     "pp04_source_quota" ->
       """SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (

@@ -41,6 +41,33 @@ class DedupSpec extends SparkSpec {
     assert(planted > 0)
   }
 
+  test("dd08 connected components: chain, star, and disjoint clusters resolve to min-id reps") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4, forces multi-round + pointer jumping),
+    // star 10-{11,12,13}, disjoint pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (13L, 10L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (10L, 10L, 4L), (11L, 10L, 4L), (12L, 10L, 4L), (13L, 10L, 4L),
+      (20L, 20L, 2L), (21L, 20L, 2L))
+    assert(got == want)
+  }
+
+  test("dd08 cluster reps are cluster members and every strong-pair endpoint is clustered") {
+    val pairs = Dedup.minhashPairs(spark, sf).filter(col("jaccard") >= 0.7)
+    val cc = Dedup.queries("dd08_cc_clusters")(spark, sf).cache()
+    val nodes = pairs.select(col("a")).union(pairs.select(col("b"))).distinct().count()
+    assert(cc.count() == nodes)
+    // every rep is itself a clustered node with rep == itself
+    val reps = cc.select(col("cluster_rep")).distinct()
+    val badReps = reps.join(cc.filter(col("doc_id") === col("cluster_rep"))
+      .select(col("cluster_rep")), Seq("cluster_rep"), "left_anti").count()
+    assert(badReps == 0)
+  }
+
   test("dd06 embedding pairs are ordered by cosine descending") {
     val rows = Dedup.queries("dd06_embed_cosine_pairs")(spark, sf)
       .select(col("cos")).collect().map(_.getDouble(0))
