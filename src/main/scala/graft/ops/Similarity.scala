@@ -181,6 +181,33 @@ object Similarity {
     // to 4 decimals so cross-engine float-summation-order noise
     // (~1e-13) cannot flip a digit (closest sf0.01 value is 3.5e-8
     // from a rounding boundary).
+    // kNN classification over embeddings: every 100th vector is treated
+    // as an unlabeled query, classified by majority vote of its 5
+    // cosine-nearest labeled neighbors (ties → smallest label). The
+    // query side broadcasts (bounded), the corpus streams once; per-
+    // query top-k is a window here — at a large query count the ss04
+    // bounded-Aggregator top-k replaces it, same semantics. Votes and
+    // the argmax are integer-deterministic, so the whole classifier is
+    // oracle-exact.
+    "emb02_knn_classify" -> { (s, d) =>
+      val all = Tables.load(s, d, "embeddings")
+      val q = broadcast(all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("embedding").as("q_vec")))
+      val wN = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      val neighbors = all.filter(col("vec_id") % 100 =!= 0).crossJoin(q)
+        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .withColumn("rn", row_number().over(wN))
+        .filter(col("rn") <= 5)
+      val wV = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("label"))
+      neighbors.groupBy(col("q_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wV))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("true_label"),
+          col("label").as("pred_label"), col("n_votes"))
+    },
+
     "emb01_label_centroid" -> { (s, d) =>
       Tables.load(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
@@ -220,6 +247,33 @@ object Similarity {
     // `+ 0.0` canonicalizes IEEE -0.0 to +0.0: DuckDB's double round
     // yields -0.0 for tiny negative means where Spark's BigDecimal-based
     // round yields +0.0, and the comparator distinguishes their reprs.
+    "emb02_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS true_label, x.label,
+        |    list_dot_product(x.v, q.v) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos,
+        |    x.vec_id
+        |  FROM e x, e q
+        |  WHERE q.vec_id % 100 = 0 AND x.vec_id % 100 != 0
+        |), nn AS (
+        |  SELECT q_id, true_label, label FROM (
+        |    SELECT q_id, true_label, label,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |    FROM scored) t
+        |  WHERE rn <= 5
+        |), votes AS (
+        |  SELECT q_id, true_label, label, COUNT(*) AS n_votes
+        |  FROM nn GROUP BY q_id, true_label, label
+        |)
+        |SELECT q_id, true_label, label AS pred_label, n_votes FROM (
+        |  SELECT q_id, true_label, label, n_votes,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY n_votes DESC, label) AS vr
+        |  FROM votes) t
+        |WHERE vr = 1""".stripMargin,
+
     "emb01_label_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid,

@@ -28,6 +28,21 @@ object Events {
         .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
     },
 
+    // Hopping (sliding) event-time windows: 1-hour windows every 15
+    // minutes via Spark's native window() — each event lands in exactly
+    // size/slide = 4 windows, expanded at the scan (no self-join). This
+    // is the batch twin of the streaming sliding-window aggregate; the
+    // oracle replays the epoch-aligned window arithmetic in integer
+    // microseconds.
+    "ev11_hopping_window" -> { (s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+
     // Gap-based sessionization (30-min inactivity) via window functions:
     // lag → new-session flag → running sum = session id → per-session agg.
     "ev02_sessionize" -> { (s, d) =>
@@ -200,6 +215,15 @@ object Events {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev11_hopping_window" ->
+      """SELECT strftime(make_timestamp(
+        |    ((epoch_us(ts) // 900000000) - k) * 900000000),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+        |GROUP BY 1, 2""".stripMargin,
 
     "ev02_sessionize" ->
       """WITH flagged AS (

@@ -96,6 +96,21 @@ object Extras {
           dsum(col("o_totalprice")).as("sum_price"))
     },
 
+    // Distribution windows: percent_rank and cume_dist over order value
+    // within each priority, plus the previous order's price (lag). All
+    // three are rank-arithmetic — integer-derived doubles, so the
+    // result is engine-exact despite being "floating point".
+    "q29_dist_windows" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+      Tables.load(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          lag(dec(col("o_totalprice")), 1).over(w).cast("double").as("prev_price"))
+    },
+
     // Pivot: month × status revenue matrix (fixed pivot values → stable
     // schema, the scalable form — dynamic pivot needs a driver pass).
     "q17_pivot_monthly_status" -> { (s, d) =>
@@ -267,6 +282,15 @@ object Extras {
         |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS quartile
         |  FROM orders) t
         |GROUP BY o_orderpriority, quartile""".stripMargin,
+
+    "q29_dist_windows" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)""".stripMargin,
 
     "q18_exists_heavy_line" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders

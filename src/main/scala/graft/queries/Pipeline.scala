@@ -64,6 +64,25 @@ object Pipeline {
         .select(col("doc_id"), split.as("split"), col("n_chars"))
     },
 
+    // Corpus upsert / compaction (the SCD-1 merge): apply an update
+    // batch (every 7th doc re-crawled, version 2) onto the standing
+    // corpus, keeping the latest version per key. One shuffle on the
+    // key; at 100 TB this is the daily merge-compaction over a
+    // partitioned corpus table, and the window is per-key bounded
+    // state. The version column makes the merge order explicit rather
+    // than relying on union order.
+    "pp09_corpus_merge" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      val standing = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), lit(2L).as("version"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+      standing.union(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("version"), md5(col("text")).as("content_md5"))
+    },
+
     // Language-balanced stratified sampling: downsample every language
     // to the minority language's size with a DETERMINISTIC hash gate —
     // rate_l = min_count / count_l, keep iff the first 6 hex chars of
@@ -232,6 +251,21 @@ object Pipeline {
         |       ELSE 'test' END AS split,
         |  n_chars
         |FROM documents""".stripMargin,
+
+    "pp09_corpus_merge" ->
+      """WITH merged AS (
+        |  SELECT doc_id, text, 1 AS version FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, upper(text) AS text, 2 AS version FROM documents
+        |  WHERE doc_id % 7 = 0
+        |)
+        |SELECT doc_id, CAST(version AS BIGINT) AS version,
+        |  md5(text) AS content_md5
+        |FROM (
+        |  SELECT doc_id, text, version,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |  FROM merged) t
+        |WHERE rn = 1""".stripMargin,
 
     "pp08_stratified_sample" ->
       """WITH counts AS (
