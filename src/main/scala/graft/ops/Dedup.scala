@@ -222,6 +222,24 @@ object Dedup {
       minhashPairs(s, d).filter(col("jaccard") >= 0.7)
     },
 
+    // Edit-distance verification tier: Levenshtein distance between
+    // each sampled doc and its planted near-dup variant, on a 300-char
+    // prefix (the O(len²) DP is the verification kernel — bounded
+    // input, map-only per-row expression; candidate generation at
+    // scale stays LSH). The similarity ratio is integer-derived, so
+    // the whole op is engine-exact.
+    "dd09_edit_distance" -> { (s, d) =>
+      val mutated = array_join(
+        filter(split(col("text"), " "), (_, i) => i % 7 =!= 0), " ")
+      docs(s, d).filter(col("doc_id") % 50 === 0)
+        .withColumn("a", substring(col("text"), 1, 300))
+        .withColumn("b", substring(mutated, 1, 300))
+        .select(col("doc_id"),
+          levenshtein(col("a"), col("b")).as("lev"),
+          (lit(1.0) - levenshtein(col("a"), col("b")).cast("double") /
+            greatest(length(col("a")), length(col("b")))).as("sim"))
+    },
+
     // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
     // 4×16-bit block LSH join (pigeonhole: hamming≤3 ⇒ one block equal),
     // verify with bit_count(xor) ≤ 3.
@@ -347,6 +365,19 @@ object Dedup {
         |SELECT doc_id, fp FROM fp
         |WHERE doc_id % 5 = 0
         |  AND fp NOT IN (SELECT fp FROM standing)""".stripMargin,
+
+    "dd09_edit_distance" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 300) AS a,
+        |    substr(array_to_string(
+        |      [t[i] FOR i IN range(1, len(t) + 1) IF (i - 1) % 7 != 0], ' '),
+        |      1, 300) AS b
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+        |        FROM documents WHERE doc_id % 50 = 0) z)
+        |SELECT doc_id, CAST(levenshtein(a, b) AS INT) AS lev,
+        |  1.0 - CAST(levenshtein(a, b) AS DOUBLE) / greatest(length(a), length(b)) AS sim
+        |FROM m""".stripMargin,
 
     "dd01_exact_groups" ->
       s"""$exactCte

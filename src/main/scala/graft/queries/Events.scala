@@ -28,6 +28,33 @@ object Events {
         .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
     },
 
+    // Z-score anomaly detection per event type. Mean and variance are
+    // derived from EXACT decimal moment sums (Σv, Σv² in DECIMAL —
+    // order-independent, so the shuffle can't perturb them), then the
+    // z arithmetic runs in double with an expression tree the oracle
+    // mirrors token-for-token — the "floating point" z values are
+    // bit-identical across engines. Shape: one tiny per-type aggregate
+    // broadcast back onto a map-only filter; event rows never shuffle.
+    "ev12_zscore_outliers" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      val v6 = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(v6).cast("double").as("s1"),
+          sum(v6 * v6).cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("sd"))
+      // Σv² at scale 12 overflows double's 2^53 exact range, so the
+      // DECIMAL→DOUBLE cast can differ in the last bit across engines
+      // (the Num.scala pitfall); z is therefore reported at 4 dp with
+      // membership decided on the rounded value — the tx12 pattern.
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 4))
+        .filter(abs(col("z")) > lit(3.0))
+        .select(col("event_id"), col("event_type"), col("z"))
+    },
+
     // Hopping (sliding) event-time windows: 1-hour windows every 15
     // minutes via Spark's native window() — each event lands in exactly
     // size/slide = 4 windows, expanded at the scan (no self-join). This
@@ -215,6 +242,22 @@ object Events {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev12_zscore_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |      / (n - 1)) AS sd
+        |  FROM (
+        |    SELECT event_type, COUNT(*) AS n,
+        |      SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+        |      SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+        |    FROM events GROUP BY event_type) m)
+        |SELECT event_id, event_type, z FROM (
+        |  SELECT event_id, e.event_type, round((value - mean) / sd, 4) AS z
+        |  FROM events e JOIN stats USING (event_type)) t
+        |WHERE abs(z) > 3.0""".stripMargin,
 
     "ev11_hopping_window" ->
       """SELECT strftime(make_timestamp(

@@ -60,6 +60,20 @@ object EventsStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Watermarked HOPPING-window aggregation (streaming ev11): 1-hour
+    * windows sliding every 15 minutes — each event expands into 4
+    * windows map-side, state is per (window, type) group. Identical
+    * plan shape to the batch ev11, so the oracle-checked batch result
+    * is the streaming oracle. */
+  def hoppingStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   final case class AsofOut(event_id: Long, user_id: Long, us: Long,
       matched_us: Option[Long], matched_event_id: Option[Long])
 

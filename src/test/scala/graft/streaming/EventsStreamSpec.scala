@@ -33,6 +33,20 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping windows match the oracle-checked batch ev11 exactly") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val q = EventsStream.hoppingStats(stream)
+      .writeStream.format("memory").queryName("hopping").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hopping")
+        .select("win_start", "event_type", "n_events", "sum_value").collect().toSet
+      val batch = graft.queries.Events.queries("ev11_hopping_window")(spark, sf)
+        .collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches batch ev02 session count and sizes") {
     val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
     val q = EventsStream.sessionize(spark, stream)
