@@ -85,13 +85,30 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // Pre-partition the (static) edge list by dst ONCE: the persisted
+    // partitioning survives in the cached plan, so per round only the
+    // (node, label) table shuffles into the neighbor-min join — the
+    // edge table never re-shuffles.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
+      .repartition(parts, col("dst"))
       .persist(disk)
+    // Each round REWRITES the (node, label) table via an eager disk
+    // checkpoint: the compression self-join references its input twice,
+    // so without real lineage truncation the logical plan doubles per
+    // round (exponential — measured as an OOM in plan *strings* by
+    // round 5 at 1M nodes). checkpoint() is also the 100 TB-honest
+    // form: "write this round's label table, read it back".
+    val ss = edges.sparkSession
+    if (ss.sparkContext.getCheckpointDir.isEmpty)
+      ss.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString)
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .persist(disk)
+    val initial = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -99,21 +116,27 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
         .select(col("src").as("node"), col("nlabel"))
+      // carry the previous label as `old` so convergence detection is a
+      // scan of the checkpointed result, not another 2-table join;
+      // persist stepped because BOTH sides of the compression join
+      // consume it (otherwise the neighbor-min join/agg runs twice)
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(disk)
+      // pointer jumping: label := label(label); the right side is keyed
+      // by node (unique), so the join is 1:1
       val compressed = stepped
         .join(stepped.select(col("node").as("label"), col("label").as("hop")),
           Seq("label"), "left")
-        .select(col("node"), coalesce(col("hop"), col("label")).as("label"))
-        .persist(disk)
-      changed = compressed
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = compressed
+        .select(col("node"), col("old"), coalesce(col("hop"), col("label")).as("label"))
+        .checkpoint()
+      changed = compressed.filter(col("label") =!= col("old")).count()
+      stepped.unpersist()
+      labels = compressed.select(col("node"), col("label"))
       rounds += 1
     }
+    initial.unpersist()
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"),

@@ -99,6 +99,17 @@ object Stress {
         .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("n"))
         .count()
     }
+    // pairs→clusters at amplified scale: a synthetic graph of 1M nodes
+    // in 100k chains of length 10 — diameter 9 forces the label loop
+    // through real pointer-jumping rounds (a star graph would converge
+    // in one). State per round is the 1M-row (node,label) table.
+    time("connected components: 1M nodes, 100k chains") {
+      val edges = spark.range(1000000L).toDF("a")
+        .filter(col("a") % 10 =!= 9)
+        .select(col("a"), (col("a") + 1).as("b"))
+      graft.ops.Dedup.connectedComponents(edges)
+        .groupBy(col("cluster_rep")).count().count()
+    }
     // LM scoring at amplified scale: LM table aggregates once on
     // (w1, w2); the score join keys on the pair — no broadcast assumed
     time("bigram LM train + score") {
