@@ -221,6 +221,23 @@ object TextAnalysis {
           (nPass.cast("double") / count(lit(1))).as("pass_share"))
     },
 
+    // Corpus length histogram: 200-char bins per language with each
+    // bin's share of its language — the length-distribution profile a
+    // data curator reads before setting truncation budgets. One agg
+    // shuffle on (lang, bin); the per-lang totals come from a window
+    // over the already-aggregated (≤ dictionary-sized) result, not a
+    // second pass over the corpus. Counts and share divisions are
+    // integer-derived → engine-exact.
+    "qa03_length_histogram" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      docs(s, d)
+        .groupBy(col("lang"), floor(col("n_chars") / 200L).as("bin"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+        .select(col("lang"), col("bin"), col("n_docs"), col("share"))
+    },
+
     // Corpus bigram language-model stats: P(w2|w1) = c(w1 w2)/c(w1 ·),
     // top-3 continuations per head word. All integer counts plus one
     // exact double division → bit-identical across engines. Shape: one
@@ -445,6 +462,15 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
         |        FROM documents) z
         |  WHERE len(t) >= 2) y""".stripMargin,
+
+    "qa03_length_histogram" ->
+      """WITH b AS (
+        |  SELECT lang, CAST(floor(n_chars / 200) AS BIGINT) AS bin,
+        |    COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, bin, n_docs,
+        |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang) AS share
+        |FROM b""".stripMargin,
 
     "qa01_source_quality" ->
       s"""WITH q AS (

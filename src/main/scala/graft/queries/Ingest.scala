@@ -71,6 +71,38 @@ object Ingest {
          |SELECT r."user" AS "user", r.dt_created, r.dt_submitted, r.ast_name,
          |       r.location, r.status, r.json_hash, r.local_id, r.filename,
          |       f.fnumber, f.scan_time
-         |FROM src, unnest(r.fnumbers) AS u(f)""".stripMargin
+         |FROM src, unnest(r.fnumbers) AS u(f)""".stripMargin,
+
+    // DuckDB cannot parse XML, so the XML paths pin the GOLDEN flattened
+    // result (hand-verified against the reference's semantics in round 1,
+    // SURVEY §5) as a literal table — converting both XML ingest queries
+    // from rows-only to full schema+hash checks. Both the StAX path
+    // (in03) and the DataSource V2 path (in04) must reproduce it.
+    "in03_reference_xml_flatten" -> xmlGolden,
+    "in04_reference_xml_dsv2" -> xmlGolden
   )
+
+  private val xmlGolden: String =
+    """SELECT "user", CAST("dt_created" AS BIGINT) AS "dt_created",
+      |  CAST("dt_submitted" AS BIGINT) AS "dt_submitted", "ast_name",
+      |  "location", "status", "json_hash", "local_id", "filename",
+      |  "fnumber", "scan_time" FROM (VALUES
+      |  ('Jim Brown', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN00172', '2024-12-05T11:00:00Z'),
+      |  ('Jim Brown', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN01128', '2024-12-05T11:30:00Z'),
+      |  ('John Brown', 1698413100, 1698499500, 'AssetA', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN01190', '2024-12-05T11:00:00Z'),
+      |  ('John Brown', 1698413100, 1698499500, 'AssetA', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN03100', '2024-12-05T11:30:00Z'),
+      |  ('John Smalls', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN0130', '2024-12-05T11:00:00Z'),
+      |  ('John Smalls', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN0139', '2024-12-05T11:30:00Z'),
+      |  ('Mark Brown', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN01318', '2024-12-05T11:30:00Z'),
+      |  ('Mark Brown', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN01731', '2024-12-05T11:00:00Z'),
+      |  ('Michael Smith', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN008013', '2024-12-05T11:30:00Z'),
+      |  ('Michael Smith', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN0310', '2024-12-05T11:00:00Z'),
+      |  ('Scott Tey', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN01309', '2024-12-05T11:30:00Z'),
+      |  ('Scott Tey', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN01313', '2024-12-05T11:00:00Z'),
+      |  ('Timothy Brown', 1698413100, 1698499500, 'AssetC', 'Branch1', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN0109', '2024-12-05T11:30:00Z'),
+      |  ('Timothy Brown', 1698413100, 1698499500, 'AssetC', 'Branch1', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN0393', '2024-12-05T11:00:00Z'),
+      |  ('Timothy Brown', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN00152', '2024-12-05T11:00:00Z'),
+      |  ('Timothy Brown', 1698413100, 1698499500, 'AssetD', 'Branch2', 'Pending', 'hash101', 'local789', 'fileD.txt', 'FN0201', '2024-12-05T11:30:00Z')
+      |) AS t("user", "dt_created", "dt_submitted", "ast_name", "location",
+      |  "status", "json_hash", "local_id", "filename", "fnumber", "scan_time")""".stripMargin
 }
