@@ -109,9 +109,13 @@ object Dedup {
       .select(col("node"), col("node").as("label"))
       .persist(disk)
     val initial = labels
+    // pointer jumping halves the distance-to-root per round, so 50
+    // rounds covers any graph a cluster could hold; the cap exists only
+    // to bound a logic error, and hitting it is an error, not a result
+    val maxRounds = 50
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
@@ -136,6 +140,8 @@ object Dedup {
       labels = compressed.select(col("node"), col("label"))
       rounds += 1
     }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds ($changed labels still moving)")
     initial.unpersist()
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "label")
