@@ -28,6 +28,27 @@ object Events {
         .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
     },
 
+    // DAU/WAU engagement: daily active users and 7-day-trailing weekly
+    // actives per day. COUNT(DISTINCT) over a sliding range has no
+    // scalable direct form — the shape that works at 100 TB is
+    // expand-dedup-count: reduce to distinct (day, user) first (one
+    // shuffle on a tiny key), then explode each active day into the ≤7
+    // trailing windows it contributes to and dedup again. The event
+    // table itself is touched once.
+    "ev13_dau_wau" -> { (s, d) =>
+      val du = Tables.load(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau")).as("stickiness"))
+    },
+
     // Z-score anomaly detection per event type. Mean and variance are
     // derived from EXACT decimal moment sums (Σv, Σv² in DECIMAL —
     // order-independent, so the shuffle can't perturb them), then the
@@ -242,6 +263,21 @@ object Events {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev13_dau_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), dau AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+        |), wau AS (
+        |  SELECT day + CAST(k AS INT) AS day, user_id
+        |  FROM du CROSS JOIN (SELECT unnest(range(7)) AS k) ks
+        |), wau_c AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS wau FROM wau GROUP BY day
+        |)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+        |FROM dau d JOIN wau_c w USING (day)""".stripMargin,
 
     "ev12_zscore_outliers" ->
       """WITH stats AS (
