@@ -28,6 +28,23 @@ object Events {
         .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
     },
 
+    // Forward-fill (LOCF — last observation carried forward): error
+    // events report no usable value, so each user's series masks them
+    // to null and carries the last valid reading forward in event-time
+    // order. One shuffle on user_id; per-row state inside the running
+    // frame is O(1). The canonical sensor/telemetry gap-fill op.
+    "ev14_forward_fill" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.load(s, d, "events")
+        .withColumn("v",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+    },
+
     // DAU/WAU engagement: daily active users and 7-day-trailing weekly
     // actives per day. COUNT(DISTINCT) over a sliding range has no
     // scalable direct form — the shape that works at 100 TB is
@@ -263,6 +280,16 @@ object Events {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev14_forward_fill" ->
+      """SELECT event_id, user_id, v, filled FROM (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+        |    LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM events) t
+        |WHERE user_id < 50""".stripMargin,
 
     "ev13_dau_wau" ->
       """WITH du AS (
