@@ -221,6 +221,24 @@ object TextAnalysis {
           (nPass.cast("double") / count(lit(1))).as("pass_share"))
     },
 
+    // Per-source exact-duplication rate: the corpus-health metric
+    // between qa01 (quality gates) and qa03 (length profile) — how much
+    // of each source is byte-identical repeats. Map-only md5 fingerprint
+    // then one agg shuffle on the low-cardinality source key; the
+    // distinct count rides Spark's distinct-aggregate Expand rewrite
+    // inside that single shuffle (no second corpus pass). Integer counts
+    // plus one division → bit-exact.
+    "qa02_duplication_rate" -> { (s, d) =>
+      val nDup = count(lit(1)) - countDistinct(col("fp"))
+      docs(s, d)
+        .select(col("source"), md5(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          nDup.as("n_dup"),
+          (nDup.cast("double") / count(lit(1))).as("dup_share"))
+    },
+
     // Corpus length histogram: 200-char bins per language with each
     // bin's share of its language — the length-distribution profile a
     // data curator reads before setting truncation budgets. One agg
@@ -462,6 +480,14 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
         |        FROM documents) z
         |  WHERE len(t) >= 2) y""".stripMargin,
+
+    "qa02_duplication_rate" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_unique,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+        |    AS dup_share
+        |FROM documents GROUP BY source""".stripMargin,
 
     "qa03_length_histogram" ->
       """WITH b AS (
