@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed global ordered prefix sum — the two-pass plan that replaces
+  * an unpartitioned `Window.orderBy(...)` (whose physical form is a
+  * SinglePartition exchange + one-task global sort: the classic
+  * 100 TB-killer hidden inside "cumulative sum").
+  *
+  * Plan shape:
+  *   1. range-repartition on the order key: partitions are globally
+  *      ordered, each bounded at ~1/N of the data;
+  *   2. per-partition ordered cumsum (window PARTITIONED by the range
+  *      partition id — N parallel sorts, not one);
+  *   3. per-partition totals: N rows, collected and scanned into an
+  *      exclusive-prefix offset table (driver-side work is O(N), the
+  *      partition count — NOT the data);
+  *   4. map-only add of the broadcast offset to each local cumsum.
+  *
+  * Every stage is bounded: two shuffles of the (already column-pruned)
+  * input and a collect of one row per partition. Determinism: the order
+  * key must be a total order (callers pass a unique tiebreaker), so the
+  * cumsum value per row is engine-exact regardless of where the range
+  * boundaries fall.
+  */
+object PrefixSum {
+
+  /** Append `out` = cumulative sum of `value` over the global total order
+    * `order`. `inclusive=false` gives the exclusive prefix (sum of strictly
+    * preceding rows, 0 for the first). `value` must be integral (the sum is
+    * carried as long, so the result is exact).
+    */
+  def globalCumsum(df: DataFrame, value: Column, order: Seq[Column],
+      out: String, inclusive: Boolean = true): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Pass-1 table: ranged layout + partition id, persisted because both
+    // the totals scan and the final rescan consume it (at 100 TB: write
+    // the ranged table once, read it twice). DISK_ONLY — never pins
+    // executor memory; callers prune to the key+value columns first.
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(StorageLevel.DISK_ONLY)
+    val frame = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val w = if (inclusive) frame.rowsBetween(Window.unboundedPreceding, 0)
+      else frame.rowsBetween(Window.unboundedPreceding, -1)
+    // one row per partition — the only thing that ever reaches the driver
+    val totals = ranged.groupBy(col("_pid"))
+      .agg(sum(value.cast("long")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // exclusive scan over partition totals = each partition's global offset
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    ranged
+      .withColumn(out, coalesce(sum(value).over(w), lit(0L)) + offExpr)
+      .drop("_pid")
+  }
+}

@@ -120,15 +120,15 @@ object Pipeline {
 
     // Token-budget selection: greedily keep the largest docs until a
     // char budget is exhausted (the "fill the training mix to N tokens"
-    // op). The global ordered cumsum is a single-partition window at
-    // this scale; the 100 TB form replaces it with a two-pass cutoff
-    // (per-partition sums → offset prefix) or an approx-quantile
-    // threshold — same semantics, documented trade-off.
+    // op). The global ordered cumsum runs as the two-pass distributed
+    // prefix sum (PrefixSum.globalCumsum: range partition → parallel
+    // per-partition cumsums → broadcast offset add) — no single-partition
+    // sort anywhere in the plan (pinned by PrefixSumSpec).
     "pp05_token_budget" -> { (s, d) =>
-      val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      Tables.load(s, d, "documents")
-        .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      val pruned = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      graft.ops.PrefixSum.globalCumsum(pruned, col("n_chars"),
+          Seq(col("n_chars").desc, col("doc_id")), "cum_chars")
         .filter(col("cum_chars") <= 50000)
         .select(col("doc_id"), col("n_chars"), col("cum_chars"))
     },
@@ -136,15 +136,15 @@ object Pipeline {
     // Sequence packing (GPT-style): concatenate the token stream in
     // doc_id order and assign each document the 2048-token bin where it
     // starts (docs may span bins — the training-time packer splits
-    // them; this op computes the placement map). Same global-cumsum
-    // caveat as pp05: single-partition window here, two-pass prefix
-    // sums at 100 TB.
+    // them; this op computes the placement map). The exclusive global
+    // cumsum is the same two-pass prefix sum as pp05 — note the text
+    // column is dropped BEFORE the prefix-sum shuffles, so the ranged
+    // pass moves (doc_id, n_tokens) pairs, never document bodies.
     "pp06_sequence_pack" -> { (s, d) =>
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.load(s, d, "documents")
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      val withTok = Tables.load(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      graft.ops.PrefixSum.globalCumsum(withTok, col("n_tokens"),
+          Seq(col("doc_id")), "cum_before", inclusive = false)
         .select(col("doc_id"), col("n_tokens"),
           floor(col("cum_before") / 2048).as("bin_id"),
           (col("cum_before") % 2048).as("offset_in_bin"))
