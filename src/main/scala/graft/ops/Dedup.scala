@@ -309,11 +309,16 @@ object Dedup {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
     },
 
-    // Embedding-cosine near-dup: top-20 closest pairs (fused-codegen dot
-    // product; all-pairs here is the verification kernel — candidate
-    // generation at scale is the LSH/IVF path in Similarity).
+    // Embedding-cosine near-dup: top-20 closest pairs among a
+    // DETERMINISTIC 1/5 sample (same gate shape as dd05) — the
+    // verification kernel, bounded by construction. All-pairs over the
+    // full table is never run: candidate generation at scale is the
+    // LSH/IVF path in Similarity (ss02/ss03), and exact cosine runs only
+    // on candidates or on a fixed-rate audit sample like this one.
     "dd06_embed_cosine_pairs" -> { (s, d) =>
-      val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val e = Tables.load(s, d, "embeddings")
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
       val x = e.select(col("vec_id").as("a"), col("embedding").as("va"))
       val y = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
       x.join(y, col("a") < col("b"))
@@ -421,7 +426,8 @@ object Dedup {
          |WHERE rn = 1""".stripMargin,
 
     "dd06_embed_cosine_pairs" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |          FROM embeddings WHERE vec_id % 5 = 0)
         |SELECT a, b, cos FROM (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
         |    list_dot_product(x.v, y.v) /
