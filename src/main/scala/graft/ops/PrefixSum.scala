@@ -55,11 +55,24 @@ object PrefixSum {
     // exclusive scan over partition totals = each partition's global offset
     val offsets = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _))
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
-    ranged
-      .withColumn(out, coalesce(sum(value).over(w), lit(0L)) + offExpr)
-      .drop("_pid")
+    // Broadcast-join the tiny (pid → offset) table rather than folding a
+    // per-pid CASE chain into the projection: a when-chain is O(P)-deep —
+    // invisible at local[32], but at cluster partition counts (thousands)
+    // it is O(N·P) expression evaluation and an analyzer/codegen-hostile
+    // multi-thousand-node expression tree. The join keeps plan size and
+    // per-row cost constant in P. (Empty partitions emit no totals row
+    // and hold no rows, so the inner join drops nothing.)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("_pid", "_off"))
+    // `ranged` stays persisted for the lifetime of the returned plan: the
+    // final pass re-scans it lazily, so it cannot be unpersisted here
+    // without silently recomputing the range shuffle (whose sampled
+    // boundaries — and thus _pid values — are not guaranteed stable
+    // across recomputations). DISK_ONLY keeps the cost to scratch disk,
+    // and the block manager frees the blocks when the context stops.
+    ranged.join(offDf, Seq("_pid"))
+      .withColumn(out, coalesce(sum(value).over(w), lit(0L)) + col("_off"))
+      .drop("_pid", "_off")
   }
 }

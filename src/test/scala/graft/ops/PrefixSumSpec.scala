@@ -48,6 +48,18 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("offset lookup is a broadcast join, not a per-pid CASE chain") {
+    val two = PrefixSum.globalCumsum(docs, col("n_chars"),
+      Seq(col("n_chars").desc, col("doc_id")), "cum")
+    val plan = two.queryExecution.executedPlan.toString
+    // the old fold built `CASE WHEN (_pid = 0) ... WHEN (_pid = P-1)`,
+    // O(P)-deep — at cluster partition counts that is O(N·P) evaluation
+    assert(!plan.contains("CASE WHEN (_pid"),
+      s"offset lookup regressed to a per-pid CASE chain:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast (pid -> offset) join in the plan:\n$plan")
+  }
+
   test("work spreads across partitions (more than one range partition fills)") {
     val two = PrefixSum.globalCumsum(docs, col("n_chars"),
       Seq(col("n_chars").desc, col("doc_id")), "cum")
