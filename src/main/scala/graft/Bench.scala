@@ -41,23 +41,38 @@ object Bench {
       try { materialize(fn(spark, warmupDir)) } catch { case _: Throwable => }
     }
 
+    // Median-of-3 per query: single-run numbers proved unusable for
+    // regression judgment (controlled r2-vs-r3 experiment showed 4-14x
+    // run-to-run noise on byte-identical code). The median of 3 runs
+    // suppresses one-off GC/JIT/IO stalls; the min is reported too as
+    // the "best achievable" floor. REPS is overridable for quick local
+    // iteration (SPARK_GRAFT_BENCH_REPS=1).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch {
         case e: Throwable =>
           // a silently-absorbed failure would make the total look good
           // while a query is broken — surface it in both channels
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map(_ => timeOnce(name, fn)).sorted
+      (name, times(times.length / 2), times.head)
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
