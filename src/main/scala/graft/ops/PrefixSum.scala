@@ -36,19 +36,29 @@ object PrefixSum {
   def globalCumsum(df: DataFrame, value: Column, order: Seq[Column],
       out: String, inclusive: Boolean = true): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Internal working columns: pick names that cannot collide with the
+    // caller's schema (a caller `_pid` would otherwise be consumed, and a
+    // caller `_off` would make the join projection ambiguous).
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val pidCol = fresh("_pid")
+    val offCol = fresh("_off")
     // Pass-1 table: ranged layout + partition id, persisted because both
     // the totals scan and the final rescan consume it (at 100 TB: write
     // the ranged table once, read it twice). DISK_ONLY — never pins
     // executor memory; callers prune to the key+value columns first.
     val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("_pid", spark_partition_id())
+      .withColumn(pidCol, spark_partition_id())
       .persist(StorageLevel.DISK_ONLY)
-    val frame = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val frame = Window.partitionBy(col(pidCol)).orderBy(order: _*)
     val w = if (inclusive) frame.rowsBetween(Window.unboundedPreceding, 0)
       else frame.rowsBetween(Window.unboundedPreceding, -1)
-    // one row per partition — the only thing that ever reaches the driver
-    val totals = ranged.groupBy(col("_pid"))
-      .agg(sum(value.cast("long")).as("t"))
+    // one row per partition — the only thing that ever reaches the driver.
+    // coalesce: a partition whose values are ALL NULL sums to NULL, and
+    // getLong on that is an NPE; its offset contribution is 0.
+    val totals = ranged.groupBy(col(pidCol))
+      .agg(coalesce(sum(value.cast("long")), lit(0L)).as("t"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
@@ -64,15 +74,15 @@ object PrefixSum {
     // and hold no rows, so the inner join drops nothing.)
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("_pid", "_off"))
+    val offDf = broadcast(offsets.toSeq.toDF(pidCol, offCol))
     // `ranged` stays persisted for the lifetime of the returned plan: the
     // final pass re-scans it lazily, so it cannot be unpersisted here
     // without silently recomputing the range shuffle (whose sampled
     // boundaries — and thus _pid values — are not guaranteed stable
     // across recomputations). DISK_ONLY keeps the cost to scratch disk,
     // and the block manager frees the blocks when the context stops.
-    ranged.join(offDf, Seq("_pid"))
-      .withColumn(out, coalesce(sum(value).over(w), lit(0L)) + col("_off"))
-      .drop("_pid", "_off")
+    ranged.join(offDf, Seq(pidCol))
+      .withColumn(out, coalesce(sum(value).over(w), lit(0L)) + col(offCol))
+      .drop(pidCol, offCol)
   }
 }

@@ -48,16 +48,58 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  // Physical-plan nodes, descending into the AQE wrapper (a leaf node —
+  // plain collect stops at it). Tree traversal, not toString matching:
+  // plan rendering changes across Spark versions, node types don't.
+  private def physicalNodes(
+      df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("offset lookup is a broadcast join, not a per-pid CASE chain") {
+    import org.apache.spark.sql.catalyst.expressions.CaseWhen
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val two = PrefixSum.globalCumsum(docs, col("n_chars"),
       Seq(col("n_chars").desc, col("doc_id")), "cum")
-    val plan = two.queryExecution.executedPlan.toString
+    val nodes = physicalNodes(two)
     // the old fold built `CASE WHEN (_pid = 0) ... WHEN (_pid = P-1)`,
-    // O(P)-deep — at cluster partition counts that is O(N·P) evaluation
-    assert(!plan.contains("CASE WHEN (_pid"),
-      s"offset lookup regressed to a per-pid CASE chain:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected a broadcast (pid -> offset) join in the plan:\n$plan")
+    // O(P)-deep — at cluster partition counts that is O(N·P) evaluation.
+    // Nothing in this plan legitimately needs a CaseWhen, so assert none.
+    val cases = nodes.flatMap(_.expressions).flatMap(_.collect { case c: CaseWhen => c })
+    assert(cases.isEmpty,
+      s"offset lookup regressed to a per-pid CASE chain: ${cases.take(1)}")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected a broadcast (pid -> offset) join in the plan:\n${two.queryExecution.executedPlan}")
+  }
+
+  test("all-NULL-value partitions contribute offset 0 (no driver NPE)") {
+    import spark.implicits._
+    // every range partition is all-null: sum(value) per partition is NULL
+    val allNull = (1L to 100L).toDF("id")
+      .withColumn("v", lit(null).cast("long"))
+    val out = PrefixSum.globalCumsum(allNull, col("v"), Seq(col("id")), "cum")
+    assert(out.count() == 100)
+    assert(out.filter(col("cum") =!= 0L).isEmpty, "null values must cumsum to 0")
+  }
+
+  test("caller columns named _pid/_off are preserved, not consumed") {
+    import spark.implicits._
+    val tricky = (1L to 50L).toDF("id")
+      .withColumn("_pid", col("id") * 10)
+      .withColumn("_off", col("id") * 100)
+      .withColumn("v", lit(1L))
+    val out = PrefixSum.globalCumsum(tricky, col("v"), Seq(col("id")), "cum")
+    assert(out.columns.sorted.toSeq == Seq("_off", "_pid", "cum", "id", "v"))
+    // the caller's columns come through untouched and the cumsum is right
+    assert(out.filter(col("_pid") =!= col("id") * 10).isEmpty)
+    assert(out.filter(col("_off") =!= col("id") * 100).isEmpty)
+    assert(out.filter(col("cum") =!= col("id")).isEmpty)
   }
 
   test("work spreads across partitions (more than one range partition fills)") {
