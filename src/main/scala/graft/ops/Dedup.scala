@@ -292,13 +292,26 @@ object Dedup {
         .filter(col("hamming") <= 3)
     },
 
-    // Character-5-gram Jaccard on a deterministic sample (brute pairs are
-    // the *verification* shape; candidate generation at scale is dd03).
+    // Character-5-gram Jaccard on a FIXED-SIZE audit sample: the 10 base
+    // docs with the smallest md5(doc_id) (a deterministic hash order both
+    // engines can replay), plus their near-dup corpus copies — ≤ 20 docs,
+    // so ≤ 190 pairs checked regardless of corpus size. A fixed-RATE
+    // sample (the old doc_id % 50 gate) is still O((pn)²) pairs at scale;
+    // a hash-ordered limit(k) is O(k²) = constant. The top-k itself is a
+    // map-side partial TakeOrdered — no global sort materializes. Brute
+    // pairs remain the *verification* shape; candidate generation at
+    // scale is dd03.
     "dd05_ngram_jaccard" -> { (s, d) =>
+      val sampleIds = docs(s, d)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id").as("base_id"))
       // char-5-gram sets as rolling hashes (one fused O(n) pass; set
       // sizes — and so the Jaccard values — equal the substring form
       // barring 64-bit collisions, which the oracle run confirms absent)
-      val withGrams = corpusNear(s, d).filter(col("doc_id") % 50 === 0)
+      val withGrams = corpusNear(s, d)
+        .join(broadcast(sampleIds),
+          col("doc_id") % CopyOffset === col("base_id"), "left_semi")
         .withColumn("g", graft.functions.MinHash.charGramHashes(col("text"), 5))
         .select(col("doc_id"), col("g"))
       withGrams.as("x").join(withGrams.as("y"), col("x.doc_id") < col("y.doc_id"))
@@ -309,16 +322,19 @@ object Dedup {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
     },
 
-    // Embedding-cosine near-dup: top-20 closest pairs among a
-    // DETERMINISTIC 1/5 sample (same gate shape as dd05) — the
-    // verification kernel, bounded by construction. All-pairs over the
+    // Embedding-cosine near-dup: top-20 closest pairs among a FIXED-SIZE
+    // sample — the 100 vectors with the smallest md5(vec_id) (hash order,
+    // robust to any id layout; replayed verbatim by the DuckDB oracle).
+    // Pair count is bounded by k(k-1)/2 = 4950 at ANY corpus size, where
+    // the old vec_id % 5 rate gate grew quadratically. All-pairs over the
     // full table is never run: candidate generation at scale is the
     // LSH/IVF path in Similarity (ss02/ss03), and exact cosine runs only
-    // on candidates or on a fixed-rate audit sample like this one.
+    // on candidates or on a fixed-size audit sample like this one.
     "dd06_embed_cosine_pairs" -> { (s, d) =>
       val e = Tables.load(s, d, "embeddings")
-        .filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(100)
       val x = e.select(col("vec_id").as("a"), col("embedding").as("va"))
       val y = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
       x.join(y, col("a") < col("b"))
@@ -427,7 +443,8 @@ object Dedup {
 
     "dd06_embed_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |          FROM embeddings WHERE vec_id % 5 = 0)
+        |          FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100)
         |SELECT a, b, cos FROM (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
         |    list_dot_product(x.v, y.v) /
@@ -453,11 +470,16 @@ object Dedup {
 
     "dd05_ngram_jaccard" ->
       s"""$nearCte,
+         |sample AS (
+         |  SELECT doc_id AS base_id FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
+         |),
          |grams AS (
          |  SELECT doc_id,
          |    list_distinct([substr(text, i, 5)
          |                   FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS g
-         |  FROM corpus WHERE doc_id % 50 = 0
+         |  FROM corpus
+         |  WHERE doc_id % 1000000 IN (SELECT base_id FROM sample)
          |)
          |SELECT x.doc_id AS a, y.doc_id AS b,
          |  CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
