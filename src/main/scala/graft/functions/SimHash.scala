@@ -6,25 +6,43 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared runtime kernel so both interpreted eval and generated code run
   * the identical loop (called as a static method from codegen). */
 object SimHashUtil {
+  // one MessageDigest per thread; digest() resets the instance after use
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit token hash = the first 8 bytes of md5(token), big-endian —
+    * equivalently the first 16 hex chars of md5's hex form parsed as an
+    * unsigned 64-bit value. md5 (not murmur3) because BOTH engines can
+    * compute it: the DuckDB oracle replays it as hex-digit arithmetic in
+    * HUGEINT, which is what makes dd04 hash-exact end-to-end. (md5 costs
+    * a few ns more per token than murmur3; the 64-bit-column update loop
+    * below dominates the kernel either way.)
+    */
+  def tokenHash64(s: UTF8String): Long = {
+    val dig = md.get().digest(s.getBytes)
+    ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
+      ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
+      ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+      ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
+  }
+
   /** 64-bit SimHash over a token array: each token contributes ±1 per bit
-    * position of its 64-bit hash (two 32-bit murmur halves with distinct
-    * seeds); the sign of each bit-column sum becomes the output bit. */
+    * position of its 64-bit md5-derived hash; the sign of each bit-column
+    * sum becomes the output bit. */
   def simhash64(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
-        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9747b28c)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        val h = tokenHash64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

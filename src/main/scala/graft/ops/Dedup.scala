@@ -270,8 +270,12 @@ object Dedup {
     },
 
     // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
-    // 4×16-bit block LSH join (pigeonhole: hamming≤3 ⇒ one block equal),
-    // verify with bit_count(xor) ≤ 3.
+    // 4×16-bit block LSH join, verify with bit_count(xor) ≤ 3. Unlike
+    // minhash-LSH this is deterministically COMPLETE (pigeonhole:
+    // hamming≤3 over 4 blocks ⇒ at least one block identical), and the
+    // md5-derived token hash is engine-portable — so the DuckDB oracle
+    // replays the whole pipeline and the query is hash-exact, not
+    // rows-only.
     "dd04_simhash" -> { (s, d) =>
       val base = corpusNear(s, d)
         .select(col("doc_id"), SimHash.simhash64(split(col("text"), " ")).as("sh"))
@@ -366,7 +370,53 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z
       |)""".stripMargin
 
+  // dd04 replayed EXACTLY in DuckDB: per-token 64-bit hash = first 16 hex
+  // chars of md5(token) as hex-digit arithmetic in HUGEINT (the same
+  // value SimHashUtil.tokenHash64 computes from the raw digest bytes);
+  // bit-column vote counts; sign bits; 4×16-bit blocks; block-equality
+  // candidates; hamming via positionwise bit comparison. Every step is
+  // integer-deterministic, so the oracle is a full recomputation — no
+  // sampling, no tolerance.
+  private lazy val dd04Sql: String = {
+    val hexw = (0 until 16).map(i => BigInt(16).pow(15 - i)).mkString("[", ",", "]")
+    val pw2 = (0 until 64).map(b => BigInt(2).pow(b)).mkString("[", ",", "]")
+    val pw2b = (0 until 16).map(k => 1 << k).mkString("[", ",", "]")
+    s"""$nearCte,
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus
+       |),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_sum([ CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS HUGEINT)
+       |               * ($hexw)[i] FOR i IN range(1, 17) ]) AS h
+       |  FROM tok
+       |),
+       |bitcnt AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h // ($pw2)[b + 1]) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM th, range(0, 64) r(b)
+       |  GROUP BY doc_id, b
+       |),
+       |bits AS (
+       |  SELECT doc_id, list(CASE WHEN cnt > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+       |  FROM bitcnt GROUP BY doc_id
+       |),
+       |blk AS (
+       |  SELECT doc_id, bits, j AS block_id,
+       |    list_sum([ bits[16 * j + k + 1] * ($pw2b)[k + 1] FOR k IN range(0, 16) ]) AS block_val
+       |  FROM bits, range(0, 4) r(j)
+       |)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(64 - len([ i FOR i IN range(1, 65)
+       |                  IF x.bits[i] = y.bits[i] ]) AS INT) AS hamming
+       |FROM blk x JOIN blk y
+       |  ON x.block_id = y.block_id AND x.block_val = y.block_val
+       |  AND x.doc_id < y.doc_id
+       |WHERE 64 - len([ i FOR i IN range(1, 65) IF x.bits[i] = y.bits[i] ]) <= 3""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "dd04_simhash" -> dd04Sql,
     // Graph closure in SQL: recompute the strong pairs exactly as dd03b,
     // then min-reachable-node per node via a recursive CTE (UNION
     // dedups, so the fixpoint terminates), then cluster sizes per rep.

@@ -224,6 +224,7 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "ss04_topk_aggregated" -> ss01Sql,
     "ss01_topk_bruteforce" -> ss01Sql,
+    "ss02_lsh_topk" -> ss02Sql,
     "ss06_int8_topk" ->
       """WITH q8 AS (
         |  SELECT vec_id,
@@ -288,6 +289,48 @@ object Similarity {
         |SELECT vec_id, scale,
         |  array_to_string(list_transform(v, x -> CAST(round(x / scale) AS INT)), ',') AS q_str
         |FROM s""".stripMargin)
+
+  // ss02 replayed EXACTLY in SQL: the fixed-seed hyperplanes are plan-time
+  // constants, so they embed as double literals (java.lang.Double.toString
+  // is the shortest round-trip form; DuckDB's parser is correctly rounded,
+  // so both engines see bit-identical planes). Sign bits, 4x4 banding,
+  // band-bucket candidates, cosine re-rank — the full LSH pipeline, no
+  // approximation left unchecked. The strict `> 0` sign test is safe
+  // cross-engine because the dot products themselves are bit-identical
+  // (sequential double fold on both sides, validated via ss01).
+  private lazy val ss02Sql: String = {
+    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    val sigTerms = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id,
+       |    ($sigTerms) AS sig
+       |  FROM e
+       |),
+       |banded AS (
+       |  SELECT vec_id, b AS band_id, (sig // ([1,16,256,4096])[b+1]) % 16 AS band_val
+       |  FROM sig, range(0,4) r(b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS vec_id
+       |  FROM banded x JOIN banded q
+       |    ON x.band_id = q.band_id AND x.band_val = q.band_val
+       |  WHERE q.vec_id < 10 AND x.vec_id != q.vec_id
+       |),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_dot_product(x.v, q.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+       |  FROM cand c JOIN e x ON c.vec_id = x.vec_id JOIN e q ON c.q_id = q.vec_id
+       |)
+       |SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10""".stripMargin
+  }
 
   private val ss01Sql: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
