@@ -77,7 +77,46 @@ object Multimodal {
       .mapPartitions(_.map(ImageDecode(_)))
   }
 
+  private val Mm04Dir = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_mm04_pngs")
+
+  /** Deterministic PNG fixture directory for mm04: 8 images with fixed
+    * sizes and a fixed pixel function (so the JDK PNG encoder emits
+    * byte-identical files on every run), plus one `notes.txt` that the
+    * binaryFile `pathGlobFilter` must prune. Built once per host,
+    * atomically (write to a temp dir, rename into place). */
+  private def ensurePngDir(): String = Mm04Dir.synchronized {
+    if (!Mm04Dir.exists()) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mm04_build").toFile
+      (0 until 8).foreach { i =>
+        val w = 13 + 7 * i; val h = 17 + 5 * i
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (((x * 31 + y * 17 + i * 7) * 2654435761L) & 0xffffff).toInt)
+        javax.imageio.ImageIO.write(img, "png", new java.io.File(tmp, f"img_$i%02d.png"))
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "notes.txt").toPath, "not an image")
+      if (!tmp.renameTo(Mm04Dir)) {
+        // another process won the race; its directory has identical bytes
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
+    }
+    Mm04Dir.getAbsolutePath
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = resizeQueries ++ Map(
+    // The REAL file-ingest path: binaryFile source over a directory of
+    // on-disk PNGs (glob-pruned before bytes are read), ImageIO decode of
+    // actual pixels. The fixture directory is deterministic, so the
+    // decoded dimensions, byte counts, and filename-hash doc_ids are
+    // constants — pinned as a golden VALUES oracle (the in03 technique).
+    // Input is SF-independent by design: what's under test is the
+    // source + decode plumbing, not the corpus.
+    "mm04_read_binary_dir" -> { (s, _) =>
+      readBinaryDir(s, ensurePngDir()).toDF()
+    },
     // Binary ingestion + per-partition batch decode. The decode kernel
     // is REAL (JDK ImageIO) — MultimodalSpec drives it with synthetic
     // PNGs and checks actual pixel dimensions; the documents payloads
@@ -117,6 +156,26 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    // Pinned golden (the in03 technique): the fixture PNGs are
+    // byte-deterministic, so doc_id (xxhash64 of the file name), n_bytes
+    // (encoded PNG size), and the ImageIO-decoded dimensions are
+    // constants. Captured from a verified run; any drift in the source,
+    // glob pruning, or decode path breaks the hash compare.
+    "mm04_read_binary_dir" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(channels AS INT) AS channels
+        |FROM (VALUES
+        |  (384472395053026361, 748, 13, 17, 3),
+        |  (1429101628652043534, 2282, 27, 27, 3),
+        |  (3042147841009488751, 3346, 34, 32, 3),
+        |  (3491708837997856539, 6126, 55, 47, 3),
+        |  (4934656547558975274, 4270, 41, 37, 3),
+        |  (7320648961403027498, 7057, 62, 52, 3),
+        |  (7918536170619129311, 5198, 48, 42, 3),
+        |  (8065729218023443145, 1410, 20, 22, 3)
+        |) AS t(doc_id, n_bytes, width, height, channels)""".stripMargin,
     "mm03_resize_payload" ->
       s"""SELECT doc_id,
          |  CAST(strlen(text) AS INT) AS orig_bytes,
