@@ -118,32 +118,16 @@ object Similarity {
           array_join(transform(col("q"), _.cast("string")), ",").as("q_str"))
     },
 
-    // IVF top-k: coarse cells from a DataFrame-native Lloyd's k-means
-    // (deterministic init, 3 iterations — see KMeans), nearest-cell
-    // assignment, queries probe the 3 closest cells.
+    // IVF top-k through the PERSISTED index (IvfIndex): build-once
+    // materializes the cell-partitioned assignment table; the probe
+    // assigns the 10 query vectors to their 3 nearest cells and scans
+    // only those partitions (static partition pruning — IvfIndexSpec
+    // pins selectedPartitions/numFiles ∝ nprobe/ncells). Same centroids,
+    // same candidate set, same results as the inline formulation.
     "ss03_ivf_topk" -> { (s, d) =>
-      val all = emb(s, d)
-      val trained = KMeans.fit(s, all, "vec_id", "embedding", k = 20, iters = 3)
-      // Map-only assignment: centroids are plan-time literals, so the
-      // nearest cell(s) for each vector are a per-row expression
-      // (KMeans.nearestCells) — no crossJoin, no window, no exchange
-      // until the actual cell-probe join below.
-      def assign(df: DataFrame, keep: Int): DataFrame =
-        df.select(col("vec_id"), col("embedding"),
-            explode(KMeans.nearestCells(col("embedding"), trained, keep)).as("cell"))
-          .select(col("vec_id"), col("embedding"), col("cell.c_id").as("c_id"))
-      val cells = assign(all, 1)
-      val probes = assign(all.filter(col("vec_id") < 10), 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("c_id"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      cells.join(probes, Seq("c_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("q_vec"), col("vec_id"), col("embedding"))
-        .distinct()
-        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      val index = IvfIndex.builtFor(s, d)
+      IvfIndex.probe(s, index, emb(s, d).filter(col("vec_id") < 10),
+        nprobe = 3, topk = 10)
     },
 
     // Quantized brute-force top-k: ss05's int8 vectors searched with an
