@@ -83,7 +83,13 @@ object Dedup {
     * candidate table and each round rewrites a (node, label) table.
     * Returns (doc_id, cluster_rep, cluster_size).
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithStats(edges)._1
+
+  /** As [[connectedComponents]], additionally returning the number of
+    * label-propagation rounds run (for scale diagnostics — see
+    * graft.tools.CcStress and docs/ROUND6.md). */
+  def connectedComponentsWithStats(edges: DataFrame): (DataFrame, Int) = {
     val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // Pre-partition the (static) edge list by dst ONCE: the persisted
@@ -148,7 +154,7 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
         col("cluster_size"))
     sym.unpersist()
-    out
+    (out, rounds)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
