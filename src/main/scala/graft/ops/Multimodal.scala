@@ -77,8 +77,11 @@ object Multimodal {
       .mapPartitions(_.map(ImageDecode(_)))
   }
 
+  // _v1 pins the fixture definition: if the pixel function or sizes ever
+  // change, bump the suffix so a stale directory from an older build
+  // cannot poison the pinned-golden oracle
   private val Mm04Dir = new java.io.File(
-    System.getProperty("java.io.tmpdir"), "graft_mm04_pngs")
+    System.getProperty("java.io.tmpdir"), "graft_mm04_pngs_v1")
 
   /** Deterministic PNG fixture directory for mm04: 8 images with fixed
     * sizes and a fixed pixel function (so the JDK PNG encoder emits
