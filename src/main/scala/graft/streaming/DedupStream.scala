@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming incremental dedup — the streaming twin of dd02/dd07: as
+  * document batches land in a drop directory, emit only docs whose
+  * normalized content fingerprint has not been seen before ("dedup the
+  * crawl as it lands").
+  *
+  * State design for 100 TB: the keyed state holds ONE small record per
+  * DISTINCT fingerprint (the 32-hex-char key plus the keeper's id) — no
+  * document text ever enters state, and duplicates add nothing. That is
+  * the bounded-state analog of dd07's batch anti-join against the
+  * standing fingerprint table; a production deployment would back the
+  * same shape with state TTL (GroupStateTimeout) or an external
+  * fingerprint store once the distinct-corpus cardinality outgrows the
+  * state backend, and run dd07 as the batch backfill.
+  *
+  * Semantics per trigger: within a trigger the smallest doc_id for a
+  * fingerprint wins (matching batch keep-first determinism); across
+  * triggers the FIRST trigger containing the fingerprint wins. With
+  * sources whose files are ordered by doc_id (the monotone-source
+  * assumption every streaming twin here documents), this equals batch
+  * keep-first exactly — DedupStreamSpec pins that parity, including a
+  * late-file replay where every duplicate must be dropped.
+  */
+object DedupStream {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  final case class Kept(doc_id: Long, fp: String)
+
+  /** Streaming read of a documents parquet drop-directory. */
+  def readDocs(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .select(col("doc_id"), col("text"))
+
+  /** Keep-first exact dedup over the stream: one state entry per
+    * distinct normalized fingerprint (same normalization as dd07). */
+  def dedupKeepFirst(spark: SparkSession, docs: DataFrame): Dataset[Kept] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val keeper = it.map(_._1).min
+            state.update(keeper)
+            Iterator.single(Kept(keeper, fp))
+          }
+      }
+  }
+}

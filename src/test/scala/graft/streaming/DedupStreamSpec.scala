@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stream/batch parity for incremental dedup: the streaming keep-first
+  * over a drop directory must equal batch keep-first over the same
+  * corpus, and a replayed (duplicate) file must add zero rows. */
+class DedupStreamSpec extends SparkSpec {
+
+  private def batchKeepFirst = graft.Tables.load(spark, sf, "documents")
+    .select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    .select(col("doc_id"), col("fp"))
+
+  test("streaming keep-first equals batch keep-first on the same corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = DedupStream.dedupKeepFirst(spark,
+        DedupStream.readDocs(spark, dir.toString))
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_docs").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = batchKeepFirst.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch, "stream diverged from batch keep-first")
+
+      // replay: drop the SAME file in again — every fingerprint is
+      // already in state, so the new trigger must emit nothing
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("replay.parquet"))
+      q.processAllAvailable()
+      val after = spark.table("dedup_docs").count()
+      assert(after == streamed.size.toLong,
+        s"replayed duplicates leaked: $after rows vs ${streamed.size}")
+    } finally q.stop()
+  }
+
+  test("cross-trigger duplicates are dropped (first trigger wins)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream2")
+    // trigger 1: ids 1-3; trigger 2 (same texts, higher ids) must vanish
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/b0")
+    val q = DedupStream.dedupKeepFirst(spark,
+        DedupStream.readDocs(spark, s"$dir/b*/", maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("dedup_docs2")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      Seq((10L, "alpha beta"), (11L, "gamma delta"), (12L, "NEW text"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/b1")
+      q.processAllAvailable()
+      val rows = spark.table("dedup_docs2").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(rows == Set(1L, 2L, 3L, 12L),
+        s"expected first-trigger keepers + the one new doc, got $rows")
+    } finally q.stop()
+  }
+}
