@@ -210,9 +210,12 @@ object Dedup {
       // shingle sets carried as 64-bit hashes from a single fused pass
       // (ShingleHashes: hash each token once, mix per 3-gram — no string
       // building); Jaccard verification intersects longs
+      // shingle arrays sorted ONCE per document so pair verification can
+      // run the fused zero-allocation merge (SetOps.jaccardSorted) — the
+      // signature is order-insensitive, so sorting costs nothing there
       val base = corpusNear(s, d)
         .withColumn("sh",
-          graft.functions.MinHash.shingleHashes(split(col("text"), " "), 3))
+          sort_array(graft.functions.MinHash.shingleHashes(split(col("text"), " "), 3)))
         .withColumn("sig", minhashSig(col("sh")))
         .select(col("doc_id"), col("sh"), col("sig"))
         // reused on both sides of the candidate join AND in verification —
@@ -240,8 +243,7 @@ object Dedup {
         .join(base.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
         .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
         .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
+          graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.4)
         .select(col("a"), col("b"), col("jaccard"))
     },
@@ -322,12 +324,12 @@ object Dedup {
       val withGrams = corpusNear(s, d)
         .join(broadcast(sampleIds),
           col("doc_id") % CopyOffset === col("base_id"), "left_semi")
-        .withColumn("g", graft.functions.MinHash.charGramHashes(col("text"), 5))
+        .withColumn("g",
+          sort_array(graft.functions.MinHash.charGramHashes(col("text"), 5)))
         .select(col("doc_id"), col("g"))
       withGrams.as("x").join(withGrams.as("y"), col("x.doc_id") < col("y.doc_id"))
         .withColumn("jaccard",
-          size(array_intersect(col("x.g"), col("y.g"))).cast("double") /
-            size(array_union(col("x.g"), col("y.g"))))
+          graft.functions.SetOps.jaccardSorted(col("x.g"), col("y.g")))
         .filter(col("jaccard") >= 0.5)
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
     },
