@@ -14,8 +14,10 @@ import graft.Tables
   * the production shape: binary column representation, the
   * `Dataset.mapPartitions` batch shape (the Scala analog of
   * `mapInPandas`), typed output schema, partition preservation (narrow
-  * op — no shuffle). Audio/video codecs stay out of scope (none in the
-  * JRE); their plumbing would be this same shape.
+  * op — no shuffle). Audio decode is REAL for PCM containers
+  * ([[AudioDecode]], javax.sound.sampled — WAV/AIFF/AU ship with the
+  * JRE); compressed audio (MP3/AAC) and video codecs stay out of scope
+  * (no JRE support) — their plumbing would be this same shape.
   *
   * At 100 TB: binary payloads ride in their own column so parquet column
   * pruning skips them unless the decode stage runs; decode is a narrow
@@ -29,6 +31,10 @@ object Multimodal {
   /** Extracted metadata record (decode output schema). */
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, channels: Int)
+
+  /** Decoded audio metadata (all integer-exact header/frame fields). */
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_frames: Long)
 
   /** Deterministic fallback for payloads that are not a decodable image
     * (dims derived from byte length) — keeps the operator total over
@@ -57,6 +63,31 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via the JDK's javax.sound.sampled (PCM WAV/AIFF/AU
+    * readers ship with the JRE — no extra dependency; compressed codecs
+    * like MP3/AAC and all video stay out of scope). Every output field is
+    * an integer header/frame-count value, so the decode is exactly
+    * replayable by a pinned oracle. Non-audio payloads map to a
+    * deterministic all-zero fallback, keeping the operator total. */
+  object AudioDecode {
+    def apply(r: BinRecord): AudioMeta = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null) AudioMeta(r.doc_id, r.payload.length.toLong, 0, 0, 0, 0L)
+      else {
+        val f = in.getFormat
+        AudioMeta(r.doc_id, r.payload.length.toLong,
+          math.round(f.getSampleRate), f.getChannels,
+          f.getSampleSizeInBits, in.getFrameLength)
+      }
+    }
+  }
+
   /** Ingest a directory of binary files (images/audio/video) via Spark's
     * `binaryFile` source and decode each payload. This is the real
     * multimodal ingestion shape: the source yields (path, length,
@@ -67,6 +98,19 @@ object Multimodal {
   def readBinaryDir(spark: SparkSession, dir: String,
       glob: String = "*.png"): org.apache.spark.sql.Dataset[MediaMeta] = {
     import spark.implicits._
+    binSource(spark, dir, glob).mapPartitions(_.map(ImageDecode(_)))
+  }
+
+  /** Audio twin of [[readBinaryDir]]: binaryFile source + PCM decode. */
+  def readAudioDir(spark: SparkSession, dir: String,
+      glob: String = "*.wav"): org.apache.spark.sql.Dataset[AudioMeta] = {
+    import spark.implicits._
+    binSource(spark, dir, glob).mapPartitions(_.map(AudioDecode(_)))
+  }
+
+  private def binSource(spark: SparkSession, dir: String,
+      glob: String): org.apache.spark.sql.Dataset[BinRecord] = {
+    import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
@@ -74,7 +118,6 @@ object Multimodal {
         abs(xxhash64(element_at(split(col("path"), "/"), -1))).as("doc_id"),
         col("content").as("payload"))
       .as[BinRecord]
-      .mapPartitions(_.map(ImageDecode(_)))
   }
 
   // _v1 pins the fixture definition: if the pixel function or sizes ever
@@ -109,6 +152,39 @@ object Multimodal {
     Mm04Dir.getAbsolutePath
   }
 
+  private val Mm05Dir = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_mm05_wavs_v1")
+
+  /** Deterministic WAV fixture directory for mm05: four 16-bit PCM clips
+    * with fixed rates/channels/frame counts and a fixed byte-ramp
+    * payload (WAV headers are a pure function of format + length, so the
+    * files are byte-identical on every run), plus a readme.txt that the
+    * glob must prune. Same atomic-build pattern as [[ensurePngDir]];
+    * _v1 pins the fixture definition. */
+  private def ensureWavDir(): String = Mm05Dir.synchronized {
+    if (!Mm05Dir.exists()) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mm05_build").toFile
+      val configs = Seq((8000, 1, 800), (16000, 2, 1600), (22050, 1, 2205), (44100, 2, 4410))
+      configs.zipWithIndex.foreach { case ((rate, ch, frames), i) =>
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+        val bytes = new Array[Byte](frames * ch * 2)
+        var b = 0
+        while (b < bytes.length) { bytes(b) = ((b * 31 + i * 7) % 251).toByte; b += 1 }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE,
+          new java.io.File(tmp, f"clip_$i%02d.wav"))
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "readme.txt").toPath, "not audio")
+      if (!tmp.renameTo(Mm05Dir)) {
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
+    }
+    Mm05Dir.getAbsolutePath
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = resizeQueries ++ Map(
     // The REAL file-ingest path: binaryFile source over a directory of
     // on-disk PNGs (glob-pruned before bytes are read), ImageIO decode of
@@ -119,6 +195,14 @@ object Multimodal {
     // source + decode plumbing, not the corpus.
     "mm04_read_binary_dir" -> { (s, _) =>
       readBinaryDir(s, ensurePngDir()).toDF()
+    },
+
+    // REAL audio decode: binaryFile source over deterministic 16-bit PCM
+    // WAV fixtures, javax.sound.sampled header+frame decode. Same pinned
+    // golden gating as mm04; the readme.txt in the directory must be
+    // glob-pruned before bytes are read.
+    "mm05_read_audio_dir" -> { (s, _) =>
+      readAudioDir(s, ensureWavDir()).toDF()
     },
     // Binary ingestion + per-partition batch decode. The decode kernel
     // is REAL (JDK ImageIO) — MultimodalSpec drives it with synthetic
@@ -159,6 +243,21 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    // Pinned golden, same technique as mm04: WAV fixtures are
+    // byte-deterministic, so ids, file sizes, and every decoded header
+    // field are constants.
+    "mm05_read_audio_dir" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(sample_rate AS INT) AS sample_rate,
+        |  CAST(channels AS INT) AS channels, CAST(bits AS INT) AS bits,
+        |  CAST(n_frames AS BIGINT) AS n_frames
+        |FROM (VALUES
+        |  (641884699350418128, 4454, 22050, 1, 16, 2205),
+        |  (3495848985726114929, 6444, 16000, 2, 16, 1600),
+        |  (5553672774880568373, 17684, 44100, 2, 16, 4410),
+        |  (8964301213061517769, 1644, 8000, 1, 16, 800)
+        |) AS t(doc_id, n_bytes, sample_rate, channels, bits, n_frames)""".stripMargin,
     // Pinned golden (the in03 technique): the fixture PNGs are
     // byte-deterministic, so doc_id (xxhash64 of the file name), n_bytes
     // (encoded PNG size), and the ImageIO-decoded dimensions are

@@ -44,4 +44,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2) == Multimodal.FakeDecode(recs(2)))
     assert(out(2).n_bytes == "not an image".getBytes("UTF-8").length.toLong)
   }
+
+  test("AudioDecode reads real PCM WAV headers; non-audio falls back to zeros") {
+    val fmt = new javax.sound.sampled.AudioFormat(12000f, 16, 2, true, false)
+    val frames = 120
+    val pcm = Array.tabulate[Byte](frames * 2 * 2)(i => (i % 100).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = Multimodal.AudioDecode(Multimodal.BinRecord(1L, bos.toByteArray))
+    assert(wav.sample_rate == 12000 && wav.channels == 2 &&
+      wav.bits == 16 && wav.n_frames == frames.toLong)
+    val notAudio = Multimodal.AudioDecode(
+      Multimodal.BinRecord(2L, "just text".getBytes("UTF-8")))
+    assert(notAudio == Multimodal.AudioMeta(2L, 9L, 0, 0, 0, 0L))
+  }
 }
