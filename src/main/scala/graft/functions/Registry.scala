@@ -29,5 +29,6 @@ object Registry {
     reg("simhash64", es => SimHash64(es(0)))
     reg("winnow_fingerprint", es => WinnowFingerprint(es(0)))
     reg("char_entropy", es => CharEntropy(es(0)))
+    reg("jaccard_sorted", es => JaccardSortedLongs(es(0), es(1)))
   }
 }

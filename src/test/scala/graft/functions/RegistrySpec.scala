@@ -16,7 +16,8 @@ class RegistrySpec extends SparkSpec {
         |  simhash64(split(text, ' ')) AS sh64,
         |  char_entropy(text) AS ent,
         |  size(winnow_fingerprint(text)) AS n_fp,
-        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac
         |FROM documents ORDER BY doc_id LIMIT 10""".stripMargin).collect()
     assert(df.length == 10)
     df.foreach { r =>
@@ -24,6 +25,7 @@ class RegistrySpec extends SparkSpec {
       assert(r.getAs[Int]("n_sh") > 0 && r.getAs[Int]("n_grams") > 0)
       assert(r.getAs[Double]("dot") == 11.0)
       assert(r.getAs[Double]("ent") > 0.0 && r.getAs[Int]("n_fp") > 0)
+      assert(r.getAs[Double]("jac") == 0.5)
     }
   }
 
