@@ -334,6 +334,33 @@ object Dedup {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
     },
 
+    // Semantic dedup at scale (the SemDeDup shape): bucket vectors by
+    // their 16-bit hyperplane sign signature (ONE equi-join shuffle on
+    // the signature — never all-pairs), verify within-bucket pairs with
+    // exact cosine ≥ 0.999, drop the higher id of each confirmed pair.
+    // The test corpus plants exact-duplicate vectors (vec_id + 1e6, same
+    // embedding): identical vectors have identical signatures, so every
+    // planted copy is deterministically caught. The DuckDB oracle
+    // replays the whole pipeline — hyperplane literals (bit-exact dot
+    // products, see ss02), signature equality, cosine gate, anti-join —
+    // so this is hash-exact, not rows-only. At 100 TB: bucket sizes are
+    // data-dependent (near-identical clusters), but pairwise work is
+    // confined within buckets, which is exactly SemDeDup's contract.
+    "dd10_semantic_dedup" -> { (s, d) =>
+      val base = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.union(
+        base.select((col("vec_id") + CopyOffset).as("vec_id"), col("embedding")))
+      val withSig = corpus
+        .withColumn("sig", Similarity.hyperplaneSig(col("embedding")))
+      val dropped = withSig.as("x").join(withSig.as("y"),
+          col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cos", cosine(col("x.embedding"), col("y.embedding")))
+        .filter(col("cos") >= 0.999)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+      corpus.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+    },
+
     // Embedding-cosine near-dup: top-20 closest pairs among a FIXED-SIZE
     // sample — the 100 vectors with the smallest md5(vec_id) (hash order,
     // robust to any id layout; replayed verbatim by the DuckDB oracle).
@@ -425,6 +452,33 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "dd04_simhash" -> dd04Sql,
+
+    // Full replay of the semantic-dedup pipeline: hyperplane-literal
+    // signatures (bit-exact, see Similarity.hyperplaneSigSql), signature
+    // equality buckets, exact cosine gate, keep-lowest-id anti-join.
+    "dd10_semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |              FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, v FROM base
+         |),
+         |sig AS (
+         |  SELECT vec_id, v,
+         |    ${Similarity.hyperplaneSigSql} AS sig
+         |  FROM corpus
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM sig x JOIN sig y
+         |    ON x.sig = y.sig AND x.vec_id < y.vec_id
+         |  WHERE list_dot_product(x.v, y.v) /
+         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+         |    >= 0.999
+         |)
+         |SELECT vec_id FROM corpus
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     // Graph closure in SQL: recompute the strong pairs exactly as dd03b,
     // then min-reachable-node per node via a recursive CTE (UNION
     // dedups, so the fixpoint terminates), then cluster sizes per rep.

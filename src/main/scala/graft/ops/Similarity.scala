@@ -33,6 +33,25 @@ object Similarity {
     Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
+  /** 16-bit hyperplane sign signature of a vector column (shared by ss02
+    * and dd10 — the planes are plan-time literals, so this is map-only). */
+  private[ops] def hyperplaneSig(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      when(vecDot(vec, typedlit(p)) > 0d, lit(1L << i)).otherwise(lit(0L))
+    }
+    sigBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** The same 16-bit signature as a DuckDB SQL expression over a
+    * DOUBLE[] column named `v` (hyperplanes as double literals — see
+    * ss02Sql for why this is bit-exact cross-engine). */
+  private[ops] lazy val hyperplaneSigSql: String = {
+    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", "\n    + ", ")")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-10 for query vectors vec_id < 10.
     "ss01_topk_bruteforce" -> { (s, d) =>
@@ -54,12 +73,7 @@ object Similarity {
     // neighbors have modest cosine (random embeddings) — the classic
     // bands/rows recall-vs-candidates dial.
     "ss02_lsh_topk" -> { (s, d) =>
-      val planeCols = planes.map(p => typedlit(p))
-      val sigBits = planeCols.zipWithIndex.map { case (p, i) =>
-        when(vecDot(col("embedding"), p) > 0d, lit(1L << i)).otherwise(lit(0L))
-      }
-      val withSig = emb(s, d).withColumn("sig",
-        sigBits.reduce((a, b) => a.bitwiseOR(b)))
+      val withSig = emb(s, d).withColumn("sig", hyperplaneSig(col("embedding")))
       val banded = withSig.select(col("vec_id"), col("embedding"),
           posexplode(array((0 until 4).map(j =>
             shiftright(col("sig"), j * 4).bitwiseAND(lit(0xfL))): _*)))
@@ -283,14 +297,10 @@ object Similarity {
   // cross-engine because the dot products themselves are bit-identical
   // (sequential double fold on both sides, validated via ss01).
   private lazy val ss02Sql: String = {
-    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
-    val sigTerms = planes.zipWithIndex.map { case (p, i) =>
-      s"CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END"
-    }.mkString("\n    + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sig AS (
        |  SELECT vec_id,
-       |    ($sigTerms) AS sig
+       |    $hyperplaneSigSql AS sig
        |  FROM e
        |),
        |banded AS (

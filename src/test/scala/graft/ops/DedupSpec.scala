@@ -28,6 +28,15 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall below 0.8")
   }
 
+  test("dd10 semantic dedup drops every planted duplicate vector and keeps all originals") {
+    val survivors = Dedup.queries("dd10_semantic_dedup")(spark, sf).cache()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(survivors.filter(col("vec_id") < offset).count() == n,
+      "an original vector was wrongly dropped")
+    assert(survivors.filter(col("vec_id") >= offset).count() == 0,
+      "a planted duplicate vector survived")
+  }
+
   test("dd04 SimHash block-LSH recovers planted pairs it claims (hamming<=3) and no false hamming") {
     val df = Dedup.queries("dd04_simhash")(spark, sf)
     assert(df.filter(col("hamming") > 3).count() == 0)
