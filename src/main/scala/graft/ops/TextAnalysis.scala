@@ -174,6 +174,25 @@ object TextAnalysis {
         (h >= 3.0 && h <= 6.0).as("entropy_ok"))
     },
 
+    // Lexical diversity (type-token ratio + hapax share — the classic
+    // quality-filter features for spotting templated/boilerplate text).
+    // Shape: explode → (doc, token) partial-agg count → per-doc agg; two
+    // shuffles on bounded keys, NOT the O(len²) per-row nested-filter
+    // form, which would blow up on long documents at scale. Counts are
+    // integers and each ratio is one double division → bit-exact.
+    "tx14_lexical_diversity" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+        .withColumn("hapax_share", col("n_hapax").cast("double") / col("n_types"))
+    },
+
     // Corpus top-100 tokens: explode → partial-agg count → global top-k.
     "tx05_wordcount" -> { (s, d) =>
       docs(s, d)
@@ -468,6 +487,24 @@ object TextAnalysis {
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
         |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "tx14_lexical_diversity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+        |), agg AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(n_hapax AS BIGINT) AS n_hapax,
+        |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_share
+        |FROM agg""".stripMargin,
 
     "tx10_repetition" ->
       """SELECT doc_id,
