@@ -45,6 +45,19 @@ object IvfIndex {
     Index(out, trained, k)
   }
 
+  /** Append new vectors to an existing index: assign with the SAME
+    * trained centroids (an IVF index's centroids are fixed at build
+    * time; re-training would invalidate every posting list) and append
+    * only the affected cell partitions — dynamic partition append, no
+    * rewrite of existing posting lists. This is the incremental-ingest
+    * path: today's crawl lands in the index without touching the
+    * standing 100 TB of postings. */
+  def append(s: SparkSession, index: Index, df: DataFrame): Unit =
+    df.select(col("vec_id"), col("embedding"),
+        element_at(KMeans.nearestCells(col("embedding"), index.centroids, 1), 1)
+          .getField("c_id").as("c_id"))
+      .write.mode("append").partitionBy("c_id").parquet(index.dir)
+
   /** Memoized build over the `embeddings` table of a testdata dir. */
   def builtFor(s: SparkSession, d: String): Index = {
     graft.SessionCaches.track(s)

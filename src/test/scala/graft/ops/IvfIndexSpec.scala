@@ -40,6 +40,20 @@ class IvfIndexSpec extends SparkSpec {
       s"probe reads every populated cell ($selected of $totalCells)")
   }
 
+  test("append adds new vectors to their cells without rebuilding; probes see them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    val index = IvfIndex.build(spark, first, dir)
+    IvfIndex.append(spark, index, second)
+    // the index now holds the full corpus, assigned with the ORIGINAL
+    // centroids (no retrain — posting lists stay valid)
+    assert(spark.read.parquet(index.dir).count() == emb.count())
+    val out = IvfIndex.probe(spark, index, emb.filter(col("vec_id") < 10))
+    assert(out.filter(col("vec_id") % 2 === 1).count() > 0,
+      "probe never sees the appended vectors")
+  }
+
   test("persisted-index probe equals the inline assign-per-run formulation") {
     val index = IvfIndex.builtFor(spark, sf)
     val persisted = IvfIndex.probe(spark, index, emb.filter(col("vec_id") < 10))
