@@ -90,6 +90,20 @@ object Pipeline {
         .select(col("doc_id"), col("version"), md5(col("text")).as("content_md5"))
     },
 
+    // Stable global id assignment (the "give every crawl record a dense
+    // 1..N id" op): global row number over (source, doc_id) WITHOUT the
+    // classic one-task global sort — the exclusive two-pass prefix sum
+    // of 1s (range partition → N parallel window counts → broadcast
+    // offset add; no SinglePartition anywhere, pinned by PrefixSumSpec)
+    // plus 1 IS the global row number in that total order.
+    "pp10_assign_ids" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+      graft.ops.PrefixSum.globalCumsum(docs, lit(1L),
+          Seq(col("source"), col("doc_id")), "new_id", inclusive = false)
+        .select(col("doc_id"), col("source"), (col("new_id") + 1L).as("new_id"))
+    },
+
     // Language-balanced stratified sampling: downsample every language
     // to the minority language's size with a DETERMINISTIC hash gate —
     // rate_l = min_count / count_l, keep iff the first 6 hex chars of
@@ -257,6 +271,11 @@ object Pipeline {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split,
         |  n_chars
+        |FROM documents""".stripMargin,
+
+    "pp10_assign_ids" ->
+      """SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (ORDER BY source, doc_id) AS new_id
         |FROM documents""".stripMargin,
 
     "pp09_corpus_merge" ->
