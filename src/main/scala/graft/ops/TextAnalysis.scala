@@ -278,9 +278,13 @@ object TextAnalysis {
     // Corpus bigram language-model stats: P(w2|w1) = c(w1 w2)/c(w1 ·),
     // top-3 continuations per head word. All integer counts plus one
     // exact double division → bit-identical across engines. Shape: one
-    // explode+agg shuffle on (w1, w2); the per-head totals are a tiny
-    // dictionary-sized aggregate broadcast back; the per-head top-k is
-    // bounded window state (WindowGroupLimit).
+    // explode+agg shuffle on (w1, w2); the per-head totals have
+    // VOCABULARY cardinality — on a real web corpus that's 10⁸-10⁹
+    // distinct heads (typos, numbers, URLs), so no broadcast is forced:
+    // AQE broadcasts when the runtime size is actually small and falls
+    // back to a sort-merge join keyed on w1 otherwise (plan pinned in
+    // TextPlanSpec). The per-head top-k is bounded window state
+    // (WindowGroupLimit).
     "tx11_bigram_lm" -> { (s, d) =>
       val t = toks(lower(col("text")))
       val big = docs(s, d)
@@ -294,7 +298,7 @@ object TextAnalysis {
       val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("w1")).orderBy(col("p").desc, col("w2"))
-      big.join(broadcast(uni), "w1")
+      big.join(uni, "w1")
         .withColumn("p", col("c12").cast("double") / col("c1"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -305,11 +309,13 @@ object TextAnalysis {
     // LM-based quality scoring (the perplexity-filter shape): train the
     // corpus bigram LM, then score every document by its mean bigram
     // log2-probability. Two-pass at scale: the LM table aggregates once
-    // on (w1, w2) — on a real vocabulary that table is large, so the
-    // score join keys on (w1, w2) rather than assuming a broadcast;
-    // the per-doc average is one agg on doc_id. Scores round to 4
-    // decimals (closest sf0.01 value sits 3.3e-9 from a boundary,
-    // cross-engine log/sum-order noise is ~1e-14).
+    // on (w1, w2) — on a real vocabulary that table AND the per-head
+    // unigram totals are both large (vocabulary cardinality), so
+    // neither join forces a broadcast: AQE decides, and both joins key
+    // on their grouping columns otherwise. The per-doc average is one
+    // agg on doc_id. Scores round to 4 decimals (closest sf0.01 value
+    // sits 3.3e-9 from a boundary, cross-engine log/sum-order noise is
+    // ~1e-14).
     "tx12_lm_score" -> { (s, d) =>
       val pairs = docs(s, d)
         .withColumn("t", toks(lower(col("text"))))
@@ -317,9 +323,15 @@ object TextAnalysis {
         .select(col("doc_id"), explode_outer(wordGrams(col("t"), 2)).as("g"))
         .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
           split(col("g"), " ").getItem(1).as("w2"))
+        // two consumers read this table — the LM aggregation and the
+        // per-document score join. Persist so documents are scanned and
+        // tokenized ONCE (dd03's pattern); DISK_ONLY because the bigram
+        // table scales with the corpus and pinning it in executor
+        // memory is what breaks at 100 TB.
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val lm = big.join(broadcast(uni), "w1")
+      val lm = big.join(uni, "w1")
         .select(col("w1"), col("w2"),
           (col("c12").cast("double") / col("c1")).as("p"))
       pairs.join(lm, Seq("w1", "w2"))
@@ -332,8 +344,10 @@ object TextAnalysis {
     // n_docs/df (not log) so scores are exact integer ratios in double —
     // bit-identical across engines; log-idf only reorders monotonically
     // when df varies, and rank ties break on the word. Shape: tf is one
-    // explode+agg shuffle on (doc, word); df and the corpus count are
-    // tiny aggregates broadcast back — the big side shuffles once.
+    // explode+agg shuffle on (doc, word); df has VOCABULARY cardinality
+    // so its join is NOT hint-broadcast (AQE decides; sort-merge on
+    // `word` at web-corpus vocab). Only the one-row corpus count keeps
+    // an explicit broadcast — that side is bounded by construction.
     "tx09_tfidf" -> { (s, d) =>
       val tf = docs(s, d)
         .select(col("doc_id"), explode(toks(lower(col("text")))).as("word"))
@@ -342,7 +356,7 @@ object TextAnalysis {
       val ndocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
-      tf.join(broadcast(dfreq), "word").crossJoin(broadcast(ndocs))
+      tf.join(dfreq, "word").crossJoin(broadcast(ndocs))
         .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
