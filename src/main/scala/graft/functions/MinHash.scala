@@ -6,36 +6,47 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
-
 /** Shared kernel for interpreted eval and codegen. */
 object MinHashUtil {
   val NumPerms = 64
 
   // Fixed affine permutation family h_i(x) = a_i*x + b_i over Z_2^64
   // (a_i odd ⇒ bijective). Seeded deterministically: same signatures on
-  // every run, every engine, every cluster size.
-  private val (as, bs): (Array[Long], Array[Long]) = {
+  // every run, every engine, every cluster size. PUBLIC so the DuckDB
+  // oracle can embed the exact constants as literals and replay the
+  // signature arithmetic (mod-2^64 in HUGEINT) — see Dedup.dd03Sql.
+  private val perms: (Array[Long], Array[Long]) = {
     val rnd = new java.util.Random(0x5eed)
     val a = Array.fill(NumPerms)(rnd.nextLong() | 1L)
     val b = Array.fill(NumPerms)(rnd.nextLong())
     (a, b)
   }
+  val As: Array[Long] = perms._1
+  val Bs: Array[Long] = perms._2
+
+  // one MessageDigest per thread; digest() resets the instance after use
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def first8BE(dig: Array[Byte]): Long =
+    ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
+      ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
+      ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+      ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
 
   /** 64-perm MinHash signature of a string array — each element hashed
-    * ONCE (two murmur32 halves → 64-bit), then 64 affine permutations.
+    * ONCE (md5-derived 64-bit, the engine-portable family — see
+    * SimHashUtil.tokenHash64), then 64 affine permutations.
     * O(n + 64n cheap ops) vs O(64n) full rehashes of the naive form. */
   def signature(arr: ArrayData): ArrayData = {
-    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    val mins = Array.fill(NumPerms)(-1L) // unsigned max
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
-        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9747b28c)
-        update(mins, (hi.toLong << 32) | (lo.toLong & 0xffffffffL))
-      }
+      if (!arr.isNullAt(i))
+        update(mins, SimHashUtil.tokenHash64(arr.getUTF8String(i)))
       i += 1
     }
     new GenericArrayData(mins)
@@ -43,7 +54,7 @@ object MinHashUtil {
 
   /** Signature over pre-hashed 64-bit shingles (array<long>). */
   def signatureLong(arr: ArrayData): ArrayData = {
-    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    val mins = Array.fill(NumPerms)(-1L) // unsigned max
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -53,42 +64,50 @@ object MinHashUtil {
     new GenericArrayData(mins)
   }
 
+  // UNSIGNED min per permutation: the oracle replays a_i*x + b_i as
+  // nonnegative mod-2^64 HUGEINT values whose natural order IS the
+  // unsigned order of the Java wrap-around bits — a signed min here
+  // would diverge on every value with the top bit set.
   private def update(mins: Array[Long], x: Long): Unit = {
     var p = 0
     while (p < NumPerms) {
-      val h = as(p) * x + bs(p)
-      if (h < mins(p)) mins(p) = h
+      val h = As(p) * x + Bs(p)
+      if (java.lang.Long.compareUnsigned(h, mins(p)) < 0) mins(p) = h
       p += 1
     }
   }
 
-  /** Distinct order-sensitive hashes of each n consecutive tokens —
-    * one murmur pass per token, fmix-style combining per shingle. */
+  /** Distinct 64-bit hashes of each n consecutive tokens: the first 8
+    * bytes (big-endian) of md5 over the space-joined shingle bytes —
+    * exactly `md5(tok_i || ' ' || ... || tok_{i+n-1})`, which DuckDB
+    * recomputes verbatim (then parses the 16 hex chars in HUGEINT), so
+    * the whole LSH pipeline downstream of this hash is oracle-exact.
+    * The digest streams over the token bytes — no shingle string is
+    * ever built. md5 over ~20-byte shingles costs a few ns more than a
+    * murmur mix; candidate-join shuffle dominates the dedup path. */
   def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
-    val toks = new Array[Long](len)
+    val toks = new Array[Array[Byte]](len)
     var i = 0
     while (i < len) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
-        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9747b28c)
-        toks(i) = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
-      }
+      toks(i) =
+        if (arr.isNullAt(i)) Array.emptyByteArray
+        else arr.getUTF8String(i).getBytes
       i += 1
     }
     val m = math.max(len - n + 1, 0)
     val set = new java.util.HashSet[java.lang.Long](m * 2)
+    val digest = md.get()
     i = 0
     while (i < m) {
-      var h = 0x9e3779b97f4a7c15L
+      digest.reset()
       var j = 0
       while (j < n) {
-        h = (h ^ toks(i + j)) * 0xff51afd7ed558ccdL
-        h ^= (h >>> 33)
+        if (j > 0) digest.update(' '.toByte)
+        digest.update(toks(i + j))
         j += 1
       }
-      set.add(h)
+      set.add(first8BE(digest.digest()))
       i += 1
     }
     val out = new Array[Long](set.size)

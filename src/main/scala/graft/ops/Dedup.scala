@@ -206,9 +206,15 @@ object Dedup {
 
     // MinHash + LSH near-dup: shingle → 64-perm signature → 32 bands × 2
     // rows → band-bucket join for candidates → exact Jaccard verification.
+    // Every hash in the pipeline is md5-derived (shingle hash = first 8
+    // bytes of md5 of the joined shingle; permutations = fixed affine
+    // mod-2^64 with published constants; bands = the raw signature pair,
+    // no band hash at all) — so the DuckDB oracle replays the ENTIRE
+    // pipeline, recall accidents included, and certifies the
+    // approximation instead of skipping it.
     "dd03_minhash_lsh" -> { (s, d) =>
       // shingle sets carried as 64-bit hashes from a single fused pass
-      // (ShingleHashes: hash each token once, mix per 3-gram — no string
+      // (ShingleHashes: one streaming md5 per 3-gram — no string
       // building); Jaccard verification intersects longs
       // shingle arrays sorted ONCE per document so pair verification can
       // run the fused zero-allocation merge (SetOps.jaccardSorted) — the
@@ -229,13 +235,17 @@ object Dedup {
       // four times (measured ~3× cold-run cost). At 100 TB this line IS
       // "write the signature table, then run candidates against it".
       base.count()
+      // band key = the band's two raw signature values, not a hash of
+      // them: same shuffle (16 bytes vs 8 per band row), zero band-hash
+      // collisions, and trivially engine-portable for the oracle
       val bands = base.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(31)),
-            j => xxhash64(concat_ws(",", slice(col("sig"), j * 2 + 1, lit(2))), j))))
-        .toDF("doc_id", "band_id", "band_hash")
+            j => array(element_at(col("sig"), j * 2 + 1),
+              element_at(col("sig"), j * 2 + 2)))))
+        .toDF("doc_id", "band_id", "band")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_id") === col("y.band_id") &&
-            col("x.band_hash") === col("y.band_hash") &&
+            col("x.band") === col("y.band") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
@@ -405,6 +415,89 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z
       |)""".stripMargin
 
+  // dd03 replayed EXACTLY in DuckDB — the full MinHash+LSH pipeline:
+  // shingle hash = first 16 hex chars of md5 of the space-joined 3-gram
+  // (HUGEINT hex-digit arithmetic, same value ShingleHashes computes from
+  // the digest bytes); 64 affine permutations a_i*x + b_i mod 2^64 with
+  // the EXACT constants embedded from MinHashUtil.As/Bs at runtime (split
+  // 2^32 multiply keeps every intermediate under HUGEINT's 2^127);
+  // unsigned min per permutation (matches the kernel's compareUnsigned);
+  // bands = raw signature pairs; exact distinct-set jaccard ≥ 0.4 on the
+  // shingle sets. Because the oracle replays candidate GENERATION too,
+  // it certifies the LSH approximation itself — a near-threshold pair
+  // that lands in no band is missing from BOTH engines, by construction.
+  // Two DuckDB-performance notes, measured: the 64 permutations are
+  // unrolled as UNION ALL branches with literal constants because the
+  // natural `CROSS JOIN perm` form evaluates the HUGEINT arithmetic on
+  // nested-loop-join output vectors ~20× slower (14s vs 0.7s at sf0.01);
+  // and shd/sh/sigrow/band are MATERIALIZED because each is consumed by
+  // multiple downstream CTEs (inlining re-executes them ~4×). Docs whose
+  // token count < 3 have an empty shingle set: they are absent from shd
+  // (no rows) and so never band-match — output-equivalent to the
+  // kernel's all-max signature, since any pair involving an empty
+  // shingle set has jaccard 0 (or NaN) and cannot pass the ≥ 0.4 gate
+  // in either engine.
+  private lazy val dd03Ctes: String = {
+    val A = graft.functions.MinHashUtil.As.map(java.lang.Long.toUnsignedString)
+    val B = graft.functions.MinHashUtil.Bs.map(java.lang.Long.toUnsignedString)
+    val hexw = (0 until 16).map(i => BigInt(16).pow(15 - i)).mkString("[", ",", "]")
+    val mod64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val branches = (0 until graft.functions.MinHashUtil.NumPerms).map { p =>
+      s"  SELECT doc_id, $p AS p, min(((${A(p)}::HUGEINT * CAST(x // 4294967296 AS BIGINT))" +
+        s" % 4294967296 * 4294967296 + ${A(p)}::HUGEINT * CAST(x % 4294967296 AS BIGINT)" +
+        s" + ${B(p)}::HUGEINT) % $mod64) AS h FROM shd GROUP BY doc_id"
+    }.mkString("\n  UNION ALL\n")
+    s"""$nearCte,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |md AS (
+       |  SELECT doc_id,
+       |    unnest([ md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |             FOR i IN range(1, greatest(len(t) - 1, 1)) ]) AS h
+       |  FROM tok
+       |),
+       |shd AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    list_sum([ CAST(strpos('0123456789abcdef', substr(h, j, 1)) - 1 AS HUGEINT)
+       |               * ($hexw::HUGEINT[])[j] FOR j IN range(1, 17) ]) AS x
+       |  FROM md
+       |),
+       |sh AS MATERIALIZED (SELECT doc_id, list(x) AS sh FROM shd GROUP BY doc_id),
+       |sigrow AS MATERIALIZED (
+       |$branches
+       |),
+       |band AS MATERIALIZED (
+       |  SELECT doc_id, p // 2 AS band_id,
+       |    min(CASE WHEN p % 2 = 0 THEN h END) AS h1,
+       |    min(CASE WHEN p % 2 = 1 THEN h END) AS h2
+       |  FROM sigrow GROUP BY doc_id, p // 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM band x JOIN band y
+       |    ON x.band_id = y.band_id AND x.h1 = y.h1 AND x.h2 = y.h2
+       |    AND x.doc_id < y.doc_id
+       |),
+       |lsh_pairs AS (
+       |  SELECT c.a, c.b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.4
+       |)""".stripMargin
+  }
+
+  private lazy val dd03Sql: String =
+    s"$dd03Ctes\nSELECT a, b, jaccard FROM lsh_pairs"
+
+  /** pp02's oracle replays the same LSH pipeline, then applies the
+    * keep-lowest-id survivor rule (drop every pair's `b` side) over the
+    * near-dup corpus ids — shared here so the pipeline SQL exists once. */
+  private[graft] lazy val pp02OracleSql: String =
+    s"""$dd03Ctes
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id NOT IN (SELECT b FROM lsh_pairs)""".stripMargin
+
   // dd04 replayed EXACTLY in DuckDB: per-token 64-bit hash = first 16 hex
   // chars of md5(token) as hex-digit arithmetic in HUGEINT (the same
   // value SimHashUtil.tokenHash64 computes from the raw digest bytes);
@@ -451,6 +544,7 @@ object Dedup {
   }
 
   def oracle: Map[String, String] = Map(
+    "dd03_minhash_lsh" -> dd03Sql,
     "dd04_simhash" -> dd04Sql,
 
     // Full replay of the semantic-dedup pipeline: hyperplane-literal

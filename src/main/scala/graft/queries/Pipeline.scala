@@ -29,16 +29,15 @@ object Pipeline {
     },
 
     // The near-dup tier of pp01: quality gate → MinHash-LSH candidate
-    // pairs → greedy keep-lowest-id survivor set. Deliberately rows-only:
-    // at the j≥0.4 drop threshold the 32-band LSH candidate set is NOT
-    // deterministically complete (miss probability (1-j²)^32 ≈ 0.4% per
-    // pair near the threshold; measured at sf0.01: exact all-pairs finds
-    // 600 pairs, LSH finds 599 — pair (410, 1000410) at j=0.467 lands in
-    // no band). An "exact" oracle would therefore encode a recall
-    // accident, not a guarantee. The deterministic tiers ARE oracle-exact
-    // elsewhere: dd03b (strong pairs, complete at j≥0.7) and dd04
-    // (SimHash block-LSH, complete by pigeonhole). PipelineSpec asserts
-    // planted copies are eliminated and originals survive.
+    // pairs → greedy keep-lowest-id survivor set. At the j≥0.4 drop
+    // threshold the 32-band LSH candidate set is NOT deterministically
+    // complete (miss probability (1-j²)^32 ≈ 0.4% per pair near the
+    // threshold) — but every hash in dd03's pipeline is md5-derived, so
+    // the oracle (Dedup.pp02OracleSql) replays candidate generation
+    // itself and certifies the APPROXIMATION: a near-threshold pair that
+    // lands in no band is absent from both engines by construction.
+    // PipelineSpec additionally asserts planted copies are eliminated
+    // and originals survive.
     "pp02_near_dedup_corpus" -> { (s, d) =>
       val pairs = graft.ops.Dedup.minhashPairs(s, d)
       val corpusIds = graft.ops.Dedup.nearCorpusIds(s, d)
@@ -242,6 +241,11 @@ object Pipeline {
   )
 
   def oracle: Map[String, String] = Map(
+    // full LSH-pipeline replay + survivor rule; built in Dedup so the
+    // pipeline SQL (shingle md5, permutation constants, banding) exists
+    // exactly once
+    "pp02_near_dedup_corpus" -> graft.ops.Dedup.pp02OracleSql,
+
     "pp01_clean_corpus" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

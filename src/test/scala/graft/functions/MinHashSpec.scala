@@ -34,9 +34,11 @@ class MinHashSpec extends SparkSpec {
     val df = Seq(Seq(1L, 2L, 3L)).toDF("t")
     val s1 = df.select(MinHash.minhashSig(col("t"))).as[Array[Long]].collect()(0)
     assert(s1.length == 64)
-    // subset property: min over subset >= min over superset, per perm
+    // subset property: min over subset >= min over superset, per perm —
+    // in UNSIGNED order, matching the oracle's mod-2^64 value order
     val s2 = Seq(Seq(1L, 2L, 3L, 4L)).toDF("t")
       .select(MinHash.minhashSig(col("t"))).as[Array[Long]].collect()(0)
-    assert(s1.zip(s2).forall { case (a, b) => a >= b })
+    assert(s1.zip(s2).forall { case (a, b) =>
+      java.lang.Long.compareUnsigned(a, b) >= 0 })
   }
 }
