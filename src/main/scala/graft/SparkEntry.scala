@@ -24,7 +24,9 @@ object SparkEntry {
       graft.ops.Multimodal.queries ++
       graft.queries.Ingest.queries ++
       graft.queries.Extras.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.ops.Bucketing.queries ++
+      graft.ops.Skew.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -35,5 +37,7 @@ object SparkEntry {
       graft.ops.Multimodal.oracle ++
       graft.queries.Ingest.oracle ++
       graft.queries.Extras.oracle ++
-      graft.queries.Pipeline.oracle
+      graft.queries.Pipeline.oracle ++
+      graft.ops.Bucketing.oracle ++
+      graft.ops.Skew.oracle
 }

@@ -46,4 +46,31 @@ class SkewAqeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("sk02: registered query splits its planted hot key and matches the plain join") {
+    import org.apache.spark.sql.functions._
+    // the query builds its own child session with testdata-scaled skew
+    // thresholds — no conf juggling here, which is the point
+    val df = Skew.queries("sk02_aqe_skew_join")(spark, sf)
+    val rows = df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not split the planted hot key:\n$finalPlan")
+    // exactness: same aggregate over the plain join on the parent
+    // session with default confs
+    val li = graft.Tables.load(spark, sf, "lineitem").select(
+      when(col("l_linenumber") =!= 1, lit(7L))
+        .otherwise(col("l_suppkey") % 50).as("k"),
+      col("l_extendedprice"))
+    val cust = graft.Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") < 50)
+      .select(col("c_custkey").as("k"), col("c_nationkey"))
+    val expected = li.join(cust, "k")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Num.dsum(col("l_extendedprice")).as("sum_price"))
+      .collect()
+    assert(rows.map(_.toString).sorted.sameElements(expected.map(_.toString).sorted),
+      "sk02 differs from the plain join under default confs")
+  }
 }
