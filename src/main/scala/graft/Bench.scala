@@ -49,9 +49,13 @@ object Bench {
     // iteration (SPARK_GRAFT_BENCH_REPS=1).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // a failed run returns NaN and is EXCLUDED from the median/min/total:
+    // a fast-crashing query must never contribute a flattering
+    // sub-second time while only the errors array tells the truth
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch {
+      try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      catch {
         case e: Throwable =>
           // a silently-absorbed failure would make the total look good
           // while a query is broken — surface it in both channels
@@ -59,19 +63,22 @@ object Bench {
             failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
+          Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map(_ => timeOnce(name, fn)).sorted
-      (name, times(times.length / 2), times.head)
+      val times = (1 to reps).map(_ => timeOnce(name, fn))
+        .filterNot(_.isNaN).sorted
+      // a query with zero successful runs reports null, not a number
+      (name, times.lift(times.length / 2), times.headOption)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+    def num(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
+    val mins = results.map { case (k, _, mn) => "\"" + k + "\":" + num(mn) }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
