@@ -26,8 +26,18 @@ object Dedup {
 
   private val CopyOffset = 1000000L
 
+  /** Per-row guard: copy ids are base + CopyOffset, so a base corpus with
+    * ids ≥ CopyOffset would alias copies onto unrelated base docs — and
+    * both engines would alias IDENTICALLY, so the oracle could never
+    * catch it. assert_true makes the invariant fail loudly at any scale
+    * factor, inline in the scan (no extra job). */
+  private[graft] def guardId(id: Column): Column =
+    when(assert_true(id < CopyOffset && id >= 0,
+      lit(s"test-corpus id out of range [0, $CopyOffset)")).isNull, id)
+
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+    Tables.load(s, d, "documents")
+      .select(guardId(col("doc_id")).as("doc_id"), col("text"))
 
   /** documents ∪ exact copies (ids offset by 1e6). */
   private def corpusExact(s: SparkSession, d: String): DataFrame = {
@@ -358,7 +368,7 @@ object Dedup {
     // confined within buckets, which is exactly SemDeDup's contract.
     "dd10_semantic_dedup" -> { (s, d) =>
       val base = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+        .select(guardId(col("vec_id")).as("vec_id"), col("embedding"))
       val corpus = base.union(
         base.select((col("vec_id") + CopyOffset).as("vec_id"), col("embedding")))
       val withSig = corpus

@@ -277,9 +277,13 @@ object Pipeline {
         |  n_chars
         |FROM documents""".stripMargin,
 
+    // NULLS FIRST pins the NULL placement: DuckDB defaults ascending
+    // sorts to NULLS LAST while Spark's asc is nulls-first — without the
+    // pin a NULL source value would silently shift every assigned id
+    // between engines
     "pp10_assign_ids" ->
       """SELECT doc_id, source,
-        |  ROW_NUMBER() OVER (ORDER BY source, doc_id) AS new_id
+        |  ROW_NUMBER() OVER (ORDER BY source NULLS FIRST, doc_id) AS new_id
         |FROM documents""".stripMargin,
 
     "pp09_corpus_merge" ->

@@ -30,6 +30,28 @@ class SetOpsSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows diverged from the built-in composition")
   }
 
+  test("jaccard_sorted rejects arrays with nullable elements at analysis") {
+    val df = Seq((Seq(Option(1L), None), Seq(Option(1L))))
+      .toDF("a", "b") // Option elements → containsNull = true
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(SetOps.jaccardSorted(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("jaccard_sorted"),
+      s"expected the jaccard_sorted type-check message, got: ${e.getMessage}")
+  }
+
+  test("jaccard_sorted fails loudly on unsorted input instead of lying") {
+    val df = Seq((Seq(3L, 1L, 2L), Seq(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(SetOps.jaccardSorted(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not ascending-sorted")),
+      s"expected the unsorted-input failure, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("jaccardSorted on the real shingle path matches the pre-fusion formula") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .limit(50)

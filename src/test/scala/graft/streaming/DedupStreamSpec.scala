@@ -66,4 +66,41 @@ class DedupStreamSpec extends SparkSpec {
         s"expected first-trigger keepers + the one new doc, got $rows")
     } finally q.stop()
   }
+
+  test("out-of-order arrival: first trigger wins even over a LOWER doc_id") {
+    import spark.implicits._
+    // The documented divergence from batch: streaming keep-first equals
+    // batch keep-first only under the monotone-source assumption. Here a
+    // later trigger delivers a LOWER doc_id for an already-seen
+    // fingerprint — the streaming answer is the FIRST-TRIGGER keeper
+    // (10), where batch over the union would keep min doc_id (1). This
+    // pins the divergence explicitly instead of leaving it implicit.
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream3")
+    Seq((10L, "alpha beta"), (20L, "gamma delta"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/b0")
+    val q = DedupStream.dedupKeepFirst(spark,
+        DedupStream.readDocs(spark, s"$dir/b*/", maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("dedup_docs3")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      Seq((1L, "alpha beta")) // lower id, same fingerprint, later trigger
+        .toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/b1")
+      q.processAllAvailable()
+      val keepers = spark.table("dedup_docs3").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(keepers == Set(10L, 20L),
+        s"first-trigger-wins violated: $keepers")
+      // and the batch answer over the same union is DIFFERENT — the
+      // monotone-source assumption is load-bearing, not decorative
+      val batchMin = Seq((10L, "alpha beta"), (20L, "gamma delta"), (1L, "alpha beta"))
+        .toDF("doc_id", "text")
+        .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(batchMin == Set(1L, 20L))
+    } finally q.stop()
+  }
 }
