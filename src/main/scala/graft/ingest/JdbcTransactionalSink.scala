@@ -32,7 +32,7 @@ import org.apache.spark.util.LongAccumulator
 object JdbcTransactionalSink {
 
   final case class IngestResult(total: Long, succeeded: Long, errors: Long,
-      committed: Boolean, stagingTable: String)
+      committed: Boolean, stagingTable: String, replayed: Boolean = false)
 
   /** Staging-only bookkeeping column tagging each row with the Spark
     * partition that wrote it (never promoted to the target). */
@@ -47,7 +47,53 @@ object JdbcTransactionalSink {
       numWriters: Option[Int] = None)
 
   def write(df: DataFrame, url: String, props: Properties, table: String,
-      opts: Options = Options()): IngestResult = {
+      opts: Options = Options()): IngestResult =
+    write0(df, url, props, table, opts, marker = None)
+
+  /** Effectively-once micro-batch write for Structured Streaming.
+    *
+    * `foreachBatch` re-delivers a batch id after a crash between the sink
+    * commit and the checkpoint commit — the sink, not the engine, owns
+    * that last idempotence step (Spark's own foreachBatch contract). The
+    * commit marker makes the promote idempotent per (table, batchId):
+    *   - marker already present ⇒ the batch landed in a previous attempt;
+    *     skip WITHOUT executing the batch DataFrame at all;
+    *   - otherwise the marker row is inserted in the SAME transaction as
+    *     the staging→target promote, so "promoted" and "marked" are
+    *     atomic — a crash at any point leaves either both or neither,
+    *     and a concurrent duplicate attempt loses on the marker's
+    *     primary key and rolls its promote back.
+    */
+  def writeBatch(df: DataFrame, url: String, props: Properties, table: String,
+      batchId: Long, opts: Options = Options()): IngestResult = {
+    ensureBatchLog(url, props, table)
+    val already = withConnection(url, props) { c =>
+      batchCommitted(c, table, batchId)
+    }
+    if (already)
+      IngestResult(0, 0, 0, committed = true, stagingTable = "", replayed = true)
+    else write0(df, url, props, table, opts, marker = Some(batchId))
+  }
+
+  /** Per-target commit log of promoted streaming batch ids. */
+  def batchLogTable(table: String): String = s"${table}_graft_batches"
+
+  private def ensureBatchLog(url: String, props: Properties, table: String): Unit =
+    withConnection(url, props) { c =>
+      // no portable CREATE TABLE IF NOT EXISTS — "already exists" is fine
+      try exec(c,
+        s"CREATE TABLE ${batchLogTable(table)} (batch_id BIGINT PRIMARY KEY)")
+      catch { case _: java.sql.SQLException => }
+    }
+
+  private def batchCommitted(c: Connection, table: String, batchId: Long): Boolean = {
+    val ps = c.prepareStatement(
+      s"SELECT 1 FROM ${batchLogTable(table)} WHERE batch_id = ?")
+    try { ps.setLong(1, batchId); ps.executeQuery().next() } finally ps.close()
+  }
+
+  private def write0(df: DataFrame, url: String, props: Properties, table: String,
+      opts: Options, marker: Option[Long]): IngestResult = {
     val spark = df.sparkSession
     val schema = df.schema
     val staging = s"${table}_stg_${java.util.UUID.randomUUID().toString.replace("-", "").take(10)}"
@@ -131,15 +177,29 @@ object JdbcTransactionalSink {
 
       val total = ok.value + err.value
       val commit = err.value == 0 || !opts.allOrNothing
+      var lostRace = false
       if (commit) {
         val cols = schema.fieldNames.map(quoteId).mkString(", ")
         withConnection(url, props) { c =>
           c.setAutoCommit(false)
-          exec(c, s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
-          c.commit()
+          // marker first: a duplicate attempt fails HERE (primary key) and
+          // never reaches the promote — zero duplicate rows under replay
+          marker.foreach { id =>
+            val ps = c.prepareStatement(
+              s"INSERT INTO ${batchLogTable(table)} (batch_id) VALUES (?)")
+            try { ps.setLong(1, id); ps.executeUpdate() }
+            catch { case _: java.sql.SQLException => lostRace = true }
+            finally ps.close()
+          }
+          if (lostRace) c.rollback()
+          else {
+            exec(c, s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+            c.commit()
+          }
         }
       }
-      IngestResult(total, ok.value, err.value, committed = commit, staging)
+      IngestResult(total, ok.value, err.value,
+        committed = commit && !lostRace, staging, replayed = lostRace)
     } finally {
       withConnection(url, props) { c =>
         try exec(c, s"DROP TABLE $staging") catch { case _: java.sql.SQLException => }

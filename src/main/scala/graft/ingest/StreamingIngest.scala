@@ -56,17 +56,22 @@ object StreamingIngest {
   /** Start the stream into the transactional JDBC sink: each micro-batch
     * goes through the staging-table atomic load (all-or-nothing per
     * batch — the streaming form of the reference's whole-file
-    * transactionality, with checkpointed source offsets giving
-    * effectively-once delivery into the DB). */
+    * transactionality). Checkpointed source offsets + the sink's
+    * per-(table, batchId) commit marker give EXACTLY-ONCE rows in the
+    * DB: a crash between the DB commit and the checkpoint commit makes
+    * foreachBatch re-deliver the batch on restart, and the marker turns
+    * that replay into a no-op (JdbcTransactionalSink.writeBatch). */
   def startJdbcSink(df: DataFrame, url: String, props: java.util.Properties,
       table: String, checkpointDir: String,
       opts: JdbcTransactionalSink.Options = JdbcTransactionalSink.Options())
       : StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val res = JdbcTransactionalSink.write(batch, url, props, table, opts)
+        val res = JdbcTransactionalSink.writeBatch(
+          batch, url, props, table, batchId, opts)
         println(s"[graft-stream] batch=$batchId total=${res.total} " +
-          s"succeeded=${res.succeeded} errors=${res.errors} committed=${res.committed}")
+          s"succeeded=${res.succeeded} errors=${res.errors} " +
+          s"committed=${res.committed} replayed=${res.replayed}")
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -92,4 +92,87 @@ class StreamingIngestSpec extends SparkSpec {
       assert(rs.getLong(1) == 40, s"expected 40 rows, got ${rs.getLong(1)}")
     } finally c2.close()
   }
+
+  private def derbyCount(url: String, table: String): Long = {
+    val c = java.sql.DriverManager.getConnection(url, new java.util.Properties())
+    try {
+      val rs = c.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+
+  test("a re-delivered micro-batch lands zero duplicate rows (commit marker)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:replaydb;create=true"
+    val props = new java.util.Properties()
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try {
+      try c.createStatement().execute("DROP TABLE replay_tgt") catch { case _: Exception => }
+      c.createStatement().execute("""CREATE TABLE replay_tgt ("name" VARCHAR(255), "v" BIGINT)""")
+    } finally c.close()
+
+    val batch0 = (1 to 20).map(i => (s"r$i", i.toLong)).toDF("name", "v")
+    val first = JdbcTransactionalSink.writeBatch(batch0, url, props, "replay_tgt", 0L)
+    assert(first.committed && !first.replayed && first.succeeded == 20)
+    assert(derbyCount(url, "replay_tgt") == 20)
+
+    // foreachBatch's crash contract: same batchId, same data, delivered again
+    val replay = JdbcTransactionalSink.writeBatch(batch0, url, props, "replay_tgt", 0L)
+    assert(replay.committed && replay.replayed, s"replay must be a no-op: $replay")
+    assert(derbyCount(url, "replay_tgt") == 20, "replayed batch must land zero rows")
+
+    // a NEW batch id still appends
+    val batch1 = (21 to 30).map(i => (s"r$i", i.toLong)).toDF("name", "v")
+    val next = JdbcTransactionalSink.writeBatch(batch1, url, props, "replay_tgt", 1L)
+    assert(next.committed && !next.replayed && next.succeeded == 10)
+    assert(derbyCount(url, "replay_tgt") == 30)
+  }
+
+  test("crash between DB commit and checkpoint commit: restart re-delivers, DB unchanged") {
+    val url = "jdbc:derby:memory:crashdb;create=true"
+    val props = new java.util.Properties()
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try {
+      try c.createStatement().execute("DROP TABLE crash_tgt") catch { case _: Exception => }
+      val cols = IngestSchema.sinkColumns.map(x => s""""$x" VARCHAR(255)""")
+        .updated(1, """"dt_created" BIGINT""").updated(2, """"dt_submitted" BIGINT""")
+      c.createStatement().execute(s"CREATE TABLE crash_tgt (${cols.mkString(", ")})")
+    } finally c.close()
+
+    val root = Files.createTempDirectory("stream_crash")
+    val in = Files.createDirectories(root.resolve("in"))
+    val ckpt = root.resolve("ckpt")
+    Files.copy(Paths.get("/root/reference/test-loader.json"), in.resolve("a.json"))
+    val df = StreamingIngest.jsonStream(spark, in.toString)
+    val q1 = StreamingIngest.startJdbcSink(df, url, props, "crash_tgt", ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(derbyCount(url, "crash_tgt") == 20)
+
+    // simulate the crash window: the DB transaction committed but the
+    // checkpoint's commit record for batch 0 was never written — on
+    // restart the engine re-runs batch 0 through foreachBatch. The
+    // restarted process is modeled as a COPY of the checkpoint without
+    // commits/0 (same-path surgery trips Spark's in-JVM metadata-log
+    // cache, which this JVM-internal detail shouldn't be the subject).
+    val ckpt2 = Files.createDirectories(root.resolve("ckpt-after-crash"))
+    Files.walk(ckpt).forEach { p =>
+      val rel = ckpt.relativize(p)
+      // drop the commit record AND its hidden Hadoop checksum twin — a
+      // stale .crc makes the re-written record's atomic rename fail
+      if (rel.toString.nonEmpty && rel.toString != "commits/0" &&
+          rel.toString != "commits/.0.crc")
+        try {
+          if (Files.isDirectory(p)) Files.createDirectories(ckpt2.resolve(rel))
+          else Files.copy(p, ckpt2.resolve(rel))
+        } catch { case _: java.nio.file.FileAlreadyExistsException => }
+    }
+    assert(Files.exists(ckpt.resolve("commits").resolve("0")),
+      "expected a commit record for batch 0")
+    assert(!Files.exists(ckpt2.resolve("commits").resolve("0")))
+
+    val q2 = StreamingIngest.startJdbcSink(df, url, props, "crash_tgt", ckpt2.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(derbyCount(url, "crash_tgt") == 20,
+      "re-delivered batch 0 must not duplicate rows in the target")
+  }
 }
