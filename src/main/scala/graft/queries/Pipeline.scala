@@ -202,6 +202,41 @@ object Pipeline {
           (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
     },
 
+    // Decontamination at web scale: dc01's broadcast of the benchmark
+    // GRAM STRINGS caps out when the benchmark suite grows (the same
+    // unbounded-broadcast class as the tx09 vocabulary hint). Here the
+    // benchmark side ships as an O(bits) bloom filter instead — built
+    // with a distributed tree-aggregate, applied MAP-SIDE before any
+    // shuffle — and the surviving (doc_id, gram) pairs are confirmed
+    // with a plain equi-join (no hint; AQE picks the strategy), which
+    // removes the bloom's false positives. The result is therefore
+    // EXACT — same oracle as dc01 — while the shuffled probe side
+    // shrinks from |corpus grams| to |true hits| + fpp·|corpus grams|.
+    "dc02_decontaminate_bloom" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 5)
+        .withColumn("g", graft.ops.TextAnalysis.wordGrams(col("t"), 5))
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(explode_outer(col("g")).as("g")).distinct()
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      // filter size is set by (expectedItems, fpp) — a config of the
+      // benchmark suite's size, ~1.2 MB here — never by corpus scale
+      val bloom = graft.functions.Bloom.build(bench, col("g"),
+        expectedItems = 1000000L, fpp = 0.01)
+      val candidates = corpus
+        .select(col("doc_id"), explode_outer(col("g")).as("g"))
+        .filter(graft.functions.Bloom.mightContain(bloom, col("g")))
+      val hits = candidates.join(bench, "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hit_grams"))
+      corpus.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+          (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+    },
+
     // Overlapping character chunking (RAG/context-window prep): size-200
     // windows at stride 150, one row per chunk with its md5. Map-only —
     // explode of an arithmetic sequence, no shuffle at any scale.
@@ -339,6 +374,29 @@ object Pipeline {
         |        FROM documents) z) y""".stripMargin,
 
     "dc01_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS gs
+        |  FROM t WHERE len(t) >= 5
+        |), bench AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 20 = 0
+        |), corpus AS (
+        |  SELECT doc_id, gs FROM g WHERE doc_id % 20 <> 0
+        |), hits AS (
+        |  SELECT c.doc_id, count(DISTINCT c.g) AS n
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) c
+        |  JOIN bench b USING (g) GROUP BY c.doc_id
+        |)
+        |SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // dc02's bloom prefilter is exact after the confirm join, so the
+    // oracle is dc01's byte-for-byte: the bloom is an optimization, not
+    // a semantics change — that is the point being certified.
+    "dc02_decontaminate_bloom" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |), g AS (
