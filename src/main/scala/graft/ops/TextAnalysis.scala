@@ -193,6 +193,46 @@ object TextAnalysis {
         .withColumn("hapax_share", col("n_hapax").cast("double") / col("n_types"))
     },
 
+    // Line-level boilerplate removal (the CCNet/RefinedWeb web-corpus
+    // pass): drop every LINE that appears in ≥ 10 distinct documents
+    // (headers, footers, cookie banners), keep the rest, and reassemble
+    // each document in original line order. The word-soup corpus has no
+    // newlines, so "lines" are a constant header + 8-word chunks + a
+    // constant footer — the planted-boilerplate construction the dd
+    // family uses, fully replayed by the oracle. Scale shape: one
+    // posexplode (map-only), the line table persisted DISK_ONLY and
+    // consumed three times (frequency agg, filter join, per-doc totals)
+    // so documents are chunked ONCE; the frequency join is hint-free —
+    // line vocabulary at web scale is exactly the unbounded-cardinality
+    // relation the tx09 lesson forbids broadcasting; reassembly is one
+    // agg shuffle on doc_id with an in-group sort, never a global sort.
+    "tx15_line_dedup" -> { (s, d) =>
+      val lines = docs(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), concat(
+            array(lit("subscribe to our newsletter")),
+            transform(sequence(lit(0), ((size(col("w")) - 1) / 8).cast("int")),
+              i => array_join(slice(col("w"), i * lit(8) + 1, lit(8)), " ")),
+            array(lit("all rights reserved"))).as("ls"))
+        .select(col("doc_id"), posexplode(col("ls")))
+        .withColumnsRenamed(Map("pos" -> "line_no", "col" -> "line"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val freq = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val kept = lines.join(freq.filter(col("n_docs") < 10), "line")
+      val keptAgg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+              x => x("line")), "\n")).as("clean_md5"))
+      lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+    },
+
     // Corpus top-100 tokens: explode → partial-agg count → global top-k.
     "tx05_wordcount" -> { (s, d) =>
       docs(s, d)
@@ -519,6 +559,40 @@ object TextAnalysis {
         |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
         |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_share
         |FROM agg""".stripMargin,
+
+    // tx15 replays the whole planted-line construction: header line_no 0,
+    // 8-word chunks at 1..c, footer at c+1 — then the ≥10-distinct-docs
+    // drop and the in-order reassembly hash. chr(10) = Spark's "\n".
+    "tx15_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), ci AS (
+        |  SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 8 + 1)) AS i FROM w
+        |), lines AS (
+        |  SELECT doc_id, 0 AS line_no, 'subscribe to our newsletter' AS line FROM w
+        |  UNION ALL
+        |  SELECT doc_id, i + 1 AS line_no,
+        |    array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ') AS line FROM ci
+        |  UNION ALL
+        |  SELECT doc_id, (len(w) - 1) // 8 + 2 AS line_no,
+        |    'all rights reserved' AS line FROM w
+        |), freq AS (
+        |  SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
+        |), kept AS (
+        |  SELECT l.doc_id, l.line_no, l.line
+        |  FROM lines l JOIN freq f USING (line) WHERE f.n_docs < 10
+        |), ka AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY line_no)) AS clean_md5
+        |  FROM kept GROUP BY doc_id
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n_lines - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  coalesce(ka.clean_md5, md5('')) AS clean_md5
+        |FROM totals t LEFT JOIN ka USING (doc_id)""".stripMargin,
 
     "tx10_repetition" ->
       """SELECT doc_id,

@@ -65,6 +65,19 @@ class TextPlanSpec extends SparkSpec {
       s"n_docs broadcast should feed the cross join:\n$plan")
   }
 
+  test("tx15: line-frequency join is not hint-broadcast; lines chunked once") {
+    val plan = planWithoutAutoBroadcast("tx15_line_dedup")
+    assert(broadcastHashJoins(plan).isEmpty,
+      s"forced broadcast on the line-vocabulary side:\n$plan")
+    // all three consumers (freq agg, filter join, totals) must read the
+    // persisted line table — documents are chunked exactly once
+    val scans = plan.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s
+    }
+    assert(scans.size >= 3, s"expected 3 cached line-table scans, " +
+      s"found ${scans.size}:\n$plan")
+  }
+
   test("tx12: bigram pairs are persisted once for both consumers") {
     val df: DataFrame = TextAnalysis.queries("tx12_lm_score")(spark, sf)
     val scans = df.queryExecution.sparkPlan.collect {
