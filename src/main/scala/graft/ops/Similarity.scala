@@ -93,6 +93,25 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
     },
 
+    // Threshold range search ("every neighbor within radius"): all
+    // (query, vector) pairs with cosine ≥ 0.2. Unlike top-k there is no
+    // per-query ranking state, so with the bounded query side broadcast
+    // the whole operator is MAP-ONLY — one corpus scan, zero shuffles,
+    // output ∝ matches — the shape that saturates IO bandwidth at
+    // 100 TB. The ≥ decision is safe cross-engine because the cosine
+    // itself is bit-identical (sequential double fold on both sides,
+    // validated via ss01).
+    "ss07_range_search" -> { (s, d) =>
+      val all = emb(s, d)
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      all.crossJoin(q)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .filter(col("cos") >= 0.2)
+        .select(col("q_id"), col("vec_id"), col("cos"))
+    },
+
     // ss01's semantics through the scalable top-k primitive: a typed
     // Aggregator with a bounded buffer (map-side partial top-k) instead
     // of window row_number (which shuffles+sorts every candidate).
@@ -222,6 +241,15 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "ss04_topk_aggregated" -> ss01Sql,
     "ss01_topk_bruteforce" -> ss01Sql,
+    "ss07_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, x.vec_id,
+        |    list_dot_product(x.v, q.v) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+        |  FROM e x, e q
+        |  WHERE q.vec_id < 10 AND x.vec_id != q.vec_id)
+        |SELECT q_id, vec_id, cos FROM scored WHERE cos >= 0.2""".stripMargin,
     "ss02_lsh_topk" -> ss02Sql,
     "ss06_int8_topk" ->
       """WITH q8 AS (

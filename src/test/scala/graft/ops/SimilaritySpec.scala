@@ -34,6 +34,18 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"IVF mean recall@10 $mean below 0.3")
   }
 
+  test("ss07 range search plans with ZERO shuffles (map-only at any scale)") {
+    val df = Similarity.queries("ss07_range_search")(spark, sf)
+    val shuffles = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      s"range search must be broadcast+scan only:\n${df.queryExecution.sparkPlan}")
+    // and every returned pair actually clears the threshold
+    val bad = df.filter(col("cos") < 0.2).count()
+    assert(bad == 0, s"$bad pairs below the radius")
+  }
+
   test("emb01 label centroids match a driver-side model computation") {
     val out = Similarity.queries("emb01_label_centroid")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
