@@ -185,7 +185,132 @@ object Multimodal {
     Mm05Dir.getAbsolutePath
   }
 
+  /** 64-bit average hash (aHash) of a decoded image: 8×8 block-mean
+    * luminance thresholded against the global mean. Deliberately
+    * INTEGER-EXACT — integer luma weights (299/587/114), block-vs-global
+    * comparison by cross-multiplication instead of division, and no
+    * resampling filter (blocks are pixel index ranges `x*8/w`) — so the
+    * hash is a pure function of the decoded pixels. PNG decode is
+    * lossless, which makes mm06's output a JDK-independent constant
+    * (the lesson of the mm04 n_bytes golden: never pin encoder output,
+    * only decode-derived values). Near-duplicate images differ in a few
+    * bits; unrelated images differ in ~32. */
+  private[ops] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        sums(by * 8 + bx) += luma
+        counts(by * 8 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val totalN = w.toLong * h
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // block mean > global mean ⟺ sum·totalN > total·count (exact)
+      if (sums(i) * totalN > total * counts(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** (doc_id, ahash) for every image in `dir` — binaryFile source with
+    * glob pruning, per-partition decode+hash, nothing but 16 bytes per
+    * image leaves the scan. */
+  def imageHashes(spark: SparkSession, dir: String,
+      glob: String = "*.png"): DataFrame = {
+    import spark.implicits._
+    binSource(spark, dir, glob).mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      (r.doc_id, aHash64(img))
+    }).toDF("doc_id", "ahash")
+  }
+
+  private val Mm06Dir = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_mm06_pngs_v4")
+
+  /** Fixture for mm06: 8 base images plus near-duplicate variants of the
+    * first three, and a readme.txt the glob must prune. Pixels have
+    * BLOCK-level structure (each 8×8-grid block pseudorandomly dark ~50
+    * or bright ~195, plus 4-bit noise): real images have low-frequency
+    * content, and without it every aHash bit is a borderline coin flip.
+    * Variants get +2 per channel (the classic levels tweak — provably
+    * invariant for aHash: block and global means shift equally, so
+    * hamming 0) and, for the first (whose block (0,0) is dark), a +150
+    * patch over exactly that block — a localized edit that flips
+    * precisely one block bit (hamming 1), exercising the nonzero path.
+    * Same atomic build and version-suffix pinning as [[ensurePngDir]]. */
+  private def ensureMm06Dir(): String = Mm06Dir.synchronized {
+    if (!Mm06Dir.exists()) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mm06_build").toFile
+      def write(name: String, w: Int, h: Int, i: Int, delta: Int,
+          patch: Boolean): Unit = {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val bx = x * 8 / w; val by = y * 8 / h
+          val base =
+            if ((((bx * 73 + by * 151 + i * 7) * 2654435761L >>> 8) & 1L) == 0L) 50
+            else 195
+          val noise = ((((x * 31 + y * 17 + i * 7) * 2654435761L) >>> 16) & 0xf).toInt
+          val d = delta + (if (patch && bx == 0 && by == 0) 150 else 0)
+          val v = math.min(255, base + noise + d)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        javax.imageio.ImageIO.write(img, "png", new java.io.File(tmp, name))
+      }
+      (0 until 8).foreach { i =>
+        write(f"img_$i%02d.png", 24 + 9 * i, 21 + 6 * i, i, 0, patch = false)
+      }
+      (0 until 3).foreach { i =>
+        write(f"img_$i%02d_dup.png", 24 + 9 * i, 21 + 6 * i, i, 2, patch = i == 0)
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "readme.txt").toPath, "not an image")
+      if (!tmp.renameTo(Mm06Dir)) {
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
+    }
+    Mm06Dir.getAbsolutePath
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = resizeQueries ++ Map(
+    // Image near-duplicate detection: perceptual aHash over REAL decoded
+    // pixels, then dd04's block-LSH shape — the 64-bit hash split into
+    // 4×16-bit bands, candidates generated by band-bucket equi-join
+    // (pigeonhole: any pair within hamming ≤ 3 shares an untouched
+    // band — the candidate set is COMPLETE, never all-pairs), hamming
+    // verified on the full hash via bit_count. At 100 TB of images the
+    // shuffle moves (doc_id, 8-byte hash) tuples, never pixels.
+    "mm06_image_near_dup" -> { (s, _) =>
+      val imgs = imageHashes(s, ensureMm06Dir())
+      val banded = imgs.select(col("doc_id"), col("ahash"),
+          posexplode(array((0 until 4).map(j =>
+            shiftright(col("ahash"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+        .toDF("doc_id", "ahash", "band_id", "band_val")
+      banded.as("a").join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+    },
     // The REAL file-ingest path: binaryFile source over a directory of
     // on-disk PNGs (glob-pruned before bytes are read), ImageIO decode of
     // actual pixels. The fixture directory is deterministic, so the
@@ -250,6 +375,23 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    // Pinned golden: every value is DECODE-derived (PNG decode is
+    // lossless and the aHash kernel is integer-exact — no encoder
+    // bytes, no floating point, no resampling filter), so the pairs
+    // are JDK-independent constants. The three planted near-dup pairs
+    // surface with their exact hamming distances: the two global
+    // brightenings at 0 (provably invariant), the patched variant at 1
+    // (exactly the edited block's bit); no cross-image false pair
+    // clears hamming ≤ 3.
+    "mm06_image_near_dup" ->
+      """SELECT CAST(doc_a AS BIGINT) AS doc_a,
+        |  CAST(doc_b AS BIGINT) AS doc_b,
+        |  CAST(hamming AS INT) AS hamming
+        |FROM (VALUES
+        |  (384472395053026361, 3961586856995111358, 1),
+        |  (1429101628652043534, 8111554924071869481, 0),
+        |  (2888137664963620139, 8065729218023443145, 0)
+        |) AS t(doc_a, doc_b, hamming)""".stripMargin,
     // Pinned golden, same technique as mm04: WAV fixtures are
     // byte-deterministic, so ids, file sizes, and every decoded header
     // field are constants.

@@ -45,6 +45,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).n_bytes == "not an image".getBytes("UTF-8").length.toLong)
   }
 
+  test("aHash64 is invariant to global brightening and flips on a block edit") {
+    def img(w: Int, h: Int, delta: Int, patch: Boolean): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bx = x * 8 / w; val by = y * 8 / h
+        val base = if ((bx + by) % 2 == 0) 50 else 195 // checker at block scale
+        val d = delta + (if (patch && bx == 2 && by == 4) 150 else 0) // dark block
+        val v = math.min(255, base + d)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    val base = Multimodal.aHash64(img(53, 41, 0, patch = false))
+    // +7 everywhere: block means and the global mean shift equally —
+    // the cross-multiplied comparison is provably unchanged
+    assert(Multimodal.aHash64(img(53, 41, 7, patch = false)) == base)
+    // brightening one dark block flips exactly that block's bit
+    val edited = Multimodal.aHash64(img(53, 41, 0, patch = true))
+    assert(java.lang.Long.bitCount(base ^ edited) == 1,
+      s"expected exactly one flipped bit, got ${java.lang.Long.bitCount(base ^ edited)}")
+  }
+
+  test("mm06 band-LSH candidates are complete: equals brute-force hamming <= 3") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.queries("mm06_image_near_dup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same fixture hashes — no banding involved
+    val hs = Multimodal.imageHashes(spark,
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_mm06_pngs_v4").getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(out == brute,
+      s"band LSH diverged from brute force: ${out.diff(brute)} / ${brute.diff(out)}")
+    assert(brute.size == 3 && brute.exists(_._3 == 1),
+      s"fixture should plant exactly 3 near-dup pairs (one at hamming 1): $brute")
+  }
+
   test("AudioDecode reads real PCM WAV headers; non-audio falls back to zeros") {
     val fmt = new javax.sound.sampled.AudioFormat(12000f, 16, 2, true, false)
     val frames = 120
