@@ -167,17 +167,30 @@ object Dedup {
     (out, rounds)
   }
 
+  // Pairs → clusters: connected components over the strong-pair edge
+  // list (exact jaccard ≥ 0.7, the oracle-checked dd03b set). The
+  // cluster representative (min doc_id) is what a dedup pipeline
+  // keeps; everything else in the cluster is dropped. The DuckDB
+  // oracle recomputes the same strong pairs and takes the min
+  // reachable node per node via a recursive CTE — graph closure
+  // checked end-to-end, not just pair parity. Shared by dd08 (the
+  // cluster map) and qa04 (the size histogram).
+  private def dd08(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      minhashPairs(s, d).filter(col("jaccard") >= 0.7).select(col("a"), col("b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Pairs → clusters: connected components over the strong-pair edge
-    // list (exact jaccard ≥ 0.7, the oracle-checked dd03b set). The
-    // cluster representative (min doc_id) is what a dedup pipeline
-    // keeps; everything else in the cluster is dropped. The DuckDB
-    // oracle recomputes the same strong pairs and takes the min
-    // reachable node per node via a recursive CTE — graph closure
-    // checked end-to-end, not just pair parity.
-    "dd08_cc_clusters" -> { (s, d) =>
-      connectedComponents(
-        minhashPairs(s, d).filter(col("jaccard") >= 0.7).select(col("a"), col("b")))
+    "dd08_cc_clusters" -> { (s, d) => dd08(s, d) },
+
+    // Corpus-health view of dd08: the cluster-SIZE distribution (how
+    // many near-dup clusters of each size, how many docs they hold) —
+    // the number a 100 TB dedup run reports before committing to drop
+    // anything. One extra tiny agg over the CC output; the heavy
+    // lifting (LSH + pointer-jumping) is dd08's, already bounded.
+    "qa04_cluster_sizes" -> { (s, d) =>
+      dd08(s, d).groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster_rep")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
     },
 
     // Incremental-ingest dedup: drop new-batch docs whose normalized
@@ -553,6 +566,42 @@ object Dedup {
        |WHERE 64 - len([ i FOR i IN range(1, 65) IF x.bits[i] = y.bits[i] ]) <= 3""".stripMargin
   }
 
+  /** dd08's full SQL (recursive-CTE graph closure); shared with qa04,
+    * which wraps it as a derived table. */
+  private lazy val dd08OracleSql: String =
+    s"""${nearCte.replace("WITH ", "WITH RECURSIVE ")},
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(t[i:i+2], ' ')
+       |                   FOR i IN range(1, len(t) - 1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) z
+       |),
+       |pairs AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b,
+       |      CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(x.g, y.g))) AS jaccard
+       |    FROM sh x JOIN sh y ON x.doc_id < y.doc_id) t
+       |  WHERE jaccard >= 0.7
+       |),
+       |und AS (
+       |  SELECT a AS u, b AS v FROM pairs
+       |  UNION
+       |  SELECT b AS u, a AS v FROM pairs
+       |),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM und) n
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+       |),
+       |rep AS (
+       |  SELECT u AS doc_id, MIN(v) AS cluster_rep FROM reach GROUP BY u
+       |)
+       |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
+       |FROM rep r JOIN (
+       |  SELECT cluster_rep, COUNT(*) AS cluster_size FROM rep
+       |  GROUP BY cluster_rep) cs USING (cluster_rep)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dd03_minhash_lsh" -> dd03Sql,
     "dd04_simhash" -> dd04Sql,
@@ -586,39 +635,17 @@ object Dedup {
     // Graph closure in SQL: recompute the strong pairs exactly as dd03b,
     // then min-reachable-node per node via a recursive CTE (UNION
     // dedups, so the fixpoint terminates), then cluster sizes per rep.
-    "dd08_cc_clusters" ->
-      s"""${nearCte.replace("WITH ", "WITH RECURSIVE ")},
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_distinct([array_to_string(t[i:i+2], ' ')
-         |                   FOR i IN range(1, len(t) - 1)]) AS g
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) z
-         |),
-         |pairs AS (
-         |  SELECT a, b FROM (
-         |    SELECT x.doc_id AS a, y.doc_id AS b,
-         |      CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(x.g, y.g))) AS jaccard
-         |    FROM sh x JOIN sh y ON x.doc_id < y.doc_id) t
-         |  WHERE jaccard >= 0.7
-         |),
-         |und AS (
-         |  SELECT a AS u, b AS v FROM pairs
-         |  UNION
-         |  SELECT b AS u, a AS v FROM pairs
-         |),
-         |reach(u, v) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM und) n
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
-         |),
-         |rep AS (
-         |  SELECT u AS doc_id, MIN(v) AS cluster_rep FROM reach GROUP BY u
-         |)
-         |SELECT r.doc_id, r.cluster_rep, cs.cluster_size
-         |FROM rep r JOIN (
-         |  SELECT cluster_rep, COUNT(*) AS cluster_size FROM rep
-         |  GROUP BY cluster_rep) cs USING (cluster_rep)""".stripMargin,
+    "dd08_cc_clusters" -> dd08OracleSql,
+
+    // qa04 = dd08's output aggregated to its size histogram; DuckDB
+    // allows WITH RECURSIVE inside a derived table, so the oracle
+    // simply wraps the dd08 query.
+    "qa04_cluster_sizes" ->
+      s"""SELECT cluster_size,
+         |  COUNT(DISTINCT cluster_rep) AS n_clusters,
+         |  COUNT(*) AS n_docs
+         |FROM ($dd08OracleSql) t
+         |GROUP BY cluster_size""".stripMargin,
 
     "dd07_incremental_dedup" ->
       """WITH fp AS (
