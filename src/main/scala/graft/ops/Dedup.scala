@@ -175,9 +175,23 @@ object Dedup {
   // reachable node per node via a recursive CTE — graph closure
   // checked end-to-end, not just pair parity. Shared by dd08 (the
   // cluster map) and qa04 (the size histogram).
-  private def dd08(s: SparkSession, d: String): DataFrame =
-    connectedComponents(
-      minhashPairs(s, d).filter(col("jaccard") >= 0.7).select(col("a"), col("b")))
+  // Memoized per (session, dir) like minhashPairs: dd08 and qa04 both
+  // consume the cluster map, and the CC iteration is the expensive part
+  // — at 100 TB the cluster table is computed once and persisted, then
+  // read by every downstream report. DISK_ONLY for the same
+  // executor-memory reason as the pair cache.
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.SessionCaches.registerEvictor(s =>
+    ccCache.keySet.toSeq.filter(_._1 eq s).foreach(ccCache.remove))
+
+  private def dd08(s: SparkSession, d: String): DataFrame = {
+    graft.SessionCaches.track(s)
+    ccCache.getOrElseUpdate((s, d),
+      connectedComponents(
+        minhashPairs(s, d).filter(col("jaccard") >= 0.7).select(col("a"), col("b")))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd08_cc_clusters" -> { (s, d) => dd08(s, d) },
