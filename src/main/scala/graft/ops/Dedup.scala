@@ -68,6 +68,14 @@ object Dedup {
   // whole LSH pipeline. DISK_ONLY: the candidate table must never pin
   // executor memory — at 100 TB this is exactly "write the candidate
   // table out and read it back", with lineage kept for recomputation.
+  // dd11's bloom over the standing-corpus fingerprints, one per
+  // (session, dir) — a property of the standing corpus, rebuilt only
+  // when it changes (here: never within a session).
+  private val standingBloomCache = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), Array[Byte]]
+  graft.SessionCaches.registerEvictor(s =>
+    standingBloomCache.keySet.toSeq.filter(_._1 eq s).foreach(standingBloomCache.remove))
+
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   graft.SessionCaches.registerEvictor(s =>
@@ -223,6 +231,34 @@ object Dedup {
         .withColumn("fp", fp)
         .join(standing, Seq("fp"), "left_anti")
         .select(col("doc_id"), col("fp"))
+    },
+
+    // dd07 with the bloom fast path — the shape that matters when the
+    // standing corpus is 100 TB and today's crawl is mostly NEW: a
+    // bloom filter over the standing fingerprints has no false
+    // negatives, so a doc the filter rejects is definitely unseen and
+    // is kept MAP-SIDE, never entering the anti-join; only the "maybe
+    // seen" sliver (true dupes + fpp of the new) shuffles against the
+    // standing table. Same exact result and oracle as dd07 — the bloom
+    // is a routing decision, not a semantics change (dc02's argument,
+    // applied to dedup).
+    "dd11_incremental_dedup_bloom" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      val standing = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(fp.as("fp")).distinct()
+      val bloom = standingBloomCache.getOrElseUpdate((s, d), {
+        graft.SessionCaches.track(s)
+        graft.functions.Bloom.build(standing, col("fp"),
+          expectedItems = 1000000L, fpp = 0.01)
+      })
+      val batch = docs.filter(col("doc_id") % 5 === 0).withColumn("fp", fp)
+      val definitelyNew =
+        batch.filter(!graft.functions.Bloom.mightContain(bloom, col("fp")))
+      val maybeSeen =
+        batch.filter(graft.functions.Bloom.mightContain(bloom, col("fp")))
+          .join(standing, Seq("fp"), "left_anti")
+      definitelyNew.unionByName(maybeSeen).select(col("doc_id"), col("fp"))
     },
 
     // Exact dedup groups: hash-groupBy on content hash.
@@ -662,6 +698,20 @@ object Dedup {
          |GROUP BY cluster_size""".stripMargin,
 
     "dd07_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |), standing AS (
+        |  SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0
+        |)
+        |SELECT doc_id, fp FROM fp
+        |WHERE doc_id % 5 = 0
+        |  AND fp NOT IN (SELECT fp FROM standing)""".stripMargin,
+
+    // dd11's bloom routing is exact after the anti-join confirm, so the
+    // oracle is dd07's verbatim — certifying the bloom changes nothing.
+    "dd11_incremental_dedup_bloom" ->
       """WITH fp AS (
         |  SELECT doc_id,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

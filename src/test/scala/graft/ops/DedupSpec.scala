@@ -83,4 +83,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.length == 20)
     assert(rows.sameElements(rows.sortBy(-_.doubleValue())))
   }
+
+  test("dd11 bloom routing equals dd07; bloom probes evaluate below every shuffle") {
+    val d7 = Dedup.queries("dd07_incremental_dedup")(spark, sf)
+    val d11 = Dedup.queries("dd11_incremental_dedup_bloom")(spark, sf)
+    assert(d11.exceptAll(d7).isEmpty && d7.exceptAll(d11).isEmpty,
+      "bloom-routed incremental dedup diverged from the exact anti-join")
+    // both branch filters (definitely-new keep and maybe-seen probe) are
+    // scan-side: pruning happens BEFORE any data moves
+    val plan = d11.queryExecution.sparkPlan
+    val probes = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec if f.expressions.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])) => f
+    }
+    assert(probes.size >= 2, s"expected both branch probes in the plan:\n$plan")
+    probes.foreach { f =>
+      assert(f.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty, s"bloom probe above a shuffle:\n$plan")
+    }
+  }
 }
