@@ -209,6 +209,37 @@ object Pipeline {
           (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
     },
 
+    // Temperature-scaled language resampling (the LLM data-mixture op:
+    // flatten the language distribution TOWARD uniform, τ = 0.5 — the
+    // multilingual rebalance every multilingual training mix applies).
+    // Target weights ∝ p_l^τ give per-language keep rate sqrt(n_min/n_l)
+    // — the rarest language is kept whole, the English head is
+    // downsampled toward it. pp08 is the τ = 0 limit of this op (hard
+    // flattening to the minority size); temperature sampling keeps
+    // head-language mass in proportion to its square root instead of
+    // discarding it. Every arithmetic step is IEEE correctly-rounded in BOTH
+    // engines (integer-count division, sqrt, dyadic uniform = 13 md5
+    // hex digits / 2^52), so the per-doc keep decision is bit-exact and
+    // the sample is deterministic — re-running the pipeline reproduces
+    // the corpus byte-for-byte, which is what makes a training-data
+    // freeze auditable. Shape: one count agg on the bounded source key,
+    // a one-row broadcast of n_min, a hint-free rate join, then a
+    // map-side threshold — no shuffle of document rows beyond the join.
+    "pp11_temperature_sample" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val nmin = counts.agg(min(col("n_l")).as("n_min"))
+      val rate = counts.crossJoin(broadcast(nmin))
+        .withColumn("keep_rate", sqrt(col("n_min").cast("double") / col("n_l")))
+        .select(col("lang"), col("keep_rate"))
+      docs.join(rate, "lang")
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").cast("double") / lit(4503599627370496.0))
+        .filter(col("u") < col("keep_rate"))
+        .select(col("doc_id"), col("lang"), col("keep_rate"))
+    },
+
     // Decontamination at web scale: dc01's broadcast of the benchmark
     // GRAM STRINGS caps out when the benchmark suite grows (the same
     // unbounded-broadcast class as the tx09 vocabulary hint). Here the
@@ -405,6 +436,31 @@ object Pipeline {
         |SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
         |  coalesce(h.n, 0) > 0 AS contaminated
         |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // pp11's uniform is the first 13 md5 hex digits as a 52-bit integer
+    // (hex-digit arithmetic, the dd04 technique) over 2^52; the rate is
+    // integer division + sqrt, both correctly rounded — the threshold
+    // compare is bit-identical cross-engine.
+    "pp11_temperature_sample" -> {
+      val hexw13 = (0 until 13).map(i => BigInt(16).pow(12 - i)).mkString("[", ",", "]")
+      s"""WITH counts AS (
+         |  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+         |), nmin AS (
+         |  SELECT MIN(n_l) AS n_min FROM counts
+         |), rate AS (
+         |  SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n_l) AS keep_rate
+         |  FROM counts, nmin
+         |), u AS (
+         |  SELECT doc_id, lang,
+         |    list_sum([ CAST(strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |      * ($hexw13)[i] FOR i IN range(1, 14) ]) AS h
+         |  FROM documents
+         |)
+         |SELECT u.doc_id, u.lang, r.keep_rate
+         |FROM u JOIN rate r USING (lang)
+         |WHERE CAST(h AS DOUBLE) / 4503599627370496.0 < r.keep_rate""".stripMargin
+    },
 
     // dc02's bloom prefilter is exact after the confirm join, so the
     // oracle is dc01's byte-for-byte: the bloom is an optimization, not
