@@ -417,6 +417,89 @@ object Dedup {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
     },
 
+    // Exact-substring duplicate spans (the ExactSubstr pass of Lee et
+    // al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): any run of ≥ K consecutive tokens that occurs more than
+    // once in the corpus is a duplicate span; overlapping/adjacent seed
+    // windows merge into maximal spans per doc. Unlike the pairwise
+    // near-dup family this is fully LINEAR in corpus size — the suffix
+    // array of the original paper re-expressed as a k-gram
+    // seed-and-merge, which is the shape a distributed engine can run:
+    //   1. one map-only pass explodes every K-token window to a
+    //      16-byte md5 seed (no strings shuffle — the hash does);
+    //   2. one shuffle on the seed hash counts global occurrences
+    //      (window count, no self-join, the gram table is scanned once);
+    //   3. one shuffle on doc_id merges seed windows into maximal
+    //      spans with the classic running-max-end interval sweep.
+    // Three bounded shuffles total, nothing quadratic, nothing
+    // collected — at 100 TB each stage is a straight repartition of a
+    // (doc, pos, hash) table. The near-dup corpus makes the output
+    // decisive: a copy (every-7th-token dropped) collapses to ONE
+    // maximal span (its 6-token runs are adjacent), while its base doc
+    // yields one 6-token span per run with 1-token gaps at the dropped
+    // positions (K=6 windows cannot cross a drop).
+    "dd12_exact_substring" -> { (s, d) =>
+      val K = 6
+      val toks = split(col("text"), " ")
+      val grams = corpusNear(s, d)
+        .select(col("doc_id"),
+          posexplode(when(size(toks) >= K,
+            transform(sequence(lit(0), size(toks) - K),
+              i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))))
+        .toDF("doc_id", "pos", "h")
+      val dupStarts = grams
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("occ") > 1)
+        .select(col("doc_id"), col("pos"))
+      // interval sweep: a window starting at pos covers [pos, pos+K);
+      // it merges with the running span unless it starts strictly past
+      // the max end seen so far (pos == prev_end is adjacency → merge)
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val merged = dupStarts
+        .withColumn("prev_end",
+          max(col("pos") + K).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_span",
+          when(col("pos") > coalesce(col("prev_end"), lit(-1)), 1).otherwise(0))
+        .withColumn("grp", sum(col("new_span")).over(byDoc))
+      merged.groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          max(col("pos") + K).cast("long").as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_tokens"))
+    },
+
+    // Corpus novelty report: what fraction of each source's 8-token
+    // grams is globally UNIQUE (occurs once in the whole corpus)?
+    // The memorization-risk number a training-mix owner reads next to
+    // qa02's duplication rate: low novelty = the source is mostly
+    // n-grams the model will see elsewhere anyway. Same linear
+    // k-gram/occurrence machinery as dd12 (one map-only explode + one
+    // hash shuffle + one agg); per-source sums are INTEGERS so the
+    // cross-engine result is bit-exact, and the one double division
+    // happens once per output row on identical operands (ratio of
+    // sums — token-weighted, not an order-dependent float average).
+    // Docs shorter than 8 tokens contribute no grams and are not
+    // counted in n_docs (documented: novelty is defined over docs that
+    // have at least one gram).
+    "qa05_ngram_novelty" -> { (s, d) =>
+      val K = 8
+      val toks = split(col("text"), " ")
+      val grams = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(when(size(toks) >= K,
+            transform(sequence(lit(0), size(toks) - K),
+              i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))))
+        .toDF("doc_id", "source", "pos", "h")
+      grams
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(when(col("occ") === 1, 1L).otherwise(0L)).as("unique_grams"),
+          count(lit(1)).as("total_grams"))
+        .withColumn("novelty",
+          col("unique_grams").cast("double") / col("total_grams"))
+    },
+
     // Semantic dedup at scale (the SemDeDup shape): bucket vectors by
     // their 16-bit hyperplane sign signature (ONE equi-join shuffle on
     // the signature — never all-pairs), verify within-bucket pairs with
@@ -774,6 +857,66 @@ object Dedup {
          |      len(list_distinct(list_concat(x.g, y.g))) AS jaccard
          |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id) t
          |WHERE jaccard >= 0.7""".stripMargin,
+
+    // dd12 replayed in full: identical md5 seed hashes over identical
+    // 6-token windows, identical occurrence rule (global count > 1),
+    // identical interval sweep (running max end, adjacency merges).
+    "dd12_exact_substring" ->
+      s"""$nearCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, u.i AS pos,
+         |    md5(array_to_string(t[u.i + 1:u.i + 6], ' ')) AS h
+         |  FROM toks, UNNEST(range(0, len(t) - 5)) AS u(i)
+         |),
+         |dup_starts AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ
+         |    FROM grams) z
+         |  WHERE occ > 1
+         |),
+         |swept AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > COALESCE(MAX(pos + 6) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS new_span
+         |  FROM dup_starts
+         |),
+         |grp AS (
+         |  SELECT doc_id, pos, SUM(new_span) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM swept
+         |)
+         |SELECT doc_id,
+         |  MIN(pos) AS span_start,
+         |  MAX(pos + 6) AS span_end,
+         |  MAX(pos + 6) - MIN(pos) AS span_tokens
+         |FROM grp GROUP BY doc_id, g""".stripMargin,
+
+    // qa05: integer sums are bit-exact; the single novelty division
+    // runs on identical integer operands in both engines.
+    "qa05_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(t[u.i + 1:u.i + 8], ' ')) AS h
+        |  FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+        |),
+        |occ AS (
+        |  SELECT doc_id, source, COUNT(*) OVER (PARTITION BY h) AS occ
+        |  FROM grams
+        |)
+        |SELECT source,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS total_grams,
+        |  CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) /
+        |    CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM occ GROUP BY source""".stripMargin,
 
     "dd05_ngram_jaccard" ->
       s"""$nearCte,

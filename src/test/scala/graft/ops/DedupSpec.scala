@@ -104,4 +104,42 @@ class DedupSpec extends SparkSpec {
       }.isEmpty, s"bloom probe above a shuffle:\n$plan")
     }
   }
+
+  test("dd12 spans are maximal (disjoint, gap-separated, >= K tokens) and every copy starts at 0") {
+    val K = 6L
+    val spans = Dedup.queries("dd12_exact_substring")(spark, sf).cache()
+    // internal consistency: length column matches bounds, no span shorter
+    // than one seed window
+    assert(spans.filter(col("span_tokens") =!= col("span_end") - col("span_start"))
+      .count() == 0)
+    assert(spans.filter(col("span_tokens") < K).count() == 0)
+    // maximality: within a doc, consecutive spans must be separated by a
+    // strict gap — two spans with start <= previous end should have merged
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val touching = spans
+      .withColumn("prev_end", lag(col("span_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("span_start") <= col("prev_end"))
+    assert(touching.count() == 0, "adjacent/overlapping spans failed to merge")
+    // every near-dup copy's first 6-token run (copy pos 0 = base tokens
+    // 1..6, consecutive in both) is a guaranteed duplicate seed
+    val copies = spans.filter(col("doc_id") >= offset)
+      .groupBy(col("doc_id")).agg(min(col("span_start")).as("first_start"))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(copies.count() == nDocs, "a copy doc produced no duplicate span")
+    assert(copies.filter(col("first_start") =!= 0).count() == 0,
+      "a copy's leading duplicated run was missed")
+  }
+
+  test("qa05 novelty is a ratio of its own integer sums, bounded in [0,1]") {
+    val df = Dedup.queries("qa05_ngram_novelty")(spark, sf).cache()
+    assert(df.filter(col("unique_grams") > col("total_grams")).count() == 0)
+    assert(df.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    val recomputed = df.filter(
+      col("novelty") =!= col("unique_grams").cast("double") / col("total_grams"))
+    assert(recomputed.count() == 0)
+    // word-soup documents are mostly novel at the 8-gram level; a
+    // collapse here means the occurrence count went global-wrong
+    assert(df.filter(col("novelty") < 0.5).count() == 0)
+  }
 }
