@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Extras.queries ++
       graft.queries.Pipeline.queries ++
       graft.ops.Bucketing.queries ++
-      graft.ops.Skew.queries
+      graft.ops.Skew.queries ++
+      graft.ops.Graph.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Extras.oracle ++
       graft.queries.Pipeline.oracle ++
       graft.ops.Bucketing.oracle ++
-      graft.ops.Skew.oracle
+      graft.ops.Skew.oracle ++
+      graft.ops.Graph.oracle
 }
