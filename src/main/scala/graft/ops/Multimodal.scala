@@ -88,6 +88,64 @@ object Multimodal {
     }
   }
 
+  /** Frame-level audio features (windowed energy / zero-crossing rate /
+    * peak), all INTEGER-EXACT over the decoded 16-bit PCM samples:
+    * energy = Σ s² (long), zero crossings = per-channel sign-change
+    * count within the window, peak = max |s|. No floats anywhere, so
+    * the features are a pure function of the PCM payload — pinned-golden
+    * replayable, the audio analog of mm06's integer aHash. */
+  final case class AudioFrameFeat(doc_id: Long, frame_id: Int,
+      n_samples: Int, energy: Long, zero_crossings: Int, peak: Int)
+
+  object AudioFrames {
+    /** Window size in PCM frames (per-channel sample positions). */
+    val Window = 400
+
+    def apply(r: BinRecord): Iterator[AudioFrameFeat] = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null || in.getFormat.getSampleSizeInBits != 16) Iterator.empty
+      else {
+        val ch = in.getFormat.getChannels
+        val bytes = in.readAllBytes() // raw PCM, little-endian 16-bit
+        val nFrames = bytes.length / (2 * ch)
+        (0 until nFrames by Window).iterator.map { f0 =>
+          val fEnd = math.min(f0 + Window, nFrames)
+          var energy = 0L; var zc = 0; var peak = 0
+          var c = 0
+          while (c < ch) {
+            var prev = 0; var first = true; var t = f0
+            while (t < fEnd) {
+              val idx = (t * ch + c) * 2
+              val s = ((bytes(idx + 1) << 8) | (bytes(idx) & 0xff)).toShort.toInt
+              energy += s.toLong * s
+              val a = if (s < 0) -s else s
+              if (a > peak) peak = a
+              if (!first && ((s < 0) != (prev < 0))) zc += 1
+              prev = s; first = false; t += 1
+            }
+            c += 1
+          }
+          AudioFrameFeat(r.doc_id, f0 / Window, (fEnd - f0) * ch, energy, zc, peak)
+        }
+      }
+    }
+  }
+
+  /** Windowed feature extraction over a directory of PCM audio files:
+    * same narrow binaryFile shape as [[readAudioDir]], flatMapped to one
+    * row per analysis window. */
+  def audioFrameFeatures(spark: SparkSession, dir: String,
+      glob: String = "*.wav"): org.apache.spark.sql.Dataset[AudioFrameFeat] = {
+    import spark.implicits._
+    binSource(spark, dir, glob).mapPartitions(_.flatMap(AudioFrames(_)))
+  }
+
   /** Ingest a directory of binary files (images/audio/video) via Spark's
     * `binaryFile` source and decode each payload. This is the real
     * multimodal ingestion shape: the source yields (path, length,
@@ -336,6 +394,13 @@ object Multimodal {
     "mm05_read_audio_dir" -> { (s, _) =>
       readAudioDir(s, ensureWavDir()).toDF()
     },
+    // Frame-level audio analysis over the same WAV fixtures: windowed
+    // energy / zero-crossing / peak, every value integer arithmetic on
+    // the decoded PCM samples (see AudioFrames) — so the golden pins
+    // decode-derived constants only, JDK-independent by construction.
+    "mm07_audio_frames" -> { (s, _) =>
+      audioFrameFeatures(s, ensureWavDir()).toDF()
+    },
     // Binary ingestion + per-partition batch decode. The decode kernel
     // is REAL (JDK ImageIO) — MultimodalSpec drives it with synthetic
     // PNGs and checks actual pixel dimensions; the documents payloads
@@ -392,6 +457,44 @@ object Multimodal {
         |  (1429101628652043534, 8111554924071869481, 0),
         |  (2888137664963620139, 8065729218023443145, 0)
         |) AS t(doc_a, doc_b, hamming)""".stripMargin,
+    // Pinned golden: every feature is integer arithmetic over the
+    // decoded PCM samples of byte-deterministic fixtures (see
+    // AudioFrames) — no floats, no encoder output, JDK-independent.
+    // MultimodalSpec additionally recomputes these from the raw ramp
+    // definition with javax-free code.
+    "mm07_audio_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(frame_id AS INT) AS frame_id,
+        |  CAST(n_samples AS INT) AS n_samples,
+        |  CAST(energy AS BIGINT) AS energy,
+        |  CAST(zero_crossings AS INT) AS zero_crossings,
+        |  CAST(peak AS INT) AS peak
+        |FROM (VALUES
+        |  (641884699350418128, 0, 400, 145792225230, 197, 32671),
+        |  (641884699350418128, 1, 400, 145102350143, 198, 32671),
+        |  (641884699350418128, 2, 400, 145158396940, 197, 32671),
+        |  (641884699350418128, 3, 400, 145733961806, 197, 32671),
+        |  (641884699350418128, 4, 400, 145940943909, 197, 32671),
+        |  (641884699350418128, 5, 205, 74379402005, 101, 32608),
+        |  (3495848985726114929, 0, 800, 291266482688, 783, 32671),
+        |  (3495848985726114929, 1, 800, 290441916255, 782, 32671),
+        |  (3495848985726114929, 2, 800, 291936338690, 782, 32671),
+        |  (3495848985726114929, 3, 800, 290205129093, 783, 32671),
+        |  (5553672774880568373, 0, 800, 290820778655, 783, 32671),
+        |  (5553672774880568373, 1, 800, 291107600723, 782, 32671),
+        |  (5553672774880568373, 2, 800, 290977073978, 783, 32671),
+        |  (5553672774880568373, 3, 800, 291335724546, 780, 32671),
+        |  (5553672774880568373, 4, 800, 290784944058, 783, 32671),
+        |  (5553672774880568373, 5, 800, 291401699823, 783, 32671),
+        |  (5553672774880568373, 6, 800, 290923610915, 782, 32671),
+        |  (5553672774880568373, 7, 800, 290878390514, 783, 32671),
+        |  (5553672774880568373, 8, 800, 291803862986, 780, 32671),
+        |  (5553672774880568373, 9, 800, 290014551002, 783, 32671),
+        |  (5553672774880568373, 10, 800, 292109845423, 782, 32671),
+        |  (5553672774880568373, 11, 20, 6898456406, 18, 26503),
+        |  (8964301213061517769, 0, 400, 146134293001, 197, 32671),
+        |  (8964301213061517769, 1, 400, 145530903944, 197, 32671)
+        |) AS t(doc_id, frame_id, n_samples, energy, zero_crossings, peak)""".stripMargin,
     // Pinned golden, same technique as mm04: WAV fixtures are
     // byte-deterministic, so ids, file sizes, and every decoded header
     // field are constants.

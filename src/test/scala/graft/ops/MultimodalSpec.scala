@@ -102,4 +102,46 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.BinRecord(2L, "just text".getBytes("UTF-8")))
     assert(notAudio == Multimodal.AudioMeta(2L, 9L, 0, 0, 0, 0L))
   }
+
+  test("mm07 frame features equal a javax-free recompute from the raw ramp definition") {
+    // Independent reference: rebuild each clip's PCM bytes from the
+    // fixture's ramp formula (no javax.sound anywhere) and compute the
+    // windowed features with plain collections code. This breaks the
+    // pinned-golden circularity AND verifies the decode path is a PCM
+    // passthrough.
+    val configs = Map(8000 -> (0, 1, 800), 16000 -> (1, 2, 1600),
+      22050 -> (2, 1, 2205), 44100 -> (3, 2, 4410)) // rate -> (i, ch, frames)
+    def expected(i: Int, ch: Int, frames: Int): Set[(Int, Int, Long, Int, Int)] = {
+      val bytes = Array.tabulate(frames * ch * 2)(b => ((b * 31 + i * 7) % 251).toByte)
+      def sample(t: Int, c: Int): Int =
+        (((bytes((t * ch + c) * 2 + 1) & 0xff) << 8) |
+          (bytes((t * ch + c) * 2) & 0xff)).toShort.toInt
+      (0 until frames by 400).map { f0 =>
+        val fe = math.min(f0 + 400, frames)
+        val perCh = (0 until ch).map { c =>
+          val ss = (f0 until fe).map(t => sample(t, c))
+          val zc = ss.sliding(2).count {
+            case Seq(a, b) => (a < 0) != (b < 0)
+            case _ => false
+          }
+          (ss.map(s => s.toLong * s).sum, zc, ss.map(math.abs).max)
+        }
+        (f0 / 400, (fe - f0) * ch,
+          perCh.map(_._1).sum, perCh.map(_._2).sum, perCh.map(_._3).max)
+      }.toSet
+    }
+    val meta = Multimodal.queries("mm05_read_audio_dir")(spark, sf)
+      .select("doc_id", "sample_rate", "channels", "n_frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Multimodal.queries("mm07_audio_frames")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5))).toSet)
+      .toMap
+    assert(got.keySet == meta.keySet, "frame features missing a clip")
+    got.foreach { case (docId, rows) =>
+      val (i, ch, frames) = configs(meta(docId))
+      assert(rows == expected(i, ch, frames), s"clip $i feature mismatch")
+    }
+  }
 }
