@@ -59,6 +59,32 @@ object SetOpsUtil {
     }
     if (union == 0) Double.NaN else inter.toDouble / union
   }
+
+  /** Distinct intersection size of two ASCENDING-sorted long arrays —
+    * the counting core of [[jaccardSorted]] without the union tally.
+    * Same merge scan, same loud failure on unsorted input. */
+  def intersectCountSorted(x: ArrayData, y: ArrayData): Long = {
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0
+    var inter = 0L
+    while (i < n && j < m) {
+      val a = x.getLong(i); val b = y.getLong(j)
+      if (a == b) {
+        inter += 1
+        while (i < n && x.getLong(i) == a) i += 1
+        while (j < m && y.getLong(j) == a) j += 1
+        if (i < n && x.getLong(i) < a) unsorted("left")
+        if (j < m && y.getLong(j) < a) unsorted("right")
+      } else if (a < b) {
+        while (i < n && x.getLong(i) == a) i += 1
+        if (i < n && x.getLong(i) < a) unsorted("left")
+      } else {
+        while (j < m && y.getLong(j) == b) j += 1
+        if (j < m && y.getLong(j) < b) unsorted("right")
+      }
+    }
+    inter
+  }
 }
 
 /** Fused distinct-set Jaccard over pre-sorted long arrays.
@@ -110,9 +136,47 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused distinct intersection COUNT over pre-sorted long arrays — the
+  * adjacency-intersection core of triangle counting (Graph.scala) and
+  * of any sorted-set overlap tally. Same merge-scan/codegen/type-gate
+  * design as [[JaccardSortedLongs]]; returns BIGINT. */
+case class IntersectCountSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, false) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "intersect_count_sorted requires two ARRAY<BIGINT> arguments whose " +
+        s"elements cannot be null, got ${left.dataType.sql} and ${right.dataType.sql}" +
+        " (wrap nullable arrays in filter(a, e -> e IS NOT NULL) first)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOpsUtil.intersectCountSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SetOpsUtil.intersectCountSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetOps {
   /** jaccard over ascending-sorted array<long> columns. */
   def jaccardSorted(a: Column, b: Column): Column =
     GraftBridge.toColumn(JaccardSortedLongs(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** distinct |a ∩ b| over ascending-sorted array<long> columns. */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    GraftBridge.toColumn(IntersectCountSortedLongs(
       GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 }

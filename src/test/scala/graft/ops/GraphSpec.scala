@@ -41,6 +41,28 @@ class GraphSpec extends SparkSpec {
     assert((1L to 4L).forall(l => got(0L) > got(l)))
   }
 
+  test("triangle count matches brute force on K4 and on a deterministic random graph") {
+    import spark.implicits._
+    def brute(edges: Seq[(Long, Long)]): Long = {
+      val es = edges.map { case (a, b) => (a min b, a max b) }.toSet
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      nodes.combinations(3).count { case Seq(a, b, c) =>
+        es((a, b)) && es((b, c)) && es((a, c))
+      }
+    }
+    def got(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(edges.toDF("a", "b")).collect()(0).getLong(0)
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(got(k4) == 4L && brute(k4) == 4L)
+    // deterministic pseudo-random graph: includes hubs + isolated-ish
+    // nodes, so the degree-orientation path is exercised on ties too
+    val rnd = for {
+      i <- 0L until 30L; j <- (i + 1) until 30L
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i, j)
+    assert(got(rnd) == brute(rnd))
+  }
+
   test("gr01 every rank is at least the teleport floor and kinds split by parity") {
     val df = Graph.queries("gr01_pagerank")(spark, sf).cache()
     assert(df.filter(col("rank") < 15L * Graph.Scale / 100).count() == 0)
