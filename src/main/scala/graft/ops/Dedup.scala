@@ -193,6 +193,10 @@ object Dedup {
   graft.SessionCaches.registerEvictor(s =>
     ccCache.keySet.toSeq.filter(_._1 eq s).foreach(ccCache.remove))
 
+  /** The memoized near-dup cluster map (dd08's output) for pipeline
+    * composition — pp12 consumes it to materialize the deduped corpus. */
+  def clusterMap(s: SparkSession, d: String): DataFrame = dd08(s, d)
+
   private def dd08(s: SparkSession, d: String): DataFrame = {
     graft.SessionCaches.track(s)
     ccCache.getOrElseUpdate((s, d),
@@ -701,7 +705,7 @@ object Dedup {
 
   /** dd08's full SQL (recursive-CTE graph closure); shared with qa04,
     * which wraps it as a derived table. */
-  private lazy val dd08OracleSql: String =
+  private[graft] lazy val dd08OracleSql: String =
     s"""${nearCte.replace("WITH ", "WITH RECURSIVE ")},
        |sh AS (
        |  SELECT doc_id,

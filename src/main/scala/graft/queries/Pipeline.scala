@@ -110,6 +110,26 @@ object Pipeline {
         .select(col("doc_id"), col("source"), (col("new_id") + 1L).as("new_id"))
     },
 
+    // The dedup pipeline's CAPSTONE: apply dd08's near-dup cluster map
+    // to the corpus — drop every cluster member except its
+    // representative, then hand the survivors dense 1..N ids (pp10's
+    // two-pass prefix sum, no single-task global sort). This is the
+    // operator that actually EMITS the training corpus: candidate pairs
+    // (dd03) → clusters (dd08) → keep-reps + re-id (here). One
+    // anti-join shuffle on doc_id against the memoized cluster map plus
+    // the bounded cumsum plan; at 100 TB the cluster map is the
+    // persisted table every downstream consumer reads.
+    "pp12_dedup_apply" -> { (s, d) =>
+      val dropped = graft.ops.Dedup.clusterMap(s, d)
+        .filter(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"))
+      val kept = graft.ops.Dedup.nearCorpusIds(s, d)
+        .join(dropped, Seq("doc_id"), "left_anti")
+      graft.ops.PrefixSum.globalCumsum(kept, lit(1L),
+          Seq(col("doc_id")), "new_id", inclusive = false)
+        .select(col("doc_id"), (col("new_id") + 1L).as("new_id"))
+    },
+
     // Language-balanced stratified sampling: downsample every language
     // to the minority language's size with a DETERMINISTIC hash gate —
     // rate_l = min_count / count_l, keep iff the first 6 hex chars of
@@ -364,6 +384,24 @@ object Pipeline {
       """SELECT doc_id, source,
         |  ROW_NUMBER() OVER (ORDER BY source NULLS FIRST, doc_id) AS new_id
         |FROM documents""".stripMargin,
+
+    // pp12: the dd08 recursive-CTE cluster map decides the drops, then
+    // a plain ROW_NUMBER replays the dense re-id over the survivors
+    // (doc_id is NOT NULL, so no NULLS pin is needed here).
+    "pp12_dedup_apply" ->
+      s"""WITH dropped AS (
+         |  SELECT doc_id FROM (${graft.ops.Dedup.dd08OracleSql}) c
+         |  WHERE doc_id <> cluster_rep
+         |),
+         |corpus_ids AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id FROM documents
+         |)
+         |SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS new_id
+         |FROM corpus_ids
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     "pp09_corpus_merge" ->
       """WITH merged AS (
