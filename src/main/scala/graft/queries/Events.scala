@@ -262,6 +262,27 @@ object Events {
         .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
     },
 
+    // Event-type transition matrix (the first-order Markov view of the
+    // user journey): for each user's event sequence ordered by
+    // (micros, event_id), count every (from_type -> to_type) step.
+    // One hash shuffle on user_id for the lead() window, then a
+    // partial-aggregated groupBy whose output is bounded by
+    // |event_type|² (25 cells here) — the second shuffle moves almost
+    // nothing. Ordering key is the integer micros (unix_micros /
+    // epoch_us) so both engines sort the identical value; event_id
+    // (unique) breaks ties deterministically.
+    "ev15_transition_matrix" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+    },
+
     // Top-5 users by total value within each event type (rank + filter —
     // the SQL QUALIFY pattern).
     "ev04_top_users" -> { (s, d) =>
@@ -280,6 +301,19 @@ object Events {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ev15: LEAD over the same integer micros ordering; ties broken by
+    // the unique event_id in both engines.
+    "ev15_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type,
+        |  COUNT(*) AS n_transitions
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY event_type, to_type""".stripMargin,
 
     "ev14_forward_fill" ->
       """SELECT event_id, user_id, v, filled FROM (
