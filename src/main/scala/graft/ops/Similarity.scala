@@ -112,6 +112,35 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), col("cos"))
     },
 
+    // Maximum-inner-product search (MIPS) — the retrieval scoring for
+    // embeddings trained with dot-product objectives (two-tower
+    // recommenders, DSSM), where cosine's normalization is WRONG
+    // because the vector norm carries signal. Same scalable shape as
+    // ss04 (broadcast bounded queries, fused VecDot corpus scan,
+    // bounded map-side partial top-k — no window sort over all
+    // candidates), different score: the raw dot product. Exact
+    // cross-engine: VecDot's sequential double fold equals DuckDB's
+    // list_dot_product term-for-term (validated via ss01/ss07).
+    "ss08_mips_topk" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.{Scored, TopK}
+      val all = emb(s, d)
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      val scored = all.crossJoin(q)
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          struct(col("vec_id").as("id"),
+            vecDot(col("embedding"), col("q_vec")).as("score")).as("s"))
+        .as[(Long, Scored)]
+      scored.groupByKey(_._1).mapValues(_._2)
+        .agg(TopK(10).toColumn.name("top"))
+        .toDF("q_id", "top")
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.id").as("vec_id"),
+          col("col.score").as("dot"), (col("pos") + 1).as("rank"))
+    },
+
     // ss01's semantics through the scalable top-k primitive: a typed
     // Aggregator with a bounded buffer (map-side partial top-k) instead
     // of window row_number (which shuffles+sorts every candidate).
@@ -250,6 +279,21 @@ object Similarity {
         |  FROM e x, e q
         |  WHERE q.vec_id < 10 AND x.vec_id != q.vec_id)
         |SELECT q_id, vec_id, cos FROM scored WHERE cos >= 0.2""".stripMargin,
+    // ss08: raw dot ranking; ROW_NUMBER ties broken by vec_id exactly
+    // as TopK's comparator does.
+    "ss08_mips_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, x.vec_id,
+        |    list_dot_product(x.v, q.v) AS dot
+        |  FROM e x, e q
+        |  WHERE q.vec_id < 10 AND x.vec_id != q.vec_id)
+        |SELECT q_id, vec_id, dot, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q_id, vec_id, dot,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin,
+
     "ss02_lsh_topk" -> ss02Sql,
     "ss06_int8_topk" ->
       """WITH q8 AS (
