@@ -219,6 +219,31 @@ object Dedup {
           count(lit(1)).as("n_docs"))
     },
 
+    // Dedup impact BY SOURCE — the report that tells a corpus owner
+    // which sources shrink (and by how much) when dd08's cluster map
+    // is applied by pp12: every corpus doc attributed to its base
+    // doc's source (a planted copy inherits its base's source), drops
+    // = non-representative cluster members. One left join against the
+    // memoized (tiny relative to the corpus — AQE broadcasts it)
+    // cluster-map drop set, one partial-aggregated groupBy on source.
+    // Counts are integers; the one share division runs per output row
+    // on identical integer operands in both engines.
+    "qa06_dedup_impact" -> { (s, d) =>
+      val dropped = dd08(s, d)
+        .filter(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"), lit(1L).as("is_drop"))
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+      val corpus = src.union(
+        src.select((col("doc_id") + CopyOffset).as("doc_id"), col("source")))
+      corpus.join(dropped, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"))
+        .withColumn("drop_share",
+          col("n_dropped").cast("double") / col("n_docs"))
+    },
+
     // Incremental-ingest dedup: drop new-batch docs whose normalized
     // fingerprint already exists in the standing corpus — the "dedup
     // today's crawl against the existing 100 TB corpus" op. Shape: one
@@ -783,6 +808,27 @@ object Dedup {
          |  COUNT(*) AS n_docs
          |FROM ($dd08OracleSql) t
          |GROUP BY cluster_size""".stripMargin,
+
+    // qa06: the dd08 CTE decides the drops; integer counts, share
+    // division on identical operands.
+    "qa06_dedup_impact" ->
+      s"""WITH dropped AS (
+         |  SELECT doc_id FROM ($dd08OracleSql) c
+         |  WHERE doc_id <> cluster_rep
+         |),
+         |src_corpus AS (
+         |  SELECT doc_id, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, source FROM documents
+         |)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS drop_share
+         |FROM src_corpus c LEFT JOIN dropped d USING (doc_id)
+         |GROUP BY source""".stripMargin,
 
     "dd07_incremental_dedup" ->
       """WITH fp AS (
