@@ -262,6 +262,63 @@ object Similarity {
           count(lit(1)).as("n_vecs"))
         .select(col("label"), col("pos").cast("int").as("dim"),
           col("centroid"), col("n_vecs"))
+    },
+
+    // Integer-exact distributed k-means (quantized Lloyd): int8-quantize
+    // every vector on ss05's grid, seed k=8 centroids from the
+    // hash-ordered first 8 vectors (deterministic and engine-portable,
+    // the dd06 sample rule), run one full Lloyd round — E-step (argmin
+    // integer squared L2, ties to the lower centroid id), M-step
+    // (per-dim truncating integer mean — `(s - s % n) / n` divides
+    // exactly, so every division operator agrees cross-engine), final
+    // re-assign — and emit the assignment with its integer distance.
+    // Every quantity is an integer, so MORE rounds would stay bit-exact
+    // too: gr01's scaled-integer trick applied to clustering, where
+    // float Lloyd could never be oracle'd. Scale shape: both E-steps
+    // are map-only corpus scans against k in-plan literal centroids;
+    // the M-step is one explode + partial-agg shuffle whose output is
+    // k×dim cells; the two k×dim collects are the bounded
+    // KMeans-training idiom (IvfIndex precedent). Ten Lloyd rounds =
+    // ten cheap k×dim round trips, never a corpus-sized one.
+    "emb03_kmeans_int" -> { (s, d) =>
+      val xd = transform(col("embedding"), x => x.cast("double"))
+      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val q8 = emb(s, d)
+        .withColumn("scale", maxabs / 127.0)
+        .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
+        .select(col("vec_id"), col("q"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+      def sqDist(c: Seq[Int]): org.apache.spark.sql.Column =
+        expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+          "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
+      def assign(cs: Seq[(Int, Seq[Int])]): org.apache.spark.sql.Column =
+        array_min(array(cs.map { case (cid, c) =>
+          struct(sqDist(c).as("dist"), lit(cid).as("cid")) }: _*))
+
+      val seeds = q8
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8).collect()
+        .map(r => r.getSeq[Int](r.fieldIndex("q")))
+        .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+
+      val newc = q8.withColumn("a", assign(seeds))
+        .select(col("a.cid").as("c_id"), col("q"))
+        .select(col("c_id"), posexplode(col("q")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m",
+          ((col("s") - (col("s") % col("n"))) / col("n")).cast("int"))
+        .select(col("c_id"), col("pos"), col("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1).toSeq
+        .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+        .sortBy(_._1)
+
+      q8.withColumn("a", assign(newc))
+        .select(col("vec_id"), col("a.cid").as("c_id"),
+          col("a.dist").as("dist"))
     }
   )
 
@@ -351,6 +408,58 @@ object Similarity {
         |  count(*) AS n_vecs
         |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         |GROUP BY label, i""".stripMargin,
+    // emb03 replayed stage-for-stage: same quantization grid, same
+    // hash-ordered seeds, same integer distances (the expansion
+    // ldp(x,x) - 2·ldp(x,c) + ldp(c,c) equals the zip_with squared
+    // fold exactly — integer arithmetic has no rounding to disagree
+    // on), same truncating integer mean.
+    "emb03_kmeans_int" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(
+        |      CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+        |    ) AS INT)) AS q
+        |  FROM embeddings
+        |),
+        |seeds AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid, q
+        |  FROM (SELECT vec_id, q FROM q8
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) t
+        |),
+        |a1 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT x.vec_id, x.q, s.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(x.q, s.q) AS BIGINT)
+        |          + CAST(list_dot_product(s.q, s.q) AS BIGINT), s.cid) AS rn
+        |    FROM q8 x, seeds s) z
+        |  WHERE rn = 1
+        |),
+        |sums AS (
+        |  SELECT cid, u.i AS pos, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a1, UNNEST(range(0, len(q))) AS u(i)
+        |  GROUP BY cid, u.i
+        |),
+        |newc AS (
+        |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
+        |  FROM sums GROUP BY cid
+        |)
+        |SELECT vec_id, cid AS c_id, dist FROM (
+        |  SELECT x.vec_id, c.cid,
+        |    CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |      - 2 * CAST(list_dot_product(x.q, c.q) AS BIGINT)
+        |      + CAST(list_dot_product(c.q, c.q) AS BIGINT) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |      CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |        - 2 * CAST(list_dot_product(x.q, c.q) AS BIGINT)
+        |        + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+        |  FROM q8 x, newc c) z
+        |WHERE rn = 1""".stripMargin,
+
     "ss05_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
