@@ -37,13 +37,25 @@ object Tables {
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // The events parquet stores ts as TIMESTAMP(NANOS), which Spark only
-      // reads via the nanosAsLong escape hatch. Normalize back to a real
-      // timestamp column with integer division (ts div 1000 — a double
-      // division would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53).
+      // The events parquet's ts physical type has drifted across testdata
+      // generations: TIMESTAMP(NANOS) (readable only via the nanosAsLong
+      // escape hatch) vs TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ when the
+      // parquet is not UTC-adjusted). Normalize both to a session-tz
+      // TimestampType column so every downstream query sees one schema.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long: integer division (a double division would lose
+          // precision — 2024 epoch-nanos ≈ 1.7e18 > 2^53), then micros→ts.
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ→TZ cast interprets the wall-clock in the session zone; the
+          // session is pinned UTC everywhere (SparkSessions/Bench/Verify),
+          // matching DuckDB's epoch_us() reading of the same naive column.
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw // already a plain TIMESTAMP
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -21,11 +21,14 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet carries TIMESTAMP(NANOS) — streamed as long then
-    * normalized, mirroring Tables.load. */
-  private val rawSchema = StructType(Seq(
+  /** Streaming needs an explicit schema; the events parquet's ts physical
+    * type has drifted across testdata generations (TIMESTAMP(NANOS) read
+    * as long via nanosAsLong, vs TIMESTAMP(MICROS) read as TIMESTAMP_NTZ),
+    * so the ts field is parameterized and normalized after the read,
+    * mirroring Tables.load. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -43,11 +46,19 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 10): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    // One batch footer read (metadata-only) tells us which generation of
+    // the events parquet this directory holds; the stream then declares
+    // the matching schema and normalizes ts exactly like Tables.load.
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // bounded-buffer analog
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation (streaming ev01). */
