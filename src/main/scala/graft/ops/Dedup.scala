@@ -63,6 +63,40 @@ object Dedup {
   def nearCorpusIds(s: SparkSession, d: String): DataFrame =
     corpusNear(s, d).select(col("doc_id"))
 
+  /** Maximal duplicated token spans per doc (dd12's body, shared with
+    * the dd13 apply): K-token md5 seed windows → global occurrence
+    * count → per-doc interval sweep. See dd12's registry comment for
+    * the linear three-shuffle shape. */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val K = 6
+    val toks = split(col("text"), " ")
+    val grams = corpusNear(s, d)
+      .select(col("doc_id"),
+        posexplode(when(size(toks) >= K,
+          transform(sequence(lit(0), size(toks) - K),
+            i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))))
+      .toDF("doc_id", "pos", "h")
+    val dupStarts = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    // interval sweep: a window starting at pos covers [pos, pos+K);
+    // it merges with the running span unless it starts strictly past
+    // the max end seen so far (pos == prev_end is adjacency → merge)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val merged = dupStarts
+      .withColumn("prev_end",
+        max(col("pos") + K).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("pos") > coalesce(col("prev_end"), lit(-1)), 1).otherwise(0))
+      .withColumn("grp", sum(col("new_span")).over(byDoc))
+    merged.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("pos") + K).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   // pp02 composes over dd03's pairs; memoize the persisted pair set per
   // (session, dir) so composition reuses instead of recomputing the
   // whole LSH pipeline. DISK_ONLY: the candidate table must never pin
@@ -467,66 +501,93 @@ object Dedup {
     // maximal span (its 6-token runs are adjacent), while its base doc
     // yields one 6-token span per run with 1-token gaps at the dropped
     // positions (K=6 windows cannot cross a drop).
-    "dd12_exact_substring" -> { (s, d) =>
-      val K = 6
-      val toks = split(col("text"), " ")
-      val grams = corpusNear(s, d)
+    "dd12_exact_substring" -> { (s, d) => dupSpans(s, d) },
+
+    // The APPLY half of dd12 (as pp12 is the apply half of dd08): cut
+    // every maximal duplicated span OUT of each doc's token stream and
+    // reassemble the scrubbed text — the operator that actually emits
+    // the span-deduplicated corpus of Lee et al. 2022 §4.1 (ExactSubstr
+    // "we remove one occurrence" generalized to the span table dd12
+    // already certifies). Scale shape: the span table is tiny relative
+    // to the corpus (only duplicated regions), aggregated per doc and
+    // joined back on doc_id HINT-FREE (AQE broadcasts when it proves
+    // the runtime size; at 100 TB a skew-heavy span table shuffles).
+    // The cut itself never explodes tokens: a single higher-order
+    // filter((tok, i) => i ∉ any span) runs map-side per row, and the
+    // reassembled text is hashed inline — output is a fixed-width
+    // audit row (counts + md5), never the corpus shuffled twice. The
+    // oracle replays span derivation AND reassembly, gating the
+    // scrubbed text md5 exactly like tx15's clean_md5.
+    "dd13_substring_scrub" -> { (s, d) =>
+      val spans = dupSpans(s, d)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+      corpusNear(s, d)
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"), col("spans"))
+        .withColumn("kept", when(col("spans").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, i) =>
+            !exists(col("spans"), sp =>
+              i >= sp("span_start") && i < sp("span_end")))))
         .select(col("doc_id"),
-          posexplode(when(size(toks) >= K,
-            transform(sequence(lit(0), size(toks) - K),
-              i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))))
-        .toDF("doc_id", "pos", "h")
-      val dupStarts = grams
-        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .filter(col("occ") > 1)
-        .select(col("doc_id"), col("pos"))
-      // interval sweep: a window starting at pos covers [pos, pos+K);
-      // it merges with the running span unless it starts strictly past
-      // the max end seen so far (pos == prev_end is adjacency → merge)
-      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val merged = dupStarts
-        .withColumn("prev_end",
-          max(col("pos") + K).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("new_span",
-          when(col("pos") > coalesce(col("prev_end"), lit(-1)), 1).otherwise(0))
-        .withColumn("grp", sum(col("new_span")).over(byDoc))
-      merged.groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).cast("long").as("span_start"),
-          max(col("pos") + K).cast("long").as("span_end"))
-        .select(col("doc_id"), col("span_start"), col("span_end"),
-          (col("span_end") - col("span_start")).as("span_tokens"))
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"),
+          md5(array_join(col("kept"), " ")).as("clean_md5"))
     },
 
     // Corpus novelty report: what fraction of each source's 8-token
     // grams is globally UNIQUE (occurs once in the whole corpus)?
     // The memorization-risk number a training-mix owner reads next to
     // qa02's duplication rate: low novelty = the source is mostly
-    // n-grams the model will see elsewhere anyway. Same linear
-    // k-gram/occurrence machinery as dd12 (one map-only explode + one
-    // hash shuffle + one agg); per-source sums are INTEGERS so the
-    // cross-engine result is bit-exact, and the one double division
-    // happens once per output row on identical operands (ratio of
-    // sums — token-weighted, not an order-dependent float average).
-    // Docs shorter than 8 tokens contribute no grams and are not
-    // counted in n_docs (documented: novelty is defined over docs that
-    // have at least one gram).
+    // n-grams the model will see elsewhere anyway. Per-source sums are
+    // INTEGERS so the cross-engine result is bit-exact, and the one
+    // double division happens once per output row on identical operands
+    // (ratio of sums — token-weighted, not an order-dependent float
+    // average). Docs shorter than 8 tokens contribute no grams and are
+    // not counted in n_docs (documented: novelty is defined over docs
+    // that have at least one gram).
+    //
+    // Shuffle shape (two-stage aggregate, no window): the denominators
+    // need no explode at all — a doc with n ≥ K tokens contributes
+    // exactly n-K+1 grams, so n_docs/total_grams are one tiny
+    // per-source agg straight off the documents scan. Only the
+    // unique-gram count touches the exploded gram table, and it goes
+    // through groupBy(h) — count + min are both partially aggregatable,
+    // so the h-shuffle carries (h, partial_count, partial_min_source)
+    // and nothing else (no doc_id, no pos; a gram with occ = 1 has
+    // exactly one row, so min(source) IS its source). The previous
+    // count(*) over (partition by h) window forced every
+    // (doc_id, source, pos, h) row through the shuffle with zero
+    // map-side combining — this form shuffles a strict subset of the
+    // bytes for the same integers.
     "qa05_ngram_novelty" -> { (s, d) =>
       val K = 8
       val toks = split(col("text"), " ")
-      val grams = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          posexplode(when(size(toks) >= K,
-            transform(sequence(lit(0), size(toks) - K),
-              i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))))
-        .toDF("doc_id", "source", "pos", "h")
-      grams
-        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      val docs = Tables.load(s, d, "documents")
+      val totals = docs
+        .select(col("source"),
+          when(size(toks) >= K, (size(toks) - K + 1).cast("long"))
+            .otherwise(lit(0L)).as("g"))
+        .filter(col("g") > 0)
         .groupBy(col("source"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          sum(when(col("occ") === 1, 1L).otherwise(0L)).as("unique_grams"),
-          count(lit(1)).as("total_grams"))
-        .withColumn("novelty",
-          col("unique_grams").cast("double") / col("total_grams"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("total_grams"))
+      val uniques = docs
+        .select(col("source"),
+          explode(when(size(toks) >= K,
+            transform(sequence(lit(0), size(toks) - K),
+              i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("occ"), min(col("source")).as("source"))
+        .filter(col("occ") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("unique_grams"))
+      totals.join(uniques, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("unique_grams"), lit(0L)).as("unique_grams"),
+          col("total_grams"),
+          (coalesce(col("unique_grams"), lit(0L)).cast("double") /
+            col("total_grams")).as("novelty"))
     },
 
     // Semantic dedup at scale (the SemDeDup shape): bucket vectors by
@@ -944,6 +1005,63 @@ object Dedup {
          |  MAX(pos + 6) AS span_end,
          |  MAX(pos + 6) - MIN(pos) AS span_tokens
          |FROM grp GROUP BY doc_id, g""".stripMargin,
+
+    // dd13: dd12's span derivation replayed verbatim, then the cut +
+    // reassembly — per-token anti-semi vs the span intervals, tokens
+    // re-joined in position order, md5 gated like tx15's clean_md5.
+    "dd13_substring_scrub" ->
+      s"""$nearCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, u.i AS pos,
+         |    md5(array_to_string(t[u.i + 1:u.i + 6], ' ')) AS h
+         |  FROM toks, UNNEST(range(0, len(t) - 5)) AS u(i)
+         |),
+         |dup_starts AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ
+         |    FROM grams) z
+         |  WHERE occ > 1
+         |),
+         |swept AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > COALESCE(MAX(pos + 6) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS new_span
+         |  FROM dup_starts
+         |),
+         |grp AS (
+         |  SELECT doc_id, pos, SUM(new_span) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM swept
+         |),
+         |spans AS (
+         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos + 6) AS span_end
+         |  FROM grp GROUP BY doc_id, g
+         |),
+         |tok AS (
+         |  SELECT doc_id, u.i AS pos, t[u.i + 1] AS tok
+         |  FROM toks, UNNEST(range(0, len(t))) AS u(i)
+         |),
+         |kept AS (
+         |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = k.doc_id
+         |      AND k.pos >= s.span_start AND k.pos < s.span_end)
+         |),
+         |kc AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(len(d.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(d.t) - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_cut,
+         |  COALESCE(kc.clean_md5, md5('')) AS clean_md5
+         |FROM toks d LEFT JOIN kc USING (doc_id)""".stripMargin,
 
     // qa05: integer sums are bit-exact; the single novelty division
     // runs on identical integer operands in both engines.

@@ -131,6 +131,29 @@ class DedupSpec extends SparkSpec {
       "a copy's leading duplicated run was missed")
   }
 
+  test("dd13 scrub accounting: n_cut equals span tokens, untouched docs keep their text") {
+    val spans = Dedup.queries("dd12_exact_substring")(spark, sf)
+    val scrub = Dedup.queries("dd13_substring_scrub")(spark, sf).cache()
+    // one audit row per corpus doc (base + copies)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(scrub.count() == 2 * nDocs)
+    assert(scrub.filter(col("n_kept") + col("n_cut") =!= col("n_tokens")).count() == 0)
+    // spans are disjoint (dd12's maximality), so cut tokens per doc are
+    // exactly the per-doc sum of span lengths; docs with no spans cut 0
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("span_sum"))
+    val joined = scrub.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("expect", coalesce(col("span_sum"), lit(0L)))
+    assert(joined.filter(col("n_cut") =!= col("expect")).count() == 0,
+      "n_cut disagrees with the dd12 span table")
+    // a doc with no duplicated span must round-trip its text unchanged
+    val untouched = scrub.filter(col("n_cut") === 0)
+      .join(spark.read.parquet(s"$sf/documents.parquet"), Seq("doc_id"))
+    assert(untouched.filter(col("clean_md5") =!= md5(col("text"))).count() == 0,
+      "an untouched doc's reassembled text drifted")
+    scrub.unpersist()
+  }
+
   test("qa05 novelty is a ratio of its own integer sums, bounded in [0,1]") {
     val df = Dedup.queries("qa05_ngram_novelty")(spark, sf).cache()
     assert(df.filter(col("unique_grams") > col("total_grams")).count() == 0)
@@ -141,5 +164,33 @@ class DedupSpec extends SparkSpec {
     // word-soup documents are mostly novel at the 8-gram level; a
     // collapse here means the occurrence count went global-wrong
     assert(df.filter(col("novelty") < 0.5).count() == 0)
+    // unpersist so the plan test below sees the real physical plan, not
+    // an InMemoryTableScan over this test's cache
+    df.unpersist()
+  }
+
+  test("qa05 plan: no window over the gram table, occurrence count partially aggregates") {
+    // the 100 TB contract: count(*) over (partition by h) would force
+    // every (doc_id, source, pos, h) gram row through the h-shuffle with
+    // zero map-side combining — the plan must instead show hash
+    // aggregates (which Spark always splits partial/final around the
+    // exchange) and no Window at all
+    val plan = Dedup.queries("qa05_ngram_novelty")(spark, sf)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"qa05 regressed to a window plan:\n$plan")
+    // totals (2) + occurrence count (2, SortAggregate — the min(string)
+    // buffer is not hash-aggregable, but it still splits partial/final
+    // around the exchange) + per-source uniques (2): three pairs
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.size >= 6, s"expected three partial/final aggregate " +
+      s"pairs, found ${aggs.size}:\n$plan")
+    assert(plan.toString.contains("partial_count"),
+      s"occurrence count lost map-side partial aggregation:\n$plan")
   }
 }
