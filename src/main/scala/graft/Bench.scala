@@ -37,7 +37,11 @@ object Bench {
     // plan, not data-dependent — at the target scale it is noise, and
     // timing it against sf0.1 data misattributes it.
     val warmupDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val onlyWarm = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    SparkEntry.queries
+      .filter { case (name, _) => onlyWarm.isEmpty || onlyWarm(name) }
+      .foreach { case (_, fn) =>
       try { materialize(fn(spark, warmupDir)) } catch { case _: Throwable => }
     }
 
@@ -48,6 +52,10 @@ object Bench {
     // the "best achievable" floor. REPS is overridable for quick local
     // iteration (SPARK_GRAFT_BENCH_REPS=1).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // local-iteration filter (comma-separated names); the driver never
+    // sets it, so the full suite always runs in the per-round artifact
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // a failed run returns NaN and is EXCLUDED from the median/min/total:
     // a fast-crashing query must never contribute a flattering
@@ -66,20 +74,29 @@ object Bench {
           Double.NaN
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map(_ => timeOnce(name, fn))
-        .filterNot(_.isNaN).sorted
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+      // raw times kept in RUN ORDER (not sorted): a noise-vs-regression
+      // judgment needs the spread, and run order additionally shows
+      // first-rep warm-in drift; failed runs appear as null
+      val raw = (1 to reps).map(_ => timeOnce(name, fn))
+      val times = raw.filterNot(_.isNaN).sorted
       // a query with zero successful runs reports null, not a number
-      (name, times.lift(times.length / 2), times.headOption)
+      (name, times.lift(times.length / 2), times.headOption, raw)
     }
     def num(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + num(med) }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn) => "\"" + k + "\":" + num(mn) }
+    val mins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + num(mn) }
       .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, _, raw) =>
+      "\"" + k + "\":" + raw.map(t => num(Some(t).filterNot(_.isNaN)))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"queries_runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
