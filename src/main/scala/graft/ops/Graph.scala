@@ -29,11 +29,17 @@ import graft.Tables
   * bit-exactness, ~deg ulps of 1e-12 per node per round, irrelevant at
   * rank scale 1e12.
   *
-  * Overflow headroom: a node's inbound sum is < total mass = N * 1e12,
-  * and the 85x intermediate must stay under 2^63, so N must stay below
-  * ~10^5 at this Scale. At larger N, drop Scale one decade per decade of
-  * N (rank resolution falls, arithmetic stays exact); the recurrence is
-  * unchanged.
+  * Overflow headroom — ENFORCED, not just documented: a node's inbound
+  * sum is < total mass = N * scale, and the 85x intermediate must stay
+  * under 2^63, so the scale is DERIVED from the node count as
+  * 10^min(12, 17 - digits(N)) — one decade down per decade of N above
+  * 10^5, exactly 1e12 below it (so small-graph results are unchanged).
+  * digits(N) is a string length, not a float log: both engines compute
+  * the identical scale with zero boundary drift, and N * scale < 1e17
+  * gives 85 * 1e17 = 8.5e18 < 2^63 at ANY node count up to the loudly
+  * `require`d 10^15 ceiling (below which teleport = 15 * scale / 100
+  * stays exact). Rank resolution falls as N grows; arithmetic stays
+  * exact and the recurrence is unchanged.
   *
   * Graph: the customer—supplier relationship graph from orders x
   * lineitem (who trades with whom), symmetrized. Customer keys map to
@@ -42,9 +48,19 @@ import graft.Tables
   */
 object Graph {
 
-  private[graft] val Scale = 1000000000000L // rank 1.0
+  private[graft] val Scale = 1000000000000L // rank 1.0 at small N
   private[graft] val Iters = 5
-  private val Teleport = 15L * Scale / 100 // 0.15, exactly
+
+  /** The overflow-safe rank scale for an N-node graph: 10^min(12,
+    * 17 - digits(N)). See the headroom paragraph above; private[graft]
+    * so the spec can pin the decade boundaries. */
+  private[graft] def scaleFor(n: Long): Long = {
+    val digits = math.max(n, 1L).toString.length
+    require(digits <= 15,
+      s"pagerank: $n nodes exceeds the 10^15 integer-exactness ceiling " +
+        "(teleport 15*scale/100 would lose exactness below scale=100)")
+    (1 to math.min(12, 17 - digits)).foldLeft(1L)((a, _) => a * 10)
+  }
 
   /** Fixed-iteration integer PageRank over a directed edge list with
     * columns (src, dst). Returns (node, rank); every node that appears
@@ -59,15 +75,20 @@ object Graph {
     // materialize before the iteration fans out: every round scans this
     // table, and at 100 TB this line IS "write the adjacency list once"
     adj.count()
+    // one tiny agg over the persisted adjacency — the node count that
+    // fixes the scale; a single scalar to the driver, never row data
+    val n = adj.select(col("src")).distinct().count()
+    val scale = scaleFor(n)
+    val teleport = 15L * scale / 100 // 0.15, exactly (scale >= 100)
     var ranks = adj.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(Scale))
+      .withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
       ranks = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("rank DIV deg").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("contrib"))
         .select(col("dst").as("node"),
-          (lit(Teleport) + expr("(85 * contrib) DIV 100")).as("rank"))
+          (lit(teleport) + expr("(85 * contrib) DIV 100")).as("rank"))
     }
     ranks
   }
@@ -164,13 +185,17 @@ object Graph {
 
   // The recurrence unrolled: r_{i} = teleport + 0.85 * sum of inbound
   // floor-shares of r_{i-1}, all in BIGINT (DuckDB's SUM widens to
-  // HUGEINT; the cast narrows it back — values fit by the headroom
-  // argument above, and an overflowing cast would fail loudly).
+  // HUGEINT; the cast narrows it back — values fit by the ENFORCED
+  // headroom argument above, and an overflowing cast would fail
+  // loudly). The scale is derived from the node count exactly as
+  // scaleFor does it — digit count via string length, POWER(10, k)
+  // exact in a double for k <= 12 — so both engines pick the identical
+  // scale at any N.
   private def pagerankSql: String = {
     val rounds = (1 to Iters).map { i =>
       s"""r$i AS (
          |  SELECT e.dst AS node,
-         |    CAST($Teleport + (85 * SUM(r.rank // d.d)) // 100 AS BIGINT) AS rank
+         |    CAST((SELECT t FROM sc) + (85 * SUM(r.rank // d.d)) // 100 AS BIGINT) AS rank
          |  FROM edges e
          |  JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src
@@ -184,7 +209,12 @@ object Graph {
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM e0),
        |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-       |r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS rank FROM deg),
+       |sc AS (
+       |  SELECT scale, 15 * scale // 100 AS t FROM (
+       |    SELECT CAST(POWER(10, LEAST(12,
+       |      17 - length(CAST(GREATEST(COUNT(*), 1) AS VARCHAR)))) AS BIGINT)
+       |      AS scale FROM deg) z),
+       |r0 AS (SELECT src AS node, (SELECT scale FROM sc) AS rank FROM deg),
        |$rounds
        |SELECT node AS node_id, rank,
        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind

@@ -10,14 +10,59 @@ class GraphSpec extends SparkSpec {
     * plan on graphs small enough to enumerate. */
   private def refPagerank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    var rank = deg.keys.map(_ -> Graph.Scale).toMap
+    val scale = Graph.scaleFor(deg.size.toLong)
+    var rank = deg.keys.map(_ -> scale).toMap
     for (_ <- 1 to iters) {
       val inbound = edges.groupBy(_._2).view.mapValues { es =>
         es.map { case (s, _) => rank(s) / deg(s) }.sum
       }.toMap
-      rank = inbound.map { case (n, c) => n -> (15L * Graph.Scale / 100 + 85L * c / 100) }
+      rank = inbound.map { case (n, c) => n -> (15L * scale / 100 + 85L * c / 100) }
     }
     rank
+  }
+
+  test("scaleFor holds 1e12 below 100k nodes, then drops a decade per decade") {
+    assert(Graph.scaleFor(1L) == 1000000000000L)
+    assert(Graph.scaleFor(99999L) == 1000000000000L)
+    assert(Graph.scaleFor(100000L) == 100000000000L)
+    assert(Graph.scaleFor(999999L) == 100000000000L)
+    assert(Graph.scaleFor(1000000L) == 10000000000L)
+    // headroom invariant at every decade boundary: 85 * N * scale < 2^63
+    (5 to 14).foreach { d =>
+      val n = math.pow(10, d).toLong
+      val worst = BigInt(85) * BigInt(n) * BigInt(Graph.scaleFor(n))
+      assert(worst < BigInt(2).pow(63), s"headroom broken at N=1e$d")
+    }
+    intercept[IllegalArgumentException](Graph.scaleFor(1000000000000000L * 10))
+  }
+
+  test("pagerank survives a 150k-spoke star that overflows the fixed 1e12 scale") {
+    // worst-case mass concentration: every spoke's whole rank flows to
+    // the hub, so inbound ~ 1.5e5 * scale; at the old fixed 1e12 the
+    // 85x intermediate is 1.3e19 > 2^63 and ANSI mode aborts — the
+    // derived scale (6 digits -> 1e11) must keep it exact instead.
+    import spark.implicits._
+    val n = 150000L
+    val hub = 0L
+    val e = spark.range(1, n + 1).select(col("id").as("src"), lit(hub).as("dst"))
+      .unionByName(spark.range(1, n + 1)
+        .select(lit(hub).as("src"), col("id").as("dst")))
+    val got = Graph.pagerank(e.toDF(), iters = Graph.Iters)
+    // closed form of the same integer recurrence: all spokes identical
+    val scale = Graph.scaleFor(n + 1)
+    val t = 15L * scale / 100
+    var (h, sp) = (scale, scale)
+    for (_ <- 1 to Graph.Iters) {
+      val h2 = t + 85L * sp * n / 100 // spokes have deg 1
+      val s2 = t + 85L * (h / n) / 100 // hub splits its rank n ways
+      h = h2; sp = s2
+    }
+    val hubRank = got.filter(col("node") === hub).collect()(0).getLong(1)
+    val spokeRanks = got.filter(col("node") =!= hub)
+      .select(col("rank")).distinct().collect().map(_.getLong(0))
+    assert(hubRank == h, s"hub rank $hubRank != closed-form $h")
+    assert(spokeRanks.toSeq == Seq(sp),
+      s"spoke ranks ${spokeRanks.toSeq} != closed-form $sp")
   }
 
   test("pagerank matches the integer recurrence exactly on a path graph") {
