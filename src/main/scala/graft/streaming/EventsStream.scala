@@ -42,14 +42,27 @@ object EventsStream {
   final case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
       start_us: Long, duration_us: Long, open: Boolean)
 
-  /** Streaming read of an events parquet directory. */
+  /** Streaming read of an events parquet directory.
+    *
+    * The one-time footer probe assumes a HOMOGENEOUS directory: every
+    * file holds the same events-parquet generation (all NANOS-as-long
+    * or all MICROS-NTZ), which is how the testdata generator writes it
+    * — a directory accumulated ACROSS a regeneration would need a
+    * per-file normalization this reader does not attempt. If the
+    * directory is still empty when the stream starts (the class-doc
+    * start-before-files-arrive pattern), the probe cannot infer and we
+    * fall back to the current-generation MICROS-NTZ schema. */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 10): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // One batch footer read (metadata-only) tells us which generation of
     // the events parquet this directory holds; the stream then declares
     // the matching schema and normalizes ts exactly like Tables.load.
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        TimestampNTZType // empty dir: current-generation default
+      }
     val raw = spark.readStream
       .schema(rawSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // bounded-buffer analog

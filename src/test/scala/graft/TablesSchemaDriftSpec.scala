@@ -23,6 +23,12 @@ class TablesSchemaDriftSpec extends SparkSpec {
     }
 
     // Generation A: ts as INT64 (epoch nanos) — what nanosAsLong yields.
+    // Limitation: Spark cannot WRITE an annotated TIMESTAMP(NANOS)
+    // column, so this fixture is plain INT64 and the nanosAsLong escape
+    // hatch itself is not exercised here — only the post-hatch LongType
+    // normalization path (integer-div to micros) is pinned. A true
+    // nanos-generation file would need to be checked in as a binary
+    // fixture; the driver's regeneration removed the last one.
     val nanoDir = base.resolve("nanos").toString
     val nanoSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

@@ -64,6 +64,34 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readEvents starts on an initially-empty directory and reads files that arrive later") {
+    // the class-doc pattern: the stream is declared before any file
+    // exists; the footer probe cannot infer a schema and must fall back
+    // to the current-generation NTZ layout instead of throwing
+    val dir = java.nio.file.Files.createTempDirectory("events_empty")
+    val stream = EventsStream.readEvents(spark, dir.toString, maxFilesPerTrigger = 100)
+    val q = stream.writeStream.format("memory").queryName("late_start")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("late_start").count() == 0)
+      // first file lands after the stream started
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+        dir.resolve("a.parquet"))
+      q.processAllAvailable()
+      val total = graft.Tables.load(spark, sf, "events").count()
+      assert(spark.table("late_start").count() == total)
+      // and the normalized instants match the batch reader's exactly
+      val streamed = spark.table("late_start")
+        .select(col("event_id"), col("ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      val batch = graft.Tables.load(spark, sf, "events")
+        .select(col("event_id"), col("ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates with watermark removes replayed events") {
     // duplicate the events file in the drop dir → every event arrives twice
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
