@@ -60,32 +60,24 @@ object KMeans {
       vecCol: String, k: Int, iters: Int): Seq[Seq[Double]] = {
     val n = df.count()
     val stride = math.max(n / k, 1L)
-    var centroids: Seq[Seq[Double]] = df
+    val init = df
       .filter(col(idCol) % stride === 0)
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-
-    (1 to iters).foreach { _ =>
-      val assigned = df
-        .select(col(idCol), col(vecCol),
-          element_at(nearestCells(col(vecCol), centroids, 1), 1)
-            .getField("c_id").as("c_id"))
-      // exact decimal mean: double avg is merge-order-sensitive across
-      // partitions; decimal sums make centroids bit-identical run-to-run
-      val means = assigned
-        .select(col("c_id"), posexplode(col(vecCol)))
-        .toDF("c_id", "dim", "v")
-        .groupBy(col("c_id"), col("dim"))
-        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          .cast("double") / count(lit(1))).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
-    }
-    centroids
+      .zipWithIndex.map { case (c, i) => (i, c) }
+    // Lloyd scaffolding shared with emb03 (ops.Lloyd); this kernel:
+    // cosine argmax assignment, exact DECIMAL mean (double avg is
+    // merge-order-sensitive across partitions; decimal sums make
+    // centroids bit-identical run-to-run), empty clusters keep their
+    // previous centroid (k is a contract with the IVF index).
+    Lloyd.iterate[Double](df, vecCol, init, iters,
+      assignId = (vec, cs) =>
+        element_at(nearestCells(vec, cs.map(_._2), 1), 1).getField("c_id"),
+      meanExpr = (sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double") / count(lit(1))),
+      decode = _.getDouble(2),
+      fillEmpty = true
+    ).map(_._2)
   }
 }

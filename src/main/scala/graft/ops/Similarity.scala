@@ -302,19 +302,18 @@ object Similarity {
         .map(r => r.getSeq[Int](r.fieldIndex("q")))
         .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
 
-      val newc = q8.withColumn("a", assign(seeds))
-        .select(col("a.cid").as("c_id"), col("q"))
-        .select(col("c_id"), posexplode(col("q")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
-        .withColumn("m",
-          ((col("s") - (col("s") % col("n"))) / col("n")).cast("int"))
-        .select(col("c_id"), col("pos"), col("m"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
-        .groupBy(_._1).toSeq
-        .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
-        .sortBy(_._1)
+      // Lloyd scaffolding shared with KMeans.doFit (ops.Lloyd); this
+      // kernel: integer squared-L2 argmin, truncating integer mean
+      // ((s - s % n) / n divides exactly, so every division operator
+      // agrees cross-engine), empty clusters DROPPED (the oracle
+      // replays exactly that)
+      val newc = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
+        assignId = (_, cs) => assign(cs).getField("cid"),
+        meanExpr = ((sum(col("v").cast("long")) -
+          (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+          .cast("int"),
+        decode = _.getInt(2),
+        fillEmpty = false)
 
       q8.withColumn("a", assign(newc))
         .select(col("vec_id"), col("a.cid").as("c_id"),
