@@ -44,13 +44,56 @@ object DedupStream {
       .parquet(dir)
       .select(col("doc_id"), col("text"))
 
+  private val fpCol =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
   /** Keep-first exact dedup over the stream: one state entry per
     * distinct normalized fingerprint (same normalization as dd07). */
   def dedupKeepFirst(spark: SparkSession, docs: DataFrame): Dataset[Kept] = {
     import spark.implicits._
-    docs
-      .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    stateKeepFirst(spark, docs.select(col("doc_id"), fpCol.as("fp")))
+  }
+
+  /** The streaming twin of dd11: dedup the incoming crawl against a
+    * STANDING fingerprint corpus (bloom-routed) AND against itself
+    * (keyed state keep-first).
+    *
+    * Routing per micro-batch, before any state lookup: a bloom filter
+    * over the standing fingerprints has no false negatives, so a doc
+    * the filter rejects is DEFINITELY not in the standing corpus and
+    * skips the confirm join entirely — map-side, O(bits) executor
+    * memory (dd11's argument, Dedup.scala). Only the "maybe seen"
+    * sliver (true dupes + fpp of the new) enters the stream-static
+    * anti-join against the standing table. Survivors of either branch
+    * still go through the keyed state, which handles IN-STREAM
+    * duplicates (two new docs with the same fingerprint in the same or
+    * different triggers) — the bloom bounds the static check, the
+    * state stays one record per distinct NEW fingerprint, and at
+    * steady state (crawl mostly new) the hot path is a scan, not a
+    * join. Exactness: the bloom is routing, not semantics — dd11's
+    * oracle story; DedupStreamSpec pins stream==batch parity. */
+  def dedupWithStanding(spark: SparkSession, docs: DataFrame,
+      standing: DataFrame, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): Dataset[Kept] = {
+    val standingFps = standing.select(fpCol.as("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val bloom = graft.functions.Bloom.build(standingFps, col("fp"),
+      expectedItems, fpp)
+    val batch = docs.select(col("doc_id"), fpCol.as("fp"))
+    val definitelyNew =
+      batch.filter(!graft.functions.Bloom.mightContain(bloom, col("fp")))
+    val maybeSeen =
+      batch.filter(graft.functions.Bloom.mightContain(bloom, col("fp")))
+        .join(standingFps, Seq("fp"), "left_anti") // stream-static
+    stateKeepFirst(spark, definitelyNew.unionByName(maybeSeen))
+  }
+
+  /** Shared state stage: first trigger wins per fingerprint; within a
+    * trigger the smallest doc_id wins (batch keep-first determinism). */
+  private def stateKeepFirst(spark: SparkSession,
+      fps: DataFrame): Dataset[Kept] = {
+    import spark.implicits._
+    fps
       .as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {

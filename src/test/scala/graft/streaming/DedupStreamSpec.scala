@@ -67,6 +67,58 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-routed standing dedup: standing dups dropped, in-stream dups keep-first") {
+    import spark.implicits._
+    val standing = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("docs_standing")
+    // trigger 1: a standing dup (alpha), a new doc, and its in-trigger twin
+    Seq((100L, "ALPHA  beta"), (101L, "new one"), (102L, "new one"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b0")
+    val q = DedupStream.dedupWithStanding(spark,
+        DedupStream.readDocs(spark, s"$dir/b*/", maxFilesPerTrigger = 1), standing)
+      .writeStream.format("memory").queryName("standing_dedup")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // trigger 2: a cross-trigger dup, another standing dup, one fresh
+      Seq((103L, "new one"), (104L, "gamma  DELTA "), (105L, "fresh"))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b1")
+      q.processAllAvailable()
+      val kept = spark.table("standing_dedup").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(kept == Set(101L, 105L),
+        s"expected only the genuinely-new keepers, got $kept")
+    } finally q.stop()
+  }
+
+  test("bloom-routed standing dedup equals batch dd07 + keep-first on the sf corpus") {
+    // the dd11 parity story, streamed: standing = docs with id % 5 != 0,
+    // the crawl delivers the rest; the result must equal the batch
+    // anti-join + keep-first over the same split
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("docs_standing_sf")
+    docs.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.parquet(s"$dir/batch")
+    val q = DedupStream.dedupWithStanding(spark,
+        DedupStream.readDocs(spark, s"$dir/batch"), standing)
+      .writeStream.format("memory").queryName("standing_dedup_sf")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("standing_dedup_sf").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      val batch = docs.filter(col("doc_id") % 5 === 0).withColumn("fp", fp)
+        .join(standing.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+      assert(streamed == batch, "streamed standing dedup diverged from batch")
+    } finally q.stop()
+  }
+
   test("out-of-order arrival: first trigger wins even over a LOWER doc_id") {
     import spark.implicits._
     // The documented divergence from batch: streaming keep-first equals
