@@ -67,10 +67,14 @@ object Dedup {
     * the dd13 apply): K-token md5 seed windows → global occurrence
     * count → per-doc interval sweep. See dd12's registry comment for
     * the linear three-shuffle shape. */
-  private def dupSpans(s: SparkSession, d: String): DataFrame = {
-    val K = 6
+  private def dupSpans(s: SparkSession, d: String): DataFrame =
+    spanPipeline(corpusNear(s, d), 6)
+
+  /** dd12's span pipeline over an arbitrary (doc_id, text) corpus —
+    * also the entry tools.GramStress drives at 100x scale. */
+  private[graft] def spanPipeline(corpus: DataFrame, K: Int): DataFrame = {
     val toks = split(col("text"), " ")
-    val grams = corpusNear(s, d)
+    val grams = corpus
       .select(col("doc_id"),
         posexplode(when(size(toks) >= K,
           transform(sequence(lit(0), size(toks) - K),
@@ -95,6 +99,36 @@ object Dedup {
         max(col("pos") + K).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** qa05's two-stage novelty aggregate over an arbitrary (doc_id,
+    * source, text) corpus — also the entry tools.GramStress drives at
+    * 100x scale. See qa05's registry comment for the shuffle shape. */
+  private[graft] def noveltyReport(docs: DataFrame, K: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val totals = docs
+      .select(col("source"),
+        when(size(toks) >= K, (size(toks) - K + 1).cast("long"))
+          .otherwise(lit(0L)).as("g"))
+      .filter(col("g") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("total_grams"))
+    val uniques = docs
+      .select(col("source"),
+        explode(when(size(toks) >= K,
+          transform(sequence(lit(0), size(toks) - K),
+            i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"), min(col("source")).as("source"))
+      .filter(col("occ") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("unique_grams"))
+    totals.join(uniques, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("unique_grams"), lit(0L)).as("unique_grams"),
+        col("total_grams"),
+        (coalesce(col("unique_grams"), lit(0L)).cast("double") /
+          col("total_grams")).as("novelty"))
   }
 
   // pp02 composes over dd03's pairs; memoize the persisted pair set per
@@ -562,32 +596,7 @@ object Dedup {
     // map-side combining — this form shuffles a strict subset of the
     // bytes for the same integers.
     "qa05_ngram_novelty" -> { (s, d) =>
-      val K = 8
-      val toks = split(col("text"), " ")
-      val docs = Tables.load(s, d, "documents")
-      val totals = docs
-        .select(col("source"),
-          when(size(toks) >= K, (size(toks) - K + 1).cast("long"))
-            .otherwise(lit(0L)).as("g"))
-        .filter(col("g") > 0)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("total_grams"))
-      val uniques = docs
-        .select(col("source"),
-          explode(when(size(toks) >= K,
-            transform(sequence(lit(0), size(toks) - K),
-              i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))).as("h"))
-        .groupBy(col("h"))
-        .agg(count(lit(1)).as("occ"), min(col("source")).as("source"))
-        .filter(col("occ") === 1)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("unique_grams"))
-      totals.join(uniques, Seq("source"), "left")
-        .select(col("source"), col("n_docs"),
-          coalesce(col("unique_grams"), lit(0L)).as("unique_grams"),
-          col("total_grams"),
-          (coalesce(col("unique_grams"), lit(0L)).cast("double") /
-            col("total_grams")).as("novelty"))
+      noveltyReport(Tables.load(s, d, "documents"), 8)
     },
 
     // Semantic dedup at scale (the SemDeDup shape): bucket vectors by
