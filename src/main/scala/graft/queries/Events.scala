@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -283,6 +283,45 @@ object Events {
         .agg(count(lit(1)).as("n_transitions"))
     },
 
+    // Count-min-sketch accuracy audit over per-user event counts — the
+    // sketch-calibration report a 100 TB deployment runs before trusting
+    // CMS estimates for admission control / heavy-hitter routing. The
+    // sketch itself is the production artifact: d=4 rows × w=1024
+    // buckets, bucket = 20 md5 hex bits mod w (md5-derived like every
+    // cross-engine hash here — NOT xxhash, which DuckDB lacks), built
+    // with ONE map-side-combined aggregation whose output is 4,096
+    // cells regardless of corpus size. The audit joins the top-50
+    // exact heavy hitters (deterministic ties: user_id) against their
+    // d probe cells and reports est − exact, which CMS guarantees is
+    // ≥ 0 (min over d row-estimates, each an overcount) — a property
+    // the spec pins and the oracle replays bit-exactly, making this
+    // the sketch family's HASH-EXACT member (q08b's HLL can only be
+    // band-gated). Scale: cells and probes are tiny; the only
+    // corpus-sized work is the two partial-agg shuffles.
+    "ev16_cms_heavy_hitters" -> { (s, d) =>
+      val D = 4
+      val Wb = 1024
+      def bucket(seed: Column, id: Column): Column =
+        conv(substring(md5(concat_ws("_", seed, id)), 1, 5), 16, 10)
+          .cast("long") % Wb
+      val ev = Tables.load(s, d, "events").select(col("user_id"))
+      val cells = ev
+        .select(col("user_id"), explode(sequence(lit(1), lit(D))).as("seed"))
+        .select(col("seed"), bucket(col("seed"), col("user_id")).as("b"))
+        .groupBy(col("seed"), col("b")).agg(count(lit(1)).as("n"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("user_id")).limit(50)
+      top
+        .select(col("user_id"), col("n_exact"),
+          explode(sequence(lit(1), lit(D))).as("seed"))
+        .withColumn("b", bucket(col("seed"), col("user_id")))
+        .join(cells, Seq("seed", "b"))
+        .groupBy(col("user_id"), col("n_exact"))
+        .agg(min(col("n")).as("n_est"))
+        .select(col("user_id"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overestimate"))
+    },
+
     // Top-5 users by total value within each event type (rank + filter —
     // the SQL QUALIFY pattern).
     "ev04_top_users" -> { (s, d) =>
@@ -301,6 +340,37 @@ object Events {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ev16: the full CMS replayed — same md5-derived buckets (5 hex
+    // digits as a 20-bit integer, the pp11 hex-arithmetic technique),
+    // same cells, same min-over-rows estimate; every value an integer.
+    "ev16_cms_heavy_hitters" -> {
+      val hexw5 = "[65536,4096,256,16,1]"
+      def bucketSql(expr: String) =
+        s"""list_sum([ CAST(strpos('0123456789abcdef',
+           |      substr(md5($expr), i, 1)) - 1 AS BIGINT)
+           |    * ($hexw5)[i] FOR i IN range(1, 6) ]) % 1024""".stripMargin
+      s"""WITH seeds AS (SELECT unnest(range(1, 5)) AS seed),
+         |cells AS (
+         |  SELECT seed,
+         |    ${bucketSql("CAST(seed AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)")} AS b,
+         |    COUNT(*) AS n
+         |  FROM events, seeds GROUP BY 1, 2
+         |), exact AS (
+         |  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+         |), top AS (
+         |  SELECT user_id, n_exact FROM exact
+         |  ORDER BY n_exact DESC, user_id LIMIT 50
+         |), probes AS (
+         |  SELECT user_id, n_exact, seed,
+         |    ${bucketSql("CAST(seed AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)")} AS b
+         |  FROM top, seeds
+         |)
+         |SELECT p.user_id, p.n_exact, MIN(c.n) AS n_est,
+         |  MIN(c.n) - p.n_exact AS overestimate
+         |FROM probes p JOIN cells c USING (seed, b)
+         |GROUP BY p.user_id, p.n_exact""".stripMargin
+    },
 
     // ev15: LEAD over the same integer micros ordering; ties broken by
     // the unique event_id in both engines.
