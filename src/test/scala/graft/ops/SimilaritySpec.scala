@@ -34,6 +34,39 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"IVF mean recall@10 $mean below 0.3")
   }
 
+  test("ss09 PQ top-k: valid ranking, decent recall vs the exact int8 L2 order") {
+    val pq = Similarity.queries("ss09_pq_topk")(spark, sf).cache()
+    // structure: 10 ranked rows per query, distances non-decreasing
+    val perQ = pq.groupBy(col("q_id")).agg(count(lit(1)).as("n")).collect()
+    assert(perQ.forall(_.getLong(1) == 10))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rank"))
+    val nonMono = pq.withColumn("prev", lag(col("dist"), 1).over(w))
+      .filter(col("prev").isNotNull && col("dist") < col("prev")).count()
+    assert(nonMono == 0, "ADC distances not sorted by rank")
+    // recall vs the exact quantized L2 ranking (ss06's integer ground
+    // truth, re-derived here with L2 instead of dot)
+    val q8 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val scale = v.map(math.abs).max / 127.0
+        r.getLong(0) -> v.map(x => math.round(x / scale).toInt)
+      }.toMap
+    def l2(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    val exact = q8.keys.filter(_ < 10).map { q =>
+      q -> q8.keys.filter(_ != q).toSeq
+        .sortBy(x => (l2(q8(q), q8(x)), x)).take(10).toSet
+    }.toMap
+    val recalls = pq.collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+      (rows.map(_.getLong(1)).toSet intersect exact(q)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"PQ mean recall@10 $mean below 0.5")
+    pq.unpersist()
+  }
+
   test("ss07 range search plans with ZERO shuffles (map-only at any scale)") {
     val df = Similarity.queries("ss07_range_search")(spark, sf)
     val shuffles = df.queryExecution.sparkPlan.collect {
