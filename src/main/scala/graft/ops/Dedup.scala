@@ -312,6 +312,57 @@ object Dedup {
           col("n_dropped").cast("double") / col("n_docs"))
     },
 
+    // Cross-source duplication FLOW matrix — qa06 says how much each
+    // source shrinks under pp12; this says WHERE the mass goes: for
+    // every dropped cluster member, (its source) → (its surviving
+    // representative's source), counted. The report that catches one
+    // source wholesale mirroring another — the from≠to cells — vs
+    // benign internal duplication (the diagonal). Same memoized dd08
+    // cluster map as qa04/qa06; two doc_id joins the tiny map drives
+    // (AQE broadcasts it), one partial-agg groupBy on the bounded
+    // (source, source) key space. Counts are integers — hash-exact.
+    "qa07_dedup_flow" -> { (s, d) =>
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+      val corpus = src.union(
+        src.select((col("doc_id") + CopyOffset).as("doc_id"), col("source")))
+      dd08(s, d)
+        .filter(col("doc_id") =!= col("cluster_rep"))
+        .join(corpus.withColumnRenamed("source", "from_source"), Seq("doc_id"))
+        .join(corpus.select(col("doc_id").as("cluster_rep"),
+          col("source").as("to_source")), Seq("cluster_rep"))
+        .groupBy(col("from_source"), col("to_source"))
+        .agg(count(lit(1)).as("n_dropped"))
+    },
+
+    // Containment audit (the near-dup class Jaccard MISSES): a short
+    // doc pasted inside a longer one has high containment
+    // |A∩B| / |A| but low Jaccard (the union is dominated by the long
+    // doc), so dd03/dd05 never flag it. For a fixed-size hash-ordered
+    // sample of base docs (dd05's sample rule), report every corpus
+    // doc whose distinct 5-gram set is ≥ 50% contained in the sample
+    // doc. Scale shape: the 10 sampled gram sets broadcast; the scan
+    // is MAP-ONLY (codegen'd sorted-merge intersect count per row, the
+    // gr02 kernel) — no shuffle at any corpus size, the same
+    // broadcast-audit shape as dd05/dd06. The near-dup copies (every
+    // 7th token dropped) are planted containment hits: almost all of a
+    // copy's grams exist in its base.
+    "dd14_containment_audit" -> { (s, d) =>
+      val withG = corpusNear(s, d)
+        .select(col("doc_id"),
+          sort_array(graft.functions.MinHash.charGramHashes(col("text"), 5)).as("g"))
+      val samples = broadcast(withG.filter(col("doc_id") < CopyOffset)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(10)
+        .select(col("doc_id").as("base_id"), col("g").as("base_g")))
+      withG.crossJoin(samples)
+        .filter(col("doc_id") =!= col("base_id") && size(col("g")) > 0)
+        .withColumn("containment",
+          graft.functions.SetOps.intersectCountSorted(col("g"), col("base_g"))
+            .cast("double") / size(col("g")))
+        .filter(col("containment") >= 0.5)
+        .select(col("base_id"), col("doc_id"), col("containment"))
+    },
+
     // Incremental-ingest dedup: drop new-batch docs whose normalized
     // fingerprint already exists in the standing corpus — the "dedup
     // today's crawl against the existing 100 TB corpus" op. Shape: one
@@ -899,6 +950,50 @@ object Dedup {
          |    AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS drop_share
          |FROM src_corpus c LEFT JOIN dropped d USING (doc_id)
          |GROUP BY source""".stripMargin,
+
+    // qa07: the dd08 CTE decides the drops; both source attributions
+    // join the same corpus union; integer counts — hash-exact.
+    "qa07_dedup_flow" ->
+      s"""WITH cm AS (
+         |  SELECT doc_id, cluster_rep FROM ($dd08OracleSql) c
+         |  WHERE doc_id <> cluster_rep
+         |),
+         |src_corpus AS (
+         |  SELECT doc_id, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, source FROM documents
+         |)
+         |SELECT f.source AS from_source, t.source AS to_source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dropped
+         |FROM cm c
+         |JOIN src_corpus f ON c.doc_id = f.doc_id
+         |JOIN src_corpus t ON c.cluster_rep = t.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    // dd14: same distinct 5-gram sets as dd05's oracle (string grams —
+    // the rolling-hash long set has identical cardinalities), same
+    // hash-ordered sample rule, containment = |d ∩ base| / |d| on
+    // identical integer operands.
+    "dd14_containment_audit" ->
+      s"""$nearCte,
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_distinct([substr(text, i, 5)
+         |                   FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS g
+         |  FROM corpus
+         |),
+         |samples AS (
+         |  SELECT doc_id AS base_id, g AS base_g FROM grams
+         |  WHERE doc_id < 1000000
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 10
+         |)
+         |SELECT base_id, doc_id, containment FROM (
+         |  SELECT s.base_id, d.doc_id,
+         |    CAST(len(list_intersect(d.g, s.base_g)) AS DOUBLE) / len(d.g)
+         |      AS containment
+         |  FROM grams d, samples s
+         |  WHERE d.doc_id != s.base_id AND len(d.g) > 0) z
+         |WHERE containment >= 0.5""".stripMargin,
 
     "dd07_incremental_dedup" ->
       """WITH fp AS (

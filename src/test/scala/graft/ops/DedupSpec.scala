@@ -154,6 +154,34 @@ class DedupSpec extends SparkSpec {
     scrub.unpersist()
   }
 
+  test("dd14 containment flags every sampled base's planted near-dup copy") {
+    val df = Dedup.queries("dd14_containment_audit")(spark, sf).cache()
+    assert(df.filter(col("containment") < 0.5 || col("containment") > 1.0)
+      .count() == 0, "containment outside (threshold, 1]")
+    // the copy of a sampled base (every 7th token dropped) keeps almost
+    // all its grams inside the base — each must be reported against it
+    val missing = df.filter(col("doc_id") === col("base_id") + offset)
+      .select(col("base_id")).distinct().count()
+    assert(missing == 10, s"only $missing of 10 planted copies flagged")
+    df.unpersist()
+  }
+
+  test("qa07 flow matrix accounts for exactly the qa06 drop totals") {
+    val flow = Dedup.queries("qa07_dedup_flow")(spark, sf)
+    val impact = Dedup.queries("qa06_dedup_impact")(spark, sf)
+    val flowTotal = flow.agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    val impactTotal = impact.agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(flowTotal == impactTotal,
+      s"flow matrix total $flowTotal != per-source drop total $impactTotal")
+    // per-source marginals must agree too, not just the grand total
+    val fromMarginal = flow.groupBy(col("from_source").as("source"))
+      .agg(sum(col("n_dropped")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = impact.filter(col("n_dropped") > 0).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(fromMarginal == perSource, "from_source marginals diverge from qa06")
+  }
+
   test("qa05 novelty is a ratio of its own integer sums, bounded in [0,1]") {
     val df = Dedup.queries("qa05_ngram_novelty")(spark, sf).cache()
     assert(df.filter(col("unique_grams") > col("total_grams")).count() == 0)
