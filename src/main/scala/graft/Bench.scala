@@ -96,7 +96,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"queries_runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"queries_runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's per-round artifact keeps only a ~2KB tail of stdout,
+    // which has repeatedly made cross-round per-query comparison
+    // impossible — persist the FULL line in the repo as well
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => () } // stdout remains the contract
     spark.stop()
   }
 }

@@ -361,45 +361,35 @@ object Similarity {
         .select(col("vec_id"), col("q"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
-      def sqDistTo(subCol: String, c: Seq[Int]): org.apache.spark.sql.Column =
-        expr(s"aggregate(zip_with($subCol, array(${c.mkString(",")}), " +
-          "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
-      def assignCid(subCol: String, cs: Seq[(Int, Seq[Int])]): org.apache.spark.sql.Column =
-        array_min(array(cs.map { case (cid, c) =>
-          struct(sqDistTo(subCol, c).as("dist"), lit(cid).as("cid")) }: _*))
-          .getField("cid")
-
       // per-subspace codebooks: emb03's sample rule (hash-ordered first
-      // K vectors) seeds all M subspaces; one integer Lloyd round each.
-      // Memoized per (session, dir) — the index build/probe split, so
-      // bench reps and pipeline reuse probe a built index instead of
-      // re-running M Lloyd fits.
+      // K vectors) seeds all M subspaces; one KEYED integer Lloyd round
+      // refines all 32 books in a single assign scan + one
+      // (m, cid, dim) agg (Lloyd.iterateKeyed — all argmin work runs
+      // through the fused-codegen PqEncode expression; the DataFrame
+      // formulation, M columns of array_min over M×K unrolled struct
+      // distances, spent seconds per rep in Janino compilation alone).
+      // Memoized per (session, dir) — the index build/probe split.
       val codebooks = pqCodebookCache.getOrElseUpdate((s, d), {
         graft.SessionCaches.track(s)
         val seedVecs = q8
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(K).collect().map(_.getSeq[Int](1))
-        (0 until M).map { m =>
-          val sub = q8.select(slice(col("q"), m * SubD + 1, SubD).as("sub"))
-          val init = seedVecs.toSeq
+        val init = (0 until M).map { m =>
+          seedVecs.toSeq
             .map(v => v.slice(m * SubD, m * SubD + SubD).toSeq)
             .zipWithIndex.map { case (c, i) => (i, c) }
-          Lloyd.iterate[Int](sub, "sub", init, rounds = 1,
-            assignId = (_, cs) => assignCid("sub", cs),
-            meanExpr = ((sum(col("v").cast("long")) -
-              (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
-              .cast("int"),
-            decode = _.getInt(2),
-            fillEmpty = false)
         }
+        Lloyd.iterateKeyed[Int](q8, "q", init, rounds = 1, subD = SubD,
+          assignCodes = (vec, books) => pqEncode(vec, books),
+          meanExpr = ((sum(col("v").cast("long")) -
+            (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+            .cast("int"),
+          decode = _.getInt(3))
       })
 
-      // encode: map-only argmin per subspace against codebook literals
-      val enc = (0 until M).foldLeft(
-        (0 until M).foldLeft(q8)((df, m) =>
-          df.withColumn(s"sub$m", slice(col("q"), m * SubD + 1, SubD)))
-      )((df, m) => df.withColumn(s"c$m", assignCid(s"sub$m", codebooks(m))))
-        .select(col("vec_id") +: (0 until M).map(m => col(s"c$m")): _*)
+      // encode: ONE fused map-only expression computes all M codes
+      val enc = q8.select(col("vec_id"),
+        pqEncode(col("q"), codebooks).as("codes"))
 
       // ADC lookup tables, one per query: lut[m][cid] = intL2(qsub, centroid).
       // Missing cids (empty clusters) keep a filler no code can reference.
@@ -424,7 +414,8 @@ object Similarity {
       enc.crossJoin(broadcast(qdf))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("dist", (0 until M)
-          .map(m => element_at(element_at(col("lut"), m + 1), col(s"c$m") + 1))
+          .map(m => element_at(element_at(col("lut"), m + 1),
+            element_at(col("codes"), m + 1) + 1))
           .reduce(_ + _))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)

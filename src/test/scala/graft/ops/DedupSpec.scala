@@ -154,6 +154,30 @@ class DedupSpec extends SparkSpec {
     scrub.unpersist()
   }
 
+  test("dd13 plan: the span join is hint-free (no forced broadcast)") {
+    // the span table is usually tiny (duplicated regions only) but
+    // unbounded in the worst case — the doc_id join must carry no
+    // broadcast hint, so with auto-broadcast off it can only plan as a
+    // shuffle join (TextPlanSpec's vocabulary-join contract)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    val plan =
+      try Dedup.queries("dd13_substring_scrub")(spark, sf)
+        .queryExecution.sparkPlan
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isEmpty, s"forced broadcast on the span side:\n$plan")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.nonEmpty, s"expected the span join to plan as sort-merge:\n$plan")
+  }
+
   test("dd14 containment flags every sampled base's planted near-dup copy") {
     val df = Dedup.queries("dd14_containment_audit")(spark, sf).cache()
     assert(df.filter(col("containment") < 0.5 || col("containment") > 1.0)

@@ -67,6 +67,22 @@ class SimilaritySpec extends SparkSpec {
     pq.unpersist()
   }
 
+  test("ss09 plan: the ADC scan shuffles ONLY for the top-k window") {
+    // encode (argmin vs literals) and LUT distance are map-side over
+    // the persisted int8 corpus; the broadcast query side adds no
+    // shuffle — the lone exchange is the per-query top-k repartition
+    val plan = Similarity.queries("ss09_pq_topk")(spark, sf)
+      .queryExecution.sparkPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // ≤ 1: the window's q_id repartition when the input is multi-
+    // partition, zero when it already satisfies the clustering — never
+    // a corpus-sized exchange from encoding or LUT distance
+    assert(shuffles.size <= 1,
+      s"encode/ADC must not shuffle the corpus, got ${shuffles.size}:\n$plan")
+  }
+
   test("ss07 range search plans with ZERO shuffles (map-only at any scale)") {
     val df = Similarity.queries("ss07_range_search")(spark, sf)
     val shuffles = df.queryExecution.sparkPlan.collect {
