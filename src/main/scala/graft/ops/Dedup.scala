@@ -63,12 +63,25 @@ object Dedup {
   def nearCorpusIds(s: SparkSession, d: String): DataFrame =
     corpusNear(s, d).select(col("doc_id"))
 
+  // dd12's span table is consumed twice (the dd12 report and the dd13
+  // apply) — like the dd08 cluster map, it is the intermediate a 100 TB
+  // pipeline materializes ONCE and every consumer reads. DISK_ONLY for
+  // the usual executor-memory reason; evicted with the session.
+  private val spanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.SessionCaches.registerEvictor(s =>
+    spanCache.keySet.toSeq.filter(_._1 eq s).foreach(spanCache.remove))
+
   /** Maximal duplicated token spans per doc (dd12's body, shared with
     * the dd13 apply): K-token md5 seed windows → global occurrence
     * count → per-doc interval sweep. See dd12's registry comment for
-    * the linear three-shuffle shape. */
-  private def dupSpans(s: SparkSession, d: String): DataFrame =
-    spanPipeline(corpusNear(s, d), 6)
+    * the linear three-shuffle shape. Memoized per (session, dir). */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    graft.SessionCaches.track(s)
+    spanCache.getOrElseUpdate((s, d),
+      spanPipeline(corpusNear(s, d), 6)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+  }
 
   /** dd12's span pipeline over an arbitrary (doc_id, text) corpus —
     * also the entry tools.GramStress drives at 100x scale. */
