@@ -76,12 +76,15 @@ object Graph {
     // table, and at 100 TB this line IS "write the adjacency list once"
     adj.count()
     // one tiny agg over the persisted adjacency — the node count that
-    // fixes the scale; a single scalar to the driver, never row data
-    val n = adj.select(col("src")).distinct().count()
+    // fixes the scale; a single scalar to the driver, never row data.
+    // The distinct node table is persisted and reused as the rank
+    // init, so the count costs no extra distinct computation.
+    val nodes = adj.select(col("src").as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val n = nodes.count()
     val scale = scaleFor(n)
     val teleport = 15L * scale / 100 // 0.15, exactly (scale >= 100)
-    var ranks = adj.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(scale))
+    var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
       ranks = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("rank DIV deg").as("share"))
