@@ -100,10 +100,13 @@ object Bench {
     println(line)
     // the driver's per-round artifact keeps only a ~2KB tail of stdout,
     // which has repeatedly made cross-round per-query comparison
-    // impossible — persist the FULL line in the repo as well
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => () } // stdout remains the contract
+    // impossible — persist the FULL line in the repo as well. Only for
+    // FULL runs: a SPARK_GRAFT_BENCH_ONLY iteration must never clobber
+    // the durable full-suite artifact with a partial line.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      catch { case _: Throwable => () } // stdout remains the contract
     spark.stop()
   }
 }
