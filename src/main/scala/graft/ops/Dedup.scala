@@ -66,26 +66,36 @@ object Dedup {
   // dd12's span table is consumed twice (the dd12 report and the dd13
   // apply) — like the dd08 cluster map, it is the intermediate a 100 TB
   // pipeline materializes ONCE and every consumer reads. DISK_ONLY for
-  // the usual executor-memory reason; evicted with the session.
-  private val spanCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // the usual executor-memory reason; evicted with the session. Keyed
+  // by the spare-one flag too: dd13b's keep-one span table is a
+  // different (smaller) table than dd12/dd13's remove-all one.
+  private val spanCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Boolean), DataFrame]
   graft.SessionCaches.registerEvictor(s =>
     spanCache.keySet.toSeq.filter(_._1 eq s).foreach(spanCache.remove))
 
   /** Maximal duplicated token spans per doc (dd12's body, shared with
-    * the dd13 apply): K-token md5 seed windows → global occurrence
-    * count → per-doc interval sweep. See dd12's registry comment for
-    * the linear three-shuffle shape. Memoized per (session, dir). */
-  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    * the dd13/dd13b applies): K-token md5 seed windows → global
+    * occurrence count → per-doc interval sweep. See dd12's registry
+    * comment for the linear three-shuffle shape. Memoized per
+    * (session, dir, spareOne). */
+  private def dupSpans(s: SparkSession, d: String,
+      spareOne: Boolean = false): DataFrame = {
     graft.SessionCaches.track(s)
-    spanCache.getOrElseUpdate((s, d),
-      spanPipeline(corpusNear(s, d), 6)
+    spanCache.getOrElseUpdate((s, d, spareOne),
+      spanPipeline(corpusNear(s, d), 6, spareOne)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
 
   /** dd12's span pipeline over an arbitrary (doc_id, text) corpus —
-    * also the entry tools.GramStress drives at 100x scale. */
-  private[graft] def spanPipeline(corpus: DataFrame, K: Int): DataFrame = {
+    * also the entry tools.GramStress drives at 100x scale. With
+    * `spareOne` the globally minimal (doc_id, pos) occurrence of each
+    * duplicated gram is NOT a duplicate start — Lee et al. 2022 §4.1's
+    * actual "remove all but one occurrence" rule (dd13b), under which
+    * duplicated content survives in exactly one place instead of
+    * vanishing from the corpus. */
+  private[graft] def spanPipeline(corpus: DataFrame, K: Int,
+      spareOne: Boolean = false): DataFrame = {
     val toks = split(col("text"), " ")
     val grams = corpus
       .select(col("doc_id"),
@@ -93,10 +103,35 @@ object Dedup {
           transform(sequence(lit(0), size(toks) - K),
             i => md5(concat_ws(" ", slice(toks, i + 1, lit(K))))))))
       .toDF("doc_id", "pos", "h")
-    val dupStarts = grams
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("occ") > 1)
-      .select(col("doc_id"), col("pos"))
+    // Occurrence counting, NARROWED (the qa05 two-stage treatment):
+    // groupBy(h) splits partial/final around the exchange, so the
+    // h-shuffle carries (h, partial_count) cells — never the full
+    // (doc_id, pos, h) gram table, which the previous
+    // `count(*) over (partition by h)` window pushed through the
+    // exchange with zero map-side combining. The duplicated-h set is
+    // small by definition (only grams that repeat), so the routing join
+    // below is hint-free and AQE broadcasts it when the runtime size
+    // proves out — only under genuine dup-heavy skew does the gram
+    // table re-shuffle, and then only its duplicated sliver survives
+    // the join anyway. Cost: the gram explode runs twice (two map-only
+    // corpus scans — same md5 floor as qa05); what it buys at 100 TB:
+    // the corpus-sized gram table never crosses an exchange.
+    val dupGroups = (
+      if (spareOne)
+        grams.groupBy(col("h"))
+          .agg(count(lit(1)).as("occ"),
+            min(struct(col("doc_id"), col("pos"))).as("keep"))
+      else grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      ).filter(col("occ") > 1)
+    val dupStarts =
+      if (spareOne)
+        grams.join(dupGroups.select(col("h"), col("keep")), Seq("h"))
+          .filter(col("doc_id") =!= col("keep.doc_id") ||
+            col("pos") =!= col("keep.pos"))
+          .select(col("doc_id"), col("pos"))
+      else
+        grams.join(dupGroups.select(col("h")), Seq("h"), "left_semi")
+          .select(col("doc_id"), col("pos"))
     // interval sweep: a window starting at pos covers [pos, pos+K);
     // it merges with the running span unless it starts strictly past
     // the max end seen so far (pos == prev_end is adjacency → merge)
@@ -112,6 +147,30 @@ object Dedup {
         max(col("pos") + K).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** The scrub half shared by dd13/dd13b: cut every span out of each
+    * doc's token stream and emit the fixed-width audit row (counts +
+    * clean_md5). The span table aggregates per doc and joins back on
+    * doc_id HINT-FREE (AQE broadcasts when the runtime size proves it;
+    * a skew-heavy span table shuffles); the cut itself runs map-side
+    * per row and never explodes tokens. */
+  private def scrubReport(corpus: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    corpus
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("spans"))
+      .withColumn("kept", when(col("spans").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (_, i) =>
+          !exists(col("spans"), sp =>
+            i >= sp("span_start") && i < sp("span_end")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
   }
 
   /** qa05's two-stage novelty aggregate over an arbitrary (doc_id,
@@ -617,21 +676,20 @@ object Dedup {
     // oracle replays span derivation AND reassembly, gating the
     // scrubbed text md5 exactly like tx15's clean_md5.
     "dd13_substring_scrub" -> { (s, d) =>
-      val spans = dupSpans(s, d)
-        .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
-      corpusNear(s, d)
-        .join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"), col("spans"))
-        .withColumn("kept", when(col("spans").isNull, col("toks"))
-          .otherwise(filter(col("toks"), (_, i) =>
-            !exists(col("spans"), sp =>
-              i >= sp("span_start") && i < sp("span_end")))))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          size(col("kept")).cast("long").as("n_kept"),
-          (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"),
-          md5(array_join(col("kept"), " ")).as("clean_md5"))
+      scrubReport(corpusNear(s, d), dupSpans(s, d))
+    },
+
+    // dd13 under Lee et al. 2022 §4.1's ACTUAL rule — "we remove one
+    // occurrence": per duplicated gram group the globally minimal
+    // (doc_id, pos) occurrence is spared when building duplicate
+    // starts, so duplicated content survives in exactly one place
+    // (dd13 generalizes to removing every occurrence; this is the
+    // keep-one form a production span-dedup run ships). Same pipeline
+    // shape and cost as dd13 — the spare rule is one extra (tiny)
+    // column on the duplicated-h group table. The oracle replays the
+    // spare rule as rn > 1 over the identical (doc_id, pos) order.
+    "dd13b_substring_scrub_keep1" -> { (s, d) =>
+      scrubReport(corpusNear(s, d), dupSpans(s, d, spareOne = true))
     },
 
     // Corpus novelty report: what fraction of each source's 8-token
@@ -898,6 +956,80 @@ object Dedup {
        |  SELECT cluster_rep, COUNT(*) AS cluster_size FROM rep
        |  GROUP BY cluster_rep) cs USING (cluster_rep)""".stripMargin
 
+  /** dd13/dd13b replayed in full: dd12's span derivation (identical
+    * md5 seed hashes, occurrence rule, interval sweep), then the cut +
+    * reassembly — per-token anti-semi vs the span intervals, tokens
+    * re-joined in position order, md5 gated like tx15's clean_md5.
+    * With `spareOne` the duplicate starts exclude each gram group's
+    * globally minimal (doc_id, pos) occurrence — rn = 1 in exactly the
+    * order Spark's min(struct(doc_id, pos)) compares. */
+  private def scrubSql(spareOne: Boolean): String = {
+    val dupStarts =
+      if (spareOne)
+        """dup_starts AS (
+          |  SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ,
+          |      ROW_NUMBER() OVER (PARTITION BY h
+          |        ORDER BY doc_id, pos) AS rn
+          |    FROM grams) z
+          |  WHERE occ > 1 AND rn > 1
+          |)""".stripMargin
+      else
+        """dup_starts AS (
+          |  SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ
+          |    FROM grams) z
+          |  WHERE occ > 1
+          |)""".stripMargin
+    s"""$nearCte,
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, u.i AS pos,
+       |    md5(array_to_string(t[u.i + 1:u.i + 6], ' ')) AS h
+       |  FROM toks, UNNEST(range(0, len(t) - 5)) AS u(i)
+       |),
+       |$dupStarts,
+       |swept AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > COALESCE(MAX(pos + 6) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS new_span
+       |  FROM dup_starts
+       |),
+       |grp AS (
+       |  SELECT doc_id, pos, SUM(new_span) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM swept
+       |),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos + 6) AS span_end
+       |  FROM grp GROUP BY doc_id, g
+       |),
+       |tok AS (
+       |  SELECT doc_id, u.i AS pos, t[u.i + 1] AS tok
+       |  FROM toks, UNNEST(range(0, len(t))) AS u(i)
+       |),
+       |kept AS (
+       |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = k.doc_id
+       |      AND k.pos >= s.span_start AND k.pos < s.span_end)
+       |),
+       |kc AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(len(d.t) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(d.t) - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_cut,
+       |  COALESCE(kc.clean_md5, md5('')) AS clean_md5
+       |FROM toks d LEFT JOIN kc USING (doc_id)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "dd03_minhash_lsh" -> dd03Sql,
     "dd04_simhash" -> dd04Sql,
@@ -986,13 +1118,17 @@ object Dedup {
     // dd14: same distinct 5-gram sets as dd05's oracle (string grams —
     // the rolling-hash long set has identical cardinalities), same
     // hash-ordered sample rule, containment = |d ∩ base| / |d| on
-    // identical integer operands.
+    // identical integer operands. The gram range guard is 0, not 1:
+    // a doc shorter than 5 chars must yield an EMPTY gram set (range(1,
+    // 1) = []) exactly like charGramHashes, so both engines drop
+    // sub-gram docs through the same len(g) > 0 gate — the old
+    // greatest(…, 1) fabricated one truncated 'gram' DuckDB-only.
     "dd14_containment_audit" ->
       s"""$nearCte,
          |grams AS (
          |  SELECT doc_id,
          |    list_distinct([substr(text, i, 5)
-         |                   FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS g
+         |                   FOR i IN range(1, greatest(length(text) - 4, 0) + 1)]) AS g
          |  FROM corpus
          |),
          |samples AS (
@@ -1126,59 +1262,12 @@ object Dedup {
     // dd13: dd12's span derivation replayed verbatim, then the cut +
     // reassembly — per-token anti-semi vs the span intervals, tokens
     // re-joined in position order, md5 gated like tx15's clean_md5.
-    "dd13_substring_scrub" ->
-      s"""$nearCte,
-         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-         |grams AS (
-         |  SELECT doc_id, u.i AS pos,
-         |    md5(array_to_string(t[u.i + 1:u.i + 6], ' ')) AS h
-         |  FROM toks, UNNEST(range(0, len(t) - 5)) AS u(i)
-         |),
-         |dup_starts AS (
-         |  SELECT doc_id, pos FROM (
-         |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ
-         |    FROM grams) z
-         |  WHERE occ > 1
-         |),
-         |swept AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN pos > COALESCE(MAX(pos + 6) OVER (
-         |        PARTITION BY doc_id ORDER BY pos
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS new_span
-         |  FROM dup_starts
-         |),
-         |grp AS (
-         |  SELECT doc_id, pos, SUM(new_span) OVER (
-         |      PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-         |  FROM swept
-         |),
-         |spans AS (
-         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos + 6) AS span_end
-         |  FROM grp GROUP BY doc_id, g
-         |),
-         |tok AS (
-         |  SELECT doc_id, u.i AS pos, t[u.i + 1] AS tok
-         |  FROM toks, UNNEST(range(0, len(t))) AS u(i)
-         |),
-         |kept AS (
-         |  SELECT k.doc_id, k.pos, k.tok FROM tok k
-         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-         |    WHERE s.doc_id = k.doc_id
-         |      AND k.pos >= s.span_start AND k.pos < s.span_end)
-         |),
-         |kc AS (
-         |  SELECT doc_id, COUNT(*) AS n_kept,
-         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
-         |  FROM kept GROUP BY doc_id
-         |)
-         |SELECT d.doc_id,
-         |  CAST(len(d.t) AS BIGINT) AS n_tokens,
-         |  CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
-         |  CAST(len(d.t) - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_cut,
-         |  COALESCE(kc.clean_md5, md5('')) AS clean_md5
-         |FROM toks d LEFT JOIN kc USING (doc_id)""".stripMargin,
+    "dd13_substring_scrub" -> scrubSql(spareOne = false),
+
+    // dd13b: identical replay except the spare rule — rn > 1 over
+    // (doc_id, pos) order within each duplicated gram group is exactly
+    // "every occurrence but the globally minimal one".
+    "dd13b_substring_scrub_keep1" -> scrubSql(spareOne = true),
 
     // qa05: integer sums are bit-exact; the single novelty division
     // runs on identical integer operands in both engines.

@@ -73,12 +73,19 @@ object DedupStream {
     * join. Exactness: the bloom is routing, not semantics — dd11's
     * oracle story; DedupStreamSpec pins stream==batch parity. */
   def dedupWithStanding(spark: SparkSession, docs: DataFrame,
-      standing: DataFrame, expectedItems: Long = 1000000L,
+      standing: DataFrame, expectedItems: Option[Long] = None,
       fpp: Double = 0.01): Dataset[Kept] = {
     val standingFps = standing.select(fpCol.as("fp")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // Size the bloom from the ACTUAL standing cardinality by default —
+    // one count() on the just-persisted table (the build scan below
+    // reuses it, so the extra action is a cache read). A fixed default
+    // silently saturates on a larger corpus: at 10^9 fps a 10^6-sized
+    // bloom has fpp ≈ 1, every doc routes "maybe seen", and the filter
+    // degrades to the plain anti-join with no error telling anyone.
+    val items = bloomItems(standingFps.count(), expectedItems)
     val bloom = graft.functions.Bloom.build(standingFps, col("fp"),
-      expectedItems, fpp)
+      items, fpp)
     val batch = docs.select(col("doc_id"), fpCol.as("fp"))
     val definitelyNew =
       batch.filter(!graft.functions.Bloom.mightContain(bloom, col("fp")))
@@ -86,6 +93,23 @@ object DedupStream {
       batch.filter(graft.functions.Bloom.mightContain(bloom, col("fp")))
         .join(standingFps, Seq("fp"), "left_anti") // stream-static
     stateKeepFirst(spark, definitelyNew.unionByName(maybeSeen))
+  }
+
+  /** The bloom's item capacity: the caller's estimate when it covers
+    * the actual standing cardinality (LOUD require otherwise — an
+    * undersized bloom is a silent performance bug, not a correctness
+    * one, which is exactly why it must fail fast), else the actual
+    * count. */
+  private[streaming] def bloomItems(actual: Long,
+      estimate: Option[Long]): Long = estimate match {
+    case Some(e) =>
+      require(e >= actual,
+        s"dedupWithStanding: expectedItems=$e is below the standing " +
+          s"corpus's actual $actual distinct fingerprints — the bloom " +
+          "would saturate (fpp → 1) and silently degrade to the plain " +
+          "anti-join; pass a covering estimate or omit it to derive")
+      e
+    case None => math.max(actual, 1L)
   }
 
   /** Shared state stage: first trigger wins per fingerprint; within a

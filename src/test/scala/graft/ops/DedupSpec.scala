@@ -154,6 +154,65 @@ class DedupSpec extends SparkSpec {
     scrub.unpersist()
   }
 
+  test("dd12 plan: no window over the gram table, occurrence count partially aggregates") {
+    // the 100 TB contract (qa05's, applied to dd12): count(*) over
+    // (partition by h) would push every (doc_id, pos, h) gram row
+    // through the h-exchange with zero map-side combining — the plan
+    // must instead show the partial/final occurrence aggregate and
+    // route grams through the hint-free duplicated-h join; the only
+    // windows left are the per-doc interval sweep's
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.spanPipeline(corpus, 6).queryExecution.sparkPlan
+    val hWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.references.exists(_.name == "h")) => w
+    }
+    assert(hWindows.isEmpty, s"dd12 regressed to a gram-table window plan:\n$plan")
+    assert(plan.toString.contains("partial_count"),
+      s"occurrence count lost map-side partial aggregation:\n$plan")
+  }
+
+  test("dd13b spare rule: duplicated content survives in exactly one doc") {
+    import spark.implicits._
+    // two identical docs + one unrelated: the keep-one span table must
+    // scrub the HIGHER doc completely and leave the canonical (minimal
+    // doc_id) occurrence — and the unrelated doc — untouched
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val spans = Dedup.spanPipeline(corpus, 6, spareOne = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((2L, 0L, 8L)),
+      s"expected only doc 2 fully spanned, got $spans")
+    // the remove-all form cuts BOTH copies — the semantic difference
+    val all = Dedup.spanPipeline(corpus, 6)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L))
+  }
+
+  test("dd13b cuts a per-doc subset of dd13 and still scrubs every planted copy") {
+    val full = Dedup.queries("dd13_substring_scrub")(spark, sf)
+      .select(col("doc_id"), col("n_cut").as("cut_all"))
+    val keep1 = Dedup.queries("dd13b_substring_scrub_keep1")(spark, sf)
+      .select(col("doc_id"), col("n_cut").as("cut_keep1"))
+    val j = full.join(keep1, Seq("doc_id")).cache()
+    assert(j.filter(col("cut_keep1") > col("cut_all")).count() == 0,
+      "the spare rule grew a span")
+    val sums = j.agg(sum(col("cut_all")), sum(col("cut_keep1"))).collect()(0)
+    assert(sums.getLong(1) < sums.getLong(0), "the spare rule spared nothing")
+    // a planted copy's duplicated grams all have their minimal
+    // occurrence in the base doc (smaller id), so every copy is still
+    // scrubbed under keep-one
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(j.filter(col("doc_id") >= offset && col("cut_keep1") > 0)
+      .count() == nDocs, "a planted copy escaped the keep-one scrub")
+    j.unpersist()
+  }
+
   test("dd13 plan: the span join is hint-free (no forced broadcast)") {
     // the span table is usually tiny (duplicated regions only) but
     // unbounded in the worst case — the doc_id join must carry no

@@ -119,6 +119,42 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom sizing derives from the standing corpus and rejects covering lies") {
+    // derive: the actual cardinality, never a fixed default
+    assert(DedupStream.bloomItems(7654321L, None) == 7654321L)
+    assert(DedupStream.bloomItems(0L, None) == 1L) // empty corpus still builds
+    // a covering estimate passes through
+    assert(DedupStream.bloomItems(1000L, Some(5000L)) == 5000L)
+    // an under-estimate must fail LOUDLY, not silently saturate
+    val e = intercept[IllegalArgumentException] {
+      DedupStream.bloomItems(1000000L, Some(1000L))
+    }
+    assert(e.getMessage.contains("saturate"))
+  }
+
+  test("derived sizing keeps the maybe-seen sliver at ~fpp on a corpus far above the old default") {
+    import spark.implicits._
+    // a standing corpus much larger than any plausible fixed default
+    // for this test tier: 60k distinct fps; with derived sizing the
+    // bloom is built AT that capacity, so a disjoint batch routes
+    // map-side (definitely-new) except ~fpp false positives. An
+    // undersized bloom (the old fixed-default failure mode) saturates
+    // and sends nearly everything into the confirm join.
+    val standing = spark.range(60000).select(md5(concat(lit("s"), col("id"))).as("fp"))
+    val batch = spark.range(5000).select(md5(concat(lit("b"), col("id"))).as("fp"))
+    val sized = graft.functions.Bloom.build(standing, col("fp"),
+      DedupStream.bloomItems(60000L, None), 0.01)
+    val maybeSeen = batch.filter(
+      graft.functions.Bloom.mightContain(sized, col("fp"))).count()
+    assert(maybeSeen <= 250, // 5% guard band over the 1% design fpp
+      s"derived-size bloom routed $maybeSeen/5000 disjoint docs to the confirm join")
+    val undersized = graft.functions.Bloom.build(standing, col("fp"), 500L, 0.01)
+    val saturated = batch.filter(
+      graft.functions.Bloom.mightContain(undersized, col("fp"))).count()
+    assert(saturated > 4000,
+      s"expected the undersized bloom to saturate, got $saturated/5000")
+  }
+
   test("out-of-order arrival: first trigger wins even over a LOWER doc_id") {
     import spark.implicits._
     // The documented divergence from batch: streaming keep-first equals
