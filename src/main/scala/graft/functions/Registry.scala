@@ -30,5 +30,6 @@ object Registry {
     reg("winnow_fingerprint", es => WinnowFingerprint(es(0)))
     reg("char_entropy", es => CharEntropy(es(0)))
     reg("jaccard_sorted", es => JaccardSortedLongs(es(0), es(1)))
+    reg("span_cut", es => SpanFilter(es(0), es(1)))
   }
 }

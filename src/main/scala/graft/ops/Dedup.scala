@@ -154,7 +154,10 @@ object Dedup {
     * clean_md5). The span table aggregates per doc and joins back on
     * doc_id HINT-FREE (AQE broadcasts when the runtime size proves it;
     * a skew-heavy span table shuffles); the cut itself runs map-side
-    * per row and never explodes tokens. */
+    * per row and never explodes tokens — one fused sorted-interval
+    * pass (functions.SpanFilter, the PqEncode treatment: the previous
+    * `filter`+`exists` higher-order lambdas were CodegenFallback,
+    * interpreted per token × per span). */
   private def scrubReport(corpus: DataFrame, spans: DataFrame): DataFrame = {
     val perDoc = spans
       .groupBy(col("doc_id"))
@@ -163,9 +166,7 @@ object Dedup {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), split(col("text"), " ").as("toks"), col("spans"))
       .withColumn("kept", when(col("spans").isNull, col("toks"))
-        .otherwise(filter(col("toks"), (_, i) =>
-          !exists(col("spans"), sp =>
-            i >= sp("span_start") && i < sp("span_end")))))
+        .otherwise(graft.functions.SpanFilter.spanCut(col("toks"), col("spans"))))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),

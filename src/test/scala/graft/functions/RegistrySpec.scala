@@ -17,7 +17,11 @@ class RegistrySpec extends SparkSpec {
         |  char_entropy(text) AS ent,
         |  size(winnow_fingerprint(text)) AS n_fp,
         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
-        |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac
+        |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
+        |  size(split(text, ' ')) AS n_toks,
+        |  size(span_cut(split(text, ' '),
+        |    array(named_struct('span_start', CAST(0 AS BIGINT),
+        |                       'span_end', CAST(2 AS BIGINT))))) AS n_after_cut
         |FROM documents ORDER BY doc_id LIMIT 10""".stripMargin).collect()
     assert(df.length == 10)
     df.foreach { r =>
@@ -26,6 +30,7 @@ class RegistrySpec extends SparkSpec {
       assert(r.getAs[Double]("dot") == 11.0)
       assert(r.getAs[Double]("ent") > 0.0 && r.getAs[Int]("n_fp") > 0)
       assert(r.getAs[Double]("jac") == 0.5)
+      assert(r.getAs[Int]("n_after_cut") == r.getAs[Int]("n_toks") - 2)
     }
   }
 

@@ -237,6 +237,19 @@ class DedupSpec extends SparkSpec {
     }.nonEmpty, s"expected the span join to plan as sort-merge:\n$plan")
   }
 
+  test("dd13 plan: the span cut is the fused codegen expression, not lambda fallback") {
+    val plan = Dedup.queries("dd13_substring_scrub")(spark, sf)
+      .queryExecution.sparkPlan
+    val planStr = plan.toString
+    assert(planStr.contains("spanfilter"),
+      s"expected the fused SpanFilter in the scrub projection:\n$plan")
+    // the CodegenFallback shape it replaced (filter+exists over the
+    // span structs) must be gone — the only lambda left in the plan is
+    // the test-corpus construction's every-7th-token drop
+    assert(!planStr.contains("exists("),
+      s"the interpreted exists() cut survived in the scrub plan:\n$plan")
+  }
+
   test("dd14 containment flags every sampled base's planted near-dup copy") {
     val df = Dedup.queries("dd14_containment_audit")(spark, sf).cache()
     assert(df.filter(col("containment") < 0.5 || col("containment") > 1.0)
