@@ -193,7 +193,11 @@ object Graph {
   // loudly). The scale is derived from the node count exactly as
   // scaleFor does it — digit count via string length, POWER(10, k)
   // exact in a double for k <= 12 — so both engines pick the identical
-  // scale at any N.
+  // scale at any N, INCLUDING the 10^15 ceiling: scaleFor's require is
+  // mirrored as a CASE branch whose string-to-BIGINT cast errors
+  // loudly (DuckDB evaluates CASE branches lazily — verified), so
+  // above the ceiling the two derivations fail together instead of
+  // the SQL silently computing a sub-100 scale with inexact teleport.
   private def pagerankSql: String = {
     val rounds = (1 to Iters).map { i =>
       s"""r$i AS (
@@ -214,9 +218,12 @@ object Graph {
        |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
        |sc AS (
        |  SELECT scale, 15 * scale // 100 AS t FROM (
-       |    SELECT CAST(POWER(10, LEAST(12,
-       |      17 - length(CAST(GREATEST(COUNT(*), 1) AS VARCHAR)))) AS BIGINT)
-       |      AS scale FROM deg) z),
+       |    SELECT CASE
+       |      WHEN length(CAST(GREATEST(COUNT(*), 1) AS VARCHAR)) > 15
+       |      THEN CAST('pagerank oracle: node count exceeds the 10^15 integer-exactness ceiling (scaleFor would require-fail; teleport 15*scale//100 loses exactness below scale=100)' AS BIGINT)
+       |      ELSE CAST(POWER(10, LEAST(12,
+       |        17 - length(CAST(GREATEST(COUNT(*), 1) AS VARCHAR)))) AS BIGINT)
+       |      END AS scale FROM deg) z),
        |r0 AS (SELECT src AS node, (SELECT scale FROM sc) AS rank FROM deg),
        |$rounds
        |SELECT node AS node_id, rank,

@@ -33,6 +33,29 @@ object Similarity {
     pqCodebookCache.keySet.toSeq.filter(_._1 eq s)
       .foreach(pqCodebookCache.remove))
 
+  // The int8-quantized corpus (ss05's grid) — consumed by the PQ
+  // build, the encode scan, the LUT collect, and the ss10 re-rank, and
+  // previously re-persisted per ss09/emb03 INVOCATION (each bench rep
+  // leaked another DISK_ONLY copy for the session lifetime). One
+  // memoized persist per (session, dir), like the codebooks.
+  private val q8Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  graft.SessionCaches.registerEvictor(s =>
+    q8Cache.keySet.toSeq.filter(_._1 eq s).foreach(q8Cache.remove))
+
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.SessionCaches.track(s)
+    q8Cache.getOrElseUpdate((s, d), {
+      val xd = transform(col("embedding"), x => x.cast("double"))
+      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      emb(s, d)
+        .withColumn("scale", maxabs / 127.0)
+        .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
+        .select(col("vec_id"), col("q"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    })
+  }
+
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
@@ -290,13 +313,7 @@ object Similarity {
     // KMeans-training idiom (IvfIndex precedent). Ten Lloyd rounds =
     // ten cheap k×dim round trips, never a corpus-sized one.
     "emb03_kmeans_int" -> { (s, d) =>
-      val xd = transform(col("embedding"), x => x.cast("double"))
-      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      val q8 = emb(s, d)
-        .withColumn("scale", maxabs / 127.0)
-        .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
-        .select(col("vec_id"), col("q"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val q8 = quantized(s, d)
 
       def sqDist(c: Seq[Int]): org.apache.spark.sql.Column =
         expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
@@ -352,77 +369,125 @@ object Similarity {
     // shipped with the 10-query broadcast; the scan is one corpus pass
     // + the ss06 top-k window.
     "ss09_pq_topk" -> { (s, d) =>
-      val M = 32; val SubD = 2; val K = 32
-      val xd = transform(col("embedding"), x => x.cast("double"))
-      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      val q8 = emb(s, d)
-        .withColumn("scale", maxabs / 127.0)
-        .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
-        .select(col("vec_id"), col("q"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-
-      // per-subspace codebooks: emb03's sample rule (hash-ordered first
-      // K vectors) seeds all M subspaces; one KEYED integer Lloyd round
-      // refines all 32 books in a single assign scan + one
-      // (m, cid, dim) agg (Lloyd.iterateKeyed — all argmin work runs
-      // through the fused-codegen PqEncode expression; the DataFrame
-      // formulation, M columns of array_min over M×K unrolled struct
-      // distances, spent seconds per rep in Janino compilation alone).
-      // Memoized per (session, dir) — the index build/probe split.
-      val codebooks = pqCodebookCache.getOrElseUpdate((s, d), {
-        graft.SessionCaches.track(s)
-        val seedVecs = q8
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-          .limit(K).collect().map(_.getSeq[Int](1))
-        val init = (0 until M).map { m =>
-          seedVecs.toSeq
-            .map(v => v.slice(m * SubD, m * SubD + SubD).toSeq)
-            .zipWithIndex.map { case (c, i) => (i, c) }
-        }
-        Lloyd.iterateKeyed[Int](q8, "q", init, rounds = 1, subD = SubD,
-          assignCodes = (vec, books) => pqEncode(vec, books),
-          meanExpr = ((sum(col("v").cast("long")) -
-            (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
-            .cast("int"),
-          decode = _.getInt(3))
-      })
-
-      // encode: ONE fused map-only expression computes all M codes
-      val enc = q8.select(col("vec_id"),
-        pqEncode(col("q"), codebooks).as("codes"))
-
-      // ADC lookup tables, one per query: lut[m][cid] = intL2(qsub, centroid).
-      // Missing cids (empty clusters) keep a filler no code can reference.
-      def il2(a: Seq[Int], b: Seq[Int]): Long =
-        a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
-      val qs = q8.filter(col("vec_id") < 10).collect()
-        .map(r => (r.getLong(0), r.getSeq[Int](1)))
-      val lutRows = qs.toSeq.map { case (qid, qv) =>
-        val lut = (0 until M).map { m =>
-          val row = Array.fill(K)(Long.MaxValue)
-          codebooks(m).foreach { case (cid, c) =>
-            row(cid) = il2(qv.slice(m * SubD, m * SubD + SubD), c) }
-          row.toSeq
-        }
-        (qid, lut)
-      }
-      import s.implicits._
-      val qdf = lutRows.toDF("q_id", "lut")
-
+      val (enc, qdf) = pqAdc(s, d)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("dist"), col("vec_id"))
       enc.crossJoin(broadcast(qdf))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("dist", (0 until M)
-          .map(m => element_at(element_at(col("lut"), m + 1),
-            element_at(col("codes"), m + 1) + 1))
-          .reduce(_ + _))
+        .withColumn("dist", adcDist)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("vec_id"), col("dist"),
           col("rank").cast("int").as("rank"))
+    },
+
+    // ss09 with the exact RE-RANK stage production PQ retrieval runs
+    // (Jégou et al. 2011 §VII: ADC shortlist, then exact distances on
+    // the shortlist): stage 1 takes the top-C = 100 ADC candidates per
+    // query (compressed-domain scan, ss09's); stage 2 recomputes the
+    // EXACT int8 squared L2 (ss06's integer kernel) for only those
+    // C×queries rows and emits the top-10 — recall ≥ 0.95 vs the exact
+    // ranking (spec-gated; ss09's one-stage gate is 0.5, measured
+    // 0.76), at the cost of C exact distances per query instead of
+    // zero. Everything stays integer, so unlike production float PQ
+    // the two-stage pipeline is replayed bit-exactly by the oracle.
+    // Scale shape: stage 1 is ss09's map-only scan + bounded top-C
+    // window; the shortlist (queries×C rows) is tiny, so its
+    // vector-fetch join is hint-free and AQE broadcasts it against the
+    // quantized corpus — the re-rank never scans more than the
+    // shortlist.
+    "ss10_pq_rerank" -> { (s, d) =>
+      val C = 100
+      val q8 = quantized(s, d)
+      val (enc, qdf) = pqAdc(s, d)
+      val adcW = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      val shortlist = enc.crossJoin(broadcast(qdf))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dist", adcDist)
+        .withColumn("rn", row_number().over(adcW))
+        .filter(col("rn") <= C)
+        .select(col("q_id"), col("vec_id"))
+      val qs = broadcast(q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("l2"), col("vec_id"))
+      shortlist.join(q8, Seq("vec_id"))
+        .join(qs, Seq("q_id"))
+        .withColumn("l2",
+          expr("aggregate(zip_with(q, q_q, (a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("l2"),
+          col("rank").cast("int").as("rank"))
     }
   )
+
+  private val PqM = 32
+  private val PqSubD = 2
+  private val PqK = 32
+
+  // per-subspace codebooks: emb03's sample rule (hash-ordered first
+  // K vectors) seeds all M subspaces; one KEYED integer Lloyd round
+  // refines all 32 books in a single assign scan + one
+  // (m, cid, dim) agg (Lloyd.iterateKeyed — all argmin work runs
+  // through the fused-codegen PqEncode expression; the DataFrame
+  // formulation, M columns of array_min over M×K unrolled struct
+  // distances, spent seconds per rep in Janino compilation alone).
+  // Memoized per (session, dir) — the index build/probe split.
+  private def pqCodebooksFor(s: SparkSession,
+      d: String): Seq[Seq[(Int, Seq[Int])]] =
+    pqCodebookCache.getOrElseUpdate((s, d), {
+      graft.SessionCaches.track(s)
+      val q8 = quantized(s, d)
+      val seedVecs = q8
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(PqK).collect().map(_.getSeq[Int](1))
+      val init = (0 until PqM).map { m =>
+        seedVecs.toSeq
+          .map(v => v.slice(m * PqSubD, m * PqSubD + PqSubD).toSeq)
+          .zipWithIndex.map { case (c, i) => (i, c) }
+      }
+      Lloyd.iterateKeyed[Int](q8, "q", init, rounds = 1, subD = PqSubD,
+        assignCodes = (vec, books) => pqEncode(vec, books),
+        meanExpr = ((sum(col("v").cast("long")) -
+          (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+          .cast("int"),
+        decode = _.getInt(3))
+    })
+
+  /** The ADC scan pieces shared by ss09/ss10: the PQ-encoded corpus
+    * (one fused map-only expression computes all M codes) and the
+    * per-query lookup-table broadcast — lut[m][cid] = intL2(qsub,
+    * centroid), missing cids (empty clusters) keep a filler no code
+    * can reference. */
+  private def pqAdc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val q8 = quantized(s, d)
+    val codebooks = pqCodebooksFor(s, d)
+    val enc = q8.select(col("vec_id"),
+      pqEncode(col("q"), codebooks).as("codes"))
+    def il2(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    val qs = q8.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val lutRows = qs.toSeq.map { case (qid, qv) =>
+      val lut = (0 until PqM).map { m =>
+        val row = Array.fill(PqK)(Long.MaxValue)
+        codebooks(m).foreach { case (cid, c) =>
+          row(cid) = il2(qv.slice(m * PqSubD, m * PqSubD + PqSubD), c) }
+        row.toSeq
+      }
+      (qid, lut)
+    }
+    import s.implicits._
+    (enc, lutRows.toDF("q_id", "lut"))
+  }
+
+  /** Σ_m LUT[m][code_m] — M array lookups per row, the ADC trick. */
+  private def adcDist: org.apache.spark.sql.Column = (0 until PqM)
+    .map(m => element_at(element_at(col("lut"), m + 1),
+      element_at(col("codes"), m + 1) + 1))
+    .reduce(_ + _)
 
   // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
   // the sequential double fold of VecDot (validated empirically).
@@ -521,75 +586,42 @@ object Similarity {
     // argmin encoding, and ADC distance recomputed as Σ_m l2(qsub_m,
     // centroid[code_m]) — the exact integers Spark's LUT lookups sum.
     "ss09_pq_topk" ->
-      """WITH q8 AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(round(
-        |      CAST(x AS DOUBLE) /
-        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
-        |    ) AS INT)) AS q
-        |  FROM embeddings
-        |),
-        |ms AS (SELECT unnest(range(32)) AS m),
-        |subs AS (
-        |  SELECT vec_id, m, q[m * 2 + 1 : m * 2 + 2] AS sub
-        |  FROM q8, ms
-        |),
-        |seedv AS (
-        |  SELECT vec_id FROM q8
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
-        |),
-        |seeds AS (
-        |  SELECT s.m, CAST(ROW_NUMBER() OVER (PARTITION BY s.m
-        |      ORDER BY md5(CAST(s.vec_id AS VARCHAR)), s.vec_id) - 1 AS INT) AS cid,
-        |    s.sub
-        |  FROM subs s JOIN seedv USING (vec_id)
-        |),
-        |a1 AS (
-        |  SELECT vec_id, m, sub, cid FROM (
-        |    SELECT x.vec_id, x.m, x.sub, s.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
-        |        CAST(list_dot_product(x.sub, x.sub) AS BIGINT)
-        |          - 2 * CAST(list_dot_product(x.sub, s.sub) AS BIGINT)
-        |          + CAST(list_dot_product(s.sub, s.sub) AS BIGINT), s.cid) AS rn
-        |    FROM subs x JOIN seeds s USING (m)) z
-        |  WHERE rn = 1
-        |),
-        |sums AS (
-        |  SELECT m, cid, u.i AS pos, CAST(SUM(sub[u.i + 1]) AS BIGINT) AS sm,
-        |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM a1, UNNEST(range(0, len(sub))) AS u(i)
-        |  GROUP BY m, cid, u.i
-        |),
-        |newc AS (
-        |  SELECT m, cid, list(CAST((sm - (sm % n)) // n AS INT) ORDER BY pos) AS cvec
-        |  FROM sums GROUP BY m, cid
-        |),
-        |codes AS (
-        |  SELECT vec_id, m, cid AS code FROM (
-        |    SELECT x.vec_id, x.m, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
-        |        CAST(list_dot_product(x.sub, x.sub) AS BIGINT)
-        |          - 2 * CAST(list_dot_product(x.sub, c.cvec) AS BIGINT)
-        |          + CAST(list_dot_product(c.cvec, c.cvec) AS BIGINT), c.cid) AS rn
-        |    FROM subs x JOIN newc c USING (m)) z
-        |  WHERE rn = 1
-        |),
-        |qsub AS (SELECT vec_id AS q_id, m, sub AS qs FROM subs WHERE vec_id < 10),
-        |dists AS (
-        |  SELECT q.q_id, c.vec_id,
-        |    CAST(SUM(CAST(list_dot_product(q.qs, q.qs) AS BIGINT)
-        |      - 2 * CAST(list_dot_product(q.qs, n.cvec) AS BIGINT)
-        |      + CAST(list_dot_product(n.cvec, n.cvec) AS BIGINT)) AS BIGINT) AS dist
-        |  FROM qsub q
-        |  JOIN codes c ON c.m = q.m AND c.vec_id != q.q_id
-        |  JOIN newc n ON n.m = c.m AND n.cid = c.code
-        |  GROUP BY q.q_id, c.vec_id
-        |)
-        |SELECT q_id, vec_id, dist, CAST(rn AS INT) AS rank FROM (
-        |  SELECT q_id, vec_id, dist,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
-        |  FROM dists) z
-        |WHERE rn <= 10""".stripMargin,
+      s"""$pqCoreSql
+         |SELECT q_id, vec_id, dist, CAST(rn AS INT) AS rank FROM (
+         |  SELECT q_id, vec_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM dists) z
+         |WHERE rn <= 10""".stripMargin,
+
+    // ss10: ss09's replay extended by the two-stage form — the ADC
+    // shortlist is rn <= 100 over the identical (dist, vec_id) order,
+    // and the exact stage is the integer L2 identity ldp(x,x) −
+    // 2·ldp(x,q) + ldp(q,q), which equals Spark's zip_with squared
+    // fold exactly (integer arithmetic has no rounding to disagree
+    // on — the emb03 argument).
+    "ss10_pq_rerank" ->
+      s"""$pqCoreSql,
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |    FROM dists) z
+         |  WHERE rn <= 100
+         |),
+         |ex AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    CAST(list_dot_product(x.q, x.q) AS BIGINT)
+         |      - 2 * CAST(list_dot_product(x.q, qq.q) AS BIGINT)
+         |      + CAST(list_dot_product(qq.q, qq.q) AS BIGINT) AS l2
+         |  FROM short s
+         |  JOIN q8 x ON x.vec_id = s.vec_id
+         |  JOIN q8 qq ON qq.vec_id = s.q_id
+         |)
+         |SELECT q_id, vec_id, l2, CAST(rn AS INT) AS rank FROM (
+         |  SELECT q_id, vec_id, l2,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rn
+         |  FROM ex) z
+         |WHERE rn <= 10""".stripMargin,
 
     "emb03_kmeans_int" ->
       """WITH q8 AS (
@@ -646,6 +678,75 @@ object Similarity {
         |SELECT vec_id, scale,
         |  array_to_string(list_transform(v, x -> CAST(round(x / scale) AS INT)), ',') AS q_str
         |FROM s""".stripMargin)
+
+  // The PQ pipeline's shared CTE chain (ss09/ss10): quantize → subspace
+  // split → hash-ordered seeds → one keyed integer Lloyd round → argmin
+  // codes → per-(query, vector) ADC distances.
+  private lazy val pqCoreSql: String =
+    """WITH q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(
+      |      CAST(x AS DOUBLE) /
+      |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+      |    ) AS INT)) AS q
+      |  FROM embeddings
+      |),
+      |ms AS (SELECT unnest(range(32)) AS m),
+      |subs AS (
+      |  SELECT vec_id, m, q[m * 2 + 1 : m * 2 + 2] AS sub
+      |  FROM q8, ms
+      |),
+      |seedv AS (
+      |  SELECT vec_id FROM q8
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+      |),
+      |seeds AS (
+      |  SELECT s.m, CAST(ROW_NUMBER() OVER (PARTITION BY s.m
+      |      ORDER BY md5(CAST(s.vec_id AS VARCHAR)), s.vec_id) - 1 AS INT) AS cid,
+      |    s.sub
+      |  FROM subs s JOIN seedv USING (vec_id)
+      |),
+      |a1 AS (
+      |  SELECT vec_id, m, sub, cid FROM (
+      |    SELECT x.vec_id, x.m, x.sub, s.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+      |        CAST(list_dot_product(x.sub, x.sub) AS BIGINT)
+      |          - 2 * CAST(list_dot_product(x.sub, s.sub) AS BIGINT)
+      |          + CAST(list_dot_product(s.sub, s.sub) AS BIGINT), s.cid) AS rn
+      |    FROM subs x JOIN seeds s USING (m)) z
+      |  WHERE rn = 1
+      |),
+      |sums AS (
+      |  SELECT m, cid, u.i AS pos, CAST(SUM(sub[u.i + 1]) AS BIGINT) AS sm,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM a1, UNNEST(range(0, len(sub))) AS u(i)
+      |  GROUP BY m, cid, u.i
+      |),
+      |newc AS (
+      |  SELECT m, cid, list(CAST((sm - (sm % n)) // n AS INT) ORDER BY pos) AS cvec
+      |  FROM sums GROUP BY m, cid
+      |),
+      |codes AS (
+      |  SELECT vec_id, m, cid AS code FROM (
+      |    SELECT x.vec_id, x.m, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+      |        CAST(list_dot_product(x.sub, x.sub) AS BIGINT)
+      |          - 2 * CAST(list_dot_product(x.sub, c.cvec) AS BIGINT)
+      |          + CAST(list_dot_product(c.cvec, c.cvec) AS BIGINT), c.cid) AS rn
+      |    FROM subs x JOIN newc c USING (m)) z
+      |  WHERE rn = 1
+      |),
+      |qsub AS (SELECT vec_id AS q_id, m, sub AS qs FROM subs WHERE vec_id < 10),
+      |dists AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    CAST(SUM(CAST(list_dot_product(q.qs, q.qs) AS BIGINT)
+      |      - 2 * CAST(list_dot_product(q.qs, n.cvec) AS BIGINT)
+      |      + CAST(list_dot_product(n.cvec, n.cvec) AS BIGINT)) AS BIGINT) AS dist
+      |  FROM qsub q
+      |  JOIN codes c ON c.m = q.m AND c.vec_id != q.q_id
+      |  JOIN newc n ON n.m = c.m AND n.cid = c.code
+      |  GROUP BY q.q_id, c.vec_id
+      |)""".stripMargin
 
   // ss02 replayed EXACTLY in SQL: the fixed-seed hyperplanes are plan-time
   // constants, so they embed as double literals (java.lang.Double.toString

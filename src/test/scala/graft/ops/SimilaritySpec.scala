@@ -67,6 +67,39 @@ class SimilaritySpec extends SparkSpec {
     pq.unpersist()
   }
 
+  test("ss10 re-rank recall >= 0.95 vs the exact int8 L2 ranking") {
+    val rr = Similarity.queries("ss10_pq_rerank")(spark, sf).cache()
+    val perQ = rr.groupBy(col("q_id")).agg(count(lit(1)).as("n")).collect()
+    assert(perQ.forall(_.getLong(1) == 10))
+    // the exact quantized ground truth, re-derived driver-side
+    val q8 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val scale = v.map(math.abs).max / 127.0
+        r.getLong(0) -> v.map(x => math.round(x / scale).toInt)
+      }.toMap
+    def l2(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    val exact = q8.keys.filter(_ < 10).map { q =>
+      q -> q8.keys.filter(_ != q).toSeq
+        .sortBy(x => (l2(q8(q), q8(x)), x)).take(10).toSet
+    }.toMap
+    val recalls = rr.collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+      (rows.map(_.getLong(1)).toSet intersect exact(q)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.95,
+      s"two-stage PQ mean recall@10 $mean below 0.95 — the re-rank is not doing its job")
+    // and the reported l2 IS the exact distance (not the ADC estimate)
+    val sample = rr.limit(50).collect()
+    sample.foreach { r =>
+      assert(r.getLong(2) == l2(q8(r.getLong(0)), q8(r.getLong(1))),
+        s"reported l2 drifted from exact for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    rr.unpersist()
+  }
+
   test("ss09 plan: the ADC scan shuffles ONLY for the top-k window") {
     // encode (argmin vs literals) and LUT distance are map-side over
     // the persisted int8 corpus; the broadcast query side adds no
