@@ -289,15 +289,21 @@ object Events {
     // sketch itself is the production artifact: d=4 rows × w=1024
     // buckets, bucket = 20 md5 hex bits mod w (md5-derived like every
     // cross-engine hash here — NOT xxhash, which DuckDB lacks), built
-    // with ONE map-side-combined aggregation whose output is 4,096
-    // cells regardless of corpus size. The audit joins the top-50
-    // exact heavy hitters (deterministic ties: user_id) against their
-    // d probe cells and reports est − exact, which CMS guarantees is
-    // ≥ 0 (min over d row-estimates, each an overcount) — a property
-    // the spec pins and the oracle replays bit-exactly, making this
-    // the sketch family's HASH-EXACT member (q08b's HLL can only be
-    // band-gated). Scale: cells and probes are tiny; the only
-    // corpus-sized work is the two partial-agg shuffles.
+    // as a SINGLE-PASS mergeable aggregate (functions.CmsAggregate: a
+    // TypedImperativeAggregate whose buffer IS the d×w cell array —
+    // map-side partial sketches merge cell-wise across the exchange,
+    // no per-event d× explode; the exploded groupBy form this replaced
+    // survives verbatim in the DuckDB oracle and in EventsCmsSpec's
+    // full-population bound, certifying the aggregate produces the
+    // exact same integers). The audit joins the top-50 exact heavy
+    // hitters (deterministic ties: user_id) against their d probe
+    // cells and reports est − exact, which CMS guarantees is ≥ 0 (min
+    // over d row-estimates, each an overcount) — a property the spec
+    // pins and the oracle replays bit-exactly, making this the sketch
+    // family's HASH-EXACT member (q08b's HLL can only be band-gated).
+    // Scale: the sketch pass ships ONE 32 KB buffer per map partition;
+    // the only other corpus-sized work is the exact count's partial-agg
+    // shuffle (deliberate — it is a sketch-accuracy audit).
     "ev16_cms_heavy_hitters" -> { (s, d) =>
       val D = 4
       val Wb = 1024
@@ -305,10 +311,15 @@ object Events {
         conv(substring(md5(concat_ws("_", seed, id)), 1, 5), 16, 10)
           .cast("long") % Wb
       val ev = Tables.load(s, d, "events").select(col("user_id"))
+      // flattened cells (seed-major) → (seed, b, n) rows; only nonzero
+      // cells, matching the exploded groupBy form row-for-row
       val cells = ev
-        .select(col("user_id"), explode(sequence(lit(1), lit(D))).as("seed"))
-        .select(col("seed"), bucket(col("seed"), col("user_id")).as("b"))
-        .groupBy(col("seed"), col("b")).agg(count(lit(1)).as("n"))
+        .agg(graft.functions.Cms.cmsSketch(col("user_id"), D, Wb).as("cells"))
+        .select(posexplode(col("cells")))
+        .select((expr(s"pos div $Wb") + 1).cast("int").as("seed"),
+          (col("pos") % Wb).cast("long").as("b"),
+          col("col").as("n"))
+        .filter(col("n") > 0)
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
       val top = exact.orderBy(col("n_exact").desc, col("user_id")).limit(50)
       top
