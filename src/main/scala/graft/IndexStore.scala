@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Cross-session persistence for the expensive dedup/ANN intermediates
+  * (LSH pair table, cluster map, span tables, standing blooms, PQ
+  * codebooks, IVF postings).
+  *
+  * Why it exists: every one of those tables is "the thing a 100 TB
+  * pipeline materializes ONCE and every consumer reads" — but a
+  * session-keyed TrieMap makes "once" mean "once per JVM". A restarted
+  * job would redo hours of LSH/CC/Lloyd work. With an index root
+  * configured (`spark.graft.index.dir`), the first builder WRITES the
+  * intermediate to parquet under
+  * `<root>/<corpus-key>/<index-name>/data` and every later session
+  * LOADS it — the session TrieMaps in Dedup/Similarity/IvfIndex become
+  * a read-through cache over this store. Unset (the default, and what
+  * the driver's Verify/Bench run), behavior is exactly the session-memo
+  * DISK_ONLY persist it always was.
+  *
+  * Freshness: an index answers for the corpus it was built from, so
+  * each persisted index carries a content fingerprint of its source
+  * table (row count + max id + an order-independent xxhash64 over a
+  * deterministic ~1% id-sample — one map-only scan of two columns,
+  * memoized per session). On load, a mismatched fingerprint fails
+  * LOUDLY (`spark.graft.index.ifStale=error`, the default) instead of
+  * serving clusters for documents that no longer exist; `=rebuild`
+  * overwrites in place. Crash-consistency is write-data-then-meta: a
+  * build that dies mid-write leaves no `_GRAFT_META`, and the next
+  * session rebuilds over the partial output (parquet `overwrite`).
+  *
+  * Reference analog: the reference persists its own restart state
+  * across runs (fileloader/fileloader.go:263-328 archival semantics);
+  * this is the index-shaped version of the same contract.
+  *
+  * Concurrent writers on a shared root are out of scope (last meta
+  * write wins) — the 100 TB deployment runs index builds as a
+  * single-writer job, exactly like any other table-producing job.
+  */
+object IndexStore {
+
+  /** Root directory for persisted indexes; unset ⇒ session-memo only. */
+  val RootKey = "spark.graft.index.dir"
+
+  /** What to do when a persisted index's fingerprint mismatches the
+    * corpus: `error` (default — fail loudly) or `rebuild`. */
+  val IfStaleKey = "spark.graft.index.ifStale"
+
+  def root(s: SparkSession): Option[String] =
+    s.conf.getOption(RootKey).map(_.trim).filter(_.nonEmpty)
+
+  /** Store decision for one (corpus dir, index name). */
+  sealed trait Resolution
+  /** No index root configured: build in-process, session-memo only. */
+  case object Unmanaged extends Resolution
+  /** A persisted copy with a matching fingerprint exists. */
+  final case class Fresh(base: String) extends Resolution
+  /** Nothing persisted (or stale under `ifStale=rebuild`): write the
+    * payload under [[dataPath]]`(base)`, then call `commit()` to
+    * publish the fingerprint meta. */
+  final case class Build(base: String, commit: () => Unit) extends Resolution
+
+  def dataPath(base: String): String = base + "/data"
+
+  /** Last store decision per (corpus dir, index name):
+    * "built" | "loaded" | "rebuilt". For specs and ops visibility. */
+  private[graft] val lastAction =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  // fingerprints are one corpus scan each — memoize per (session, dir,
+  // table) like every other session cache, evicted with the session
+  private val fpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+  SessionCaches.registerEvictor(s =>
+    fpCache.keySet.toSeq.filter(_._1 eq s).foreach(fpCache.remove))
+
+  /** Content fingerprint of `table` under `d`: row count, max id, and
+    * a bit_xor of `xxhash64(id, content)` over the deterministic
+    * `id % 101 == 0` sample. Order-independent (xor) so partitioning
+    * and file layout don't matter; content-sensitive via the sampled
+    * hash (an in-place edit of a sampled row flips it; count/max catch
+    * appends, deletes and re-ids). One map-only scan reading two
+    * columns — at 100 TB this is the cheap end of the
+    * staleness-vs-rescan tradeoff, and it runs once per session. */
+  def fingerprint(s: SparkSession, d: String, table: String): String = {
+    SessionCaches.track(s)
+    fpCache.getOrElseUpdate((s, d, table), {
+      val df = Tables.load(s, d, table)
+      val (idCol, contentCol) =
+        if (table == "embeddings") ("vec_id", "embedding") else ("doc_id", "text")
+      val r = df
+        .select(col(idCol).cast("long").as("id"),
+          xxhash64(col(idCol), col(contentCol)).as("h"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(max(col("id")), lit(-1L)).as("mx"),
+          coalesce(expr("bit_xor(CASE WHEN id % 101 = 0 THEN h END)"),
+            lit(0L)).as("xr"))
+        .head()
+      s"v1:${r.getLong(0)}:${r.getLong(1)}:${java.lang.Long.toHexString(r.getLong(2))}"
+    })
+  }
+
+  /** Decide load-vs-build for index `name` of `table` under corpus `d`.
+    * Most callers want [[dataFrame]]/[[bytes]]; `resolve` is for
+    * payloads the caller writes itself (IVF's partitioned postings). */
+  def resolve(s: SparkSession, d: String, name: String,
+      table: String): Resolution = root(s) match {
+    case None => Unmanaged
+    case Some(r) =>
+      val base = s"$r/${corpusKey(d)}/$name"
+      val fp = fingerprint(s, d, table)
+      readMeta(s, base) match {
+        case Some(m) if m.getProperty("fingerprint") == fp =>
+          lastAction((d, name)) = "loaded"
+          Fresh(base)
+        case Some(m) =>
+          s.conf.get(IfStaleKey, "error") match {
+            case "rebuild" => Build(base, () => {
+              writeMeta(s, base, name, table, fp)
+              lastAction((d, name)) = "rebuilt"
+            })
+            case _ => throw new IllegalStateException(
+              s"graft index '$name' at $base is STALE: it was built from " +
+                s"a different version of $d/$table " +
+                s"(stored fingerprint ${m.getProperty("fingerprint")}, " +
+                s"current $fp). Serving it would answer for documents " +
+                s"that changed. Delete the index directory to rebuild, " +
+                s"or set $IfStaleKey=rebuild.")
+          }
+        case None => Build(base, () => {
+          writeMeta(s, base, name, table, fp)
+          lastAction((d, name)) = "built"
+        })
+      }
+  }
+
+  /** Read-through for a DataFrame-valued index. Managed: load the
+    * persisted parquet, or build → write → re-read (so every consumer,
+    * including the builder, reads the materialized table — shorter
+    * lineage, no double storage via an extra persist). Unmanaged: the
+    * historical session-memo shape (build + DISK_ONLY persist; callers
+    * memoize the result per session). */
+  def dataFrame(s: SparkSession, d: String, name: String, table: String,
+      persistWhenUnmanaged: Boolean = true)(build: => DataFrame): DataFrame =
+    resolve(s, d, name, table) match {
+      case Unmanaged =>
+        val df = build
+        if (persistWhenUnmanaged) df.persist(StorageLevel.DISK_ONLY) else df
+      case Fresh(base) => s.read.parquet(dataPath(base))
+      case Build(base, commit) =>
+        build.write.mode("overwrite").parquet(dataPath(base))
+        commit()
+        s.read.parquet(dataPath(base))
+    }
+
+  /** Read-through for a driver-side blob index (serialized blooms):
+    * stored as a raw file at `<base>/data.bin`. */
+  def bytes(s: SparkSession, d: String, name: String, table: String)(
+      build: => Array[Byte]): Array[Byte] =
+    resolve(s, d, name, table) match {
+      case Unmanaged => build
+      case Fresh(base) =>
+        val p = new Path(base, "data.bin")
+        val in = fs(s, p).open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          out.toByteArray
+        } finally in.close()
+      case Build(base, commit) =>
+        val b = build
+        val p = new Path(base, "data.bin")
+        val out = fs(s, p).create(p, true)
+        try out.write(b) finally out.close()
+        commit()
+        b
+    }
+
+  /** Stable, path-safe key for a corpus dir: basename + a short hash of
+    * the full path (two dirs with the same basename don't collide). */
+  private def corpusKey(d: String): String = {
+    val norm = d.stripSuffix("/")
+    val base = norm.substring(norm.lastIndexOf('/') + 1)
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8"))
+    base + "-" + md.take(4).map("%02x".format(_)).mkString
+  }
+
+  private def fs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def metaPath(base: String) = new Path(base, "_GRAFT_META")
+
+  private def readMeta(s: SparkSession,
+      base: String): Option[java.util.Properties] = {
+    val p = metaPath(base)
+    val f = fs(s, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val pr = new java.util.Properties()
+        pr.load(in)
+        Some(pr)
+      } finally in.close()
+    }
+  }
+
+  private def writeMeta(s: SparkSession, base: String, name: String,
+      table: String, fp: String): Unit = {
+    val p = metaPath(base)
+    val out = fs(s, p).create(p, true)
+    try {
+      val pr = new java.util.Properties()
+      pr.setProperty("formatVersion", "1")
+      pr.setProperty("name", name)
+      pr.setProperty("sourceTable", table)
+      pr.setProperty("fingerprint", fp)
+      pr.store(out, "graft persisted-index metadata")
+    } finally out.close()
+  }
+}

@@ -24,7 +24,7 @@ import graft.functions.VectorOps._
   */
 object Dedup {
 
-  private val CopyOffset = 1000000L
+  private[graft] val CopyOffset = 1000000L
 
   /** Per-row guard: copy ids are base + CopyOffset, so a base corpus with
     * ids ≥ CopyOffset would alias copies onto unrelated base docs — and
@@ -65,10 +65,13 @@ object Dedup {
 
   // dd12's span table is consumed twice (the dd12 report and the dd13
   // apply) — like the dd08 cluster map, it is the intermediate a 100 TB
-  // pipeline materializes ONCE and every consumer reads. DISK_ONLY for
-  // the usual executor-memory reason; evicted with the session. Keyed
-  // by the spare-one flag too: dd13b's keep-one span table is a
-  // different (smaller) table than dd12/dd13's remove-all one.
+  // pipeline materializes ONCE and every consumer reads. "Once" now
+  // means once per CORPUS, not once per JVM: the TrieMap is a
+  // read-through cache over graft.IndexStore (parquet under the index
+  // root when configured; the historical DISK_ONLY session persist
+  // otherwise). Keyed by the spare-one flag too: dd13b's keep-one span
+  // table is a different (smaller) table than dd12/dd13's remove-all
+  // one.
   private val spanCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Boolean), DataFrame]
   graft.SessionCaches.registerEvictor(s =>
@@ -83,8 +86,9 @@ object Dedup {
       spareOne: Boolean = false): DataFrame = {
     graft.SessionCaches.track(s)
     spanCache.getOrElseUpdate((s, d, spareOne),
-      spanPipeline(corpusNear(s, d), 6, spareOne)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      graft.IndexStore.dataFrame(s, d,
+        if (spareOne) "span_table_keep1" else "span_table", "documents")(
+        spanPipeline(corpusNear(s, d), 6, spareOne)))
   }
 
   /** dd12's span pipeline over an arbitrary (doc_id, text) corpus —
@@ -225,8 +229,8 @@ object Dedup {
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     graft.SessionCaches.track(s)
     pairCache.getOrElseUpdate((s, d),
-      queries("dd03_minhash_lsh")(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      graft.IndexStore.dataFrame(s, d, "lsh_pairs", "documents")(
+        queries("dd03_minhash_lsh")(s, d)))
   }
 
   /** Distributed connected components over an undirected edge list
@@ -341,9 +345,10 @@ object Dedup {
   private def dd08(s: SparkSession, d: String): DataFrame = {
     graft.SessionCaches.track(s)
     ccCache.getOrElseUpdate((s, d),
-      connectedComponents(
-        minhashPairs(s, d).filter(col("jaccard") >= 0.7).select(col("a"), col("b")))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      graft.IndexStore.dataFrame(s, d, "cluster_map", "documents")(
+        connectedComponents(
+          minhashPairs(s, d).filter(col("jaccard") >= 0.7)
+            .select(col("a"), col("b")))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -470,8 +475,9 @@ object Dedup {
         .select(fp.as("fp")).distinct()
       val bloom = standingBloomCache.getOrElseUpdate((s, d), {
         graft.SessionCaches.track(s)
-        graft.functions.Bloom.build(standing, col("fp"),
-          expectedItems = 1000000L, fpp = 0.01)
+        graft.IndexStore.bytes(s, d, "standing_bloom", "documents")(
+          graft.functions.Bloom.build(standing, col("fp"),
+            expectedItems = 1000000L, fpp = 0.01))
       })
       val batch = docs.filter(col("doc_id") % 5 === 0).withColumn("fp", fp)
       val definitelyNew =

@@ -58,14 +58,34 @@ object IvfIndex {
           .getField("c_id").as("c_id"))
       .write.mode("append").partitionBy("c_id").parquet(index.dir)
 
-  /** Memoized build over the `embeddings` table of a testdata dir. */
+  /** Memoized build over the `embeddings` table of a testdata dir.
+    * With an index root configured (IndexStore), the cell-partitioned
+    * postings land under the store (they are ALREADY the index's
+    * on-disk form — build() writes them; resolve() only decides where
+    * and whether) plus a small `centroids` parquet, so a later session
+    * reconstructs the Index from storage instead of re-training. */
   def builtFor(s: SparkSession, d: String): Index = {
     graft.SessionCaches.track(s)
     indexCache.getOrElseUpdate((s, d), {
-      val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-      val all = Tables.load(s, d, "embeddings")
+      def all = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      build(s, all, out)
+      graft.IndexStore.resolve(s, d, "ivf", "embeddings") match {
+        case graft.IndexStore.Unmanaged =>
+          val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+          build(s, all, out)
+        case graft.IndexStore.Fresh(base) =>
+          val cents = s.read.parquet(base + "/centroids").collect()
+            .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+          Index(graft.IndexStore.dataPath(base), cents, cents.size)
+        case graft.IndexStore.Build(base, commit) =>
+          val idx = build(s, all, graft.IndexStore.dataPath(base))
+          import s.implicits._
+          idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+            .toDF("c_id", "c")
+            .write.mode("overwrite").parquet(base + "/centroids")
+          commit()
+          idx
+      }
     })
   }
 

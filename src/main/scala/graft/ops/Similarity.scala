@@ -434,27 +434,50 @@ object Similarity {
   // through the fused-codegen PqEncode expression; the DataFrame
   // formulation, M columns of array_min over M×K unrolled struct
   // distances, spent seconds per rep in Janino compilation alone).
-  // Memoized per (session, dir) — the index build/probe split.
+  // Memoized per (session, dir) — the index build/probe split — and,
+  // with an index root configured, persisted through IndexStore as
+  // (m, ord, cid, centroid) rows so a later session loads the trained
+  // books instead of re-running Lloyd. `ord` preserves each book's
+  // in-memory order exactly: pqEncode's argmin breaks ties by scan
+  // order, so a reordered book would encode (and thus rank) ties
+  // differently than the session that built the index.
   private def pqCodebooksFor(s: SparkSession,
       d: String): Seq[Seq[(Int, Seq[Int])]] =
     pqCodebookCache.getOrElseUpdate((s, d), {
       graft.SessionCaches.track(s)
-      val q8 = quantized(s, d)
-      val seedVecs = q8
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(PqK).collect().map(_.getSeq[Int](1))
-      val init = (0 until PqM).map { m =>
-        seedVecs.toSeq
-          .map(v => v.slice(m * PqSubD, m * PqSubD + PqSubD).toSeq)
-          .zipWithIndex.map { case (c, i) => (i, c) }
+      val df = graft.IndexStore.dataFrame(s, d, "pq_codebooks",
+        "embeddings", persistWhenUnmanaged = false) {
+        val built = trainPqCodebooks(s, d)
+        import s.implicits._
+        built.zipWithIndex.flatMap { case (book, m) =>
+          book.zipWithIndex.map { case ((cid, c), ord) => (m, ord, cid, c) }
+        }.toDF("m", "ord", "cid", "c")
       }
-      Lloyd.iterateKeyed[Int](q8, "q", init, rounds = 1, subD = PqSubD,
-        assignCodes = (vec, books) => pqEncode(vec, books),
-        meanExpr = ((sum(col("v").cast("long")) -
-          (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
-          .cast("int"),
-        decode = _.getInt(3))
+      val rows = df.collect()
+      (0 until PqM).map { m =>
+        rows.filter(_.getInt(0) == m).sortBy(_.getInt(1))
+          .map(r => (r.getInt(2), r.getSeq[Int](3).toSeq)).toSeq
+      }
     })
+
+  private def trainPqCodebooks(s: SparkSession,
+      d: String): Seq[Seq[(Int, Seq[Int])]] = {
+    val q8 = quantized(s, d)
+    val seedVecs = q8
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqK).collect().map(_.getSeq[Int](1))
+    val init = (0 until PqM).map { m =>
+      seedVecs.toSeq
+        .map(v => v.slice(m * PqSubD, m * PqSubD + PqSubD).toSeq)
+        .zipWithIndex.map { case (c, i) => (i, c) }
+    }
+    Lloyd.iterateKeyed[Int](q8, "q", init, rounds = 1, subD = PqSubD,
+      assignCodes = (vec, books) => pqEncode(vec, books),
+      meanExpr = ((sum(col("v").cast("long")) -
+        (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+        .cast("int"),
+      decode = _.getInt(3))
+  }
 
   /** The ADC scan pieces shared by ss09/ss10: the PQ-encoded corpus
     * (one fused map-only expression computes all M codes) and the

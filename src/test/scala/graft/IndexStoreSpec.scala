@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The cross-session index persistence contract (IndexStore):
+  *
+  *   - with `spark.graft.index.dir` set, the FIRST session builds each
+  *     expensive intermediate (LSH pairs, cluster map, span table, PQ
+  *     codebooks, IVF postings, standing bloom) and writes it under the
+  *     root; a SECOND session answers the same queries by LOADING, not
+  *     rebuilding — the 100 TB materialize-once story across JVMs;
+  *   - a persisted index built from a different version of the corpus
+  *     fails LOUDLY on load (stale fingerprint), unless
+  *     `spark.graft.index.ifStale=rebuild`;
+  *   - with no root configured (the driver's Verify/Bench shape),
+  *     everything behaves as the session-memoized persist it always was.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  private def managed(root: String): SparkSession = {
+    val s = SparkSpec.session.newSession()
+    s.conf.set(IndexStore.RootKey, root)
+    s
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).toSeq
+
+  test("a second session answers dd08/dd12/ss03/ss09/dd11 by loading " +
+    "the persisted indexes, bit-identically, without rebuilding") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot").toString
+    val names = Seq("lsh_pairs", "cluster_map", "span_table",
+      "pq_codebooks", "ivf", "standing_bloom")
+    def runAll(s: SparkSession): Map[String, Seq[String]] = Map(
+      "dd08" -> sortedRows(ops.Dedup.queries("dd08_cc_clusters")(s, sf)),
+      "dd12" -> sortedRows(ops.Dedup.queries("dd12_exact_substring")(s, sf)),
+      "ss03" -> sortedRows(ops.Similarity.queries("ss03_ivf_topk")(s, sf)),
+      "ss09" -> sortedRows(ops.Similarity.queries("ss09_pq_topk")(s, sf)),
+      "dd11" -> sortedRows(
+        ops.Dedup.queries("dd11_incremental_dedup_bloom")(s, sf)))
+
+    IndexStore.lastAction.clear()
+    val first = runAll(managed(root))
+    for (n <- names)
+      assert(IndexStore.lastAction.get((sf, n)).contains("built"),
+        s"$n should have been BUILT by the first session: " +
+          IndexStore.lastAction.toMap)
+    assert(first.values.forall(_.nonEmpty))
+
+    IndexStore.lastAction.clear()
+    val s2 = managed(root)
+    val second = runAll(s2)
+    // lsh_pairs is legitimately ABSENT here: dd08 loads the persisted
+    // cluster map, so the pair table it was derived from is never even
+    // resolved — the downstream index shields its upstream build.
+    for (n <- names.filterNot(_ == "lsh_pairs"))
+      assert(IndexStore.lastAction.get((sf, n)).contains("loaded"),
+        s"$n should have been LOADED by the second session: " +
+          IndexStore.lastAction.toMap)
+    assert(IndexStore.lastAction.values.forall(_ == "loaded"),
+      s"the second session must build NOTHING: ${IndexStore.lastAction.toMap}")
+    assert(second == first)
+
+    // the reload is visible in the plan, not just the bookkeeping: the
+    // second session's cluster map is a parquet scan of the store path
+    val plan = ops.Dedup.queries("dd08_cc_clusters")(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(root),
+      s"expected a scan of the persisted index under $root in:\n$plan")
+  }
+
+  test("a stale index (mutated corpus) fails loudly on load; " +
+    "ifStale=rebuild rebuilds in place") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot2").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val base = SparkSpec.session.read.parquet(sf + "/documents.parquet")
+    base.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+
+    val spans1 = sortedRows(
+      ops.Dedup.queries("dd12_exact_substring")(managed(root), corpus))
+    assert(IndexStore.lastAction.get((corpus, "span_table")).contains("built"))
+    assert(spans1.nonEmpty)
+
+    // mutate the corpus under the index: append one duplicated doc
+    base.limit(1)
+      .withColumn("doc_id", lit(999983L).cast(base.schema("doc_id").dataType))
+      .write.mode("append").parquet(corpus + "/documents.parquet")
+
+    val e = intercept[IllegalStateException] {
+      ops.Dedup.queries("dd12_exact_substring")(managed(root), corpus).count()
+    }
+    assert(e.getMessage.contains("STALE") &&
+      e.getMessage.contains("span_table"))
+
+    val s3 = managed(root)
+    s3.conf.set(IndexStore.IfStaleKey, "rebuild")
+    val spans3 = sortedRows(
+      ops.Dedup.queries("dd12_exact_substring")(s3, corpus))
+    assert(IndexStore.lastAction.get((corpus, "span_table")).contains("rebuilt"))
+    // the appended doc is a full copy of an existing one: every gram in
+    // it is now duplicated, so the rebuilt span table must differ
+    assert(spans3 != spans1)
+  }
+
+  test("the fingerprint sees appends, deletes, re-ids, and in-place " +
+    "content edits of sampled rows") {
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus2").toString
+    val base = SparkSpec.session.read.parquet(sf + "/documents.parquet")
+    base.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+
+    def fpOf(mutate: DataFrame => DataFrame): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_corpus_m").toString
+      mutate(base).write.mode("overwrite").parquet(d + "/documents.parquet")
+      IndexStore.fingerprint(SparkSpec.session.newSession(), d, "documents")
+    }
+    val orig = fpOf(identity)
+    assert(fpOf(identity) == orig, "same content, different layout path")
+    assert(fpOf(_.filter(col("doc_id") =!= 0)) != orig, "delete")
+    assert(fpOf(df => df.union(df.limit(1)
+      .withColumn("doc_id",
+        lit(9999L).cast(df.schema("doc_id").dataType)))) != orig, "append")
+    // content edit of a sampled row (doc_id 101 is in the 1% sample)
+    assert(fpOf(df => df.withColumn("text",
+      when(col("doc_id") === 101, lit("edited")).otherwise(col("text")))
+    ) != orig, "in-place edit of a sampled row")
+  }
+}
