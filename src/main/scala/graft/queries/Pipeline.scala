@@ -77,6 +77,36 @@ object Pipeline {
         .select(col("doc_id"), split.as("split"), col("n_chars"))
     },
 
+    // Cross-split near-dup LEAKAGE audit: val/test docs whose near-dup
+    // cluster also holds a train doc — the contamination a hash split
+    // (pp03) cannot see, because near-duplicates hash to independent
+    // splits (Lee et al. 2022 §6.2's train/valid overlap measurement).
+    // Everything heavy is already materialized: the dd08 cluster map is
+    // the memoized/IndexStore-persisted table, so this audit is two
+    // joins and one tiny per-cluster aggregate over it — at 100 TB it
+    // reads the persisted cluster table, never re-runs LSH. Cluster
+    // member ids collapse to their base doc (the %CopyOffset planted
+    // copies are the same underlying document) before consulting the
+    // split, so a doc's own mutated copy never counts as "leakage".
+    "pp13_split_leakage" -> { (s, d) =>
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val split = when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+      val sp = Tables.load(s, d, "documents")
+        .select(col("doc_id").cast("long").as("base_id"), split.as("split"))
+      val members = graft.ops.Dedup.clusterMap(s, d)
+        .select((col("doc_id") % graft.ops.Dedup.CopyOffset).as("base_id"),
+          col("cluster_rep").cast("long").as("cluster_rep"))
+        .distinct()
+        .join(sp, Seq("base_id"))
+      val trainPerCluster = members.filter(col("split") === "train")
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_train_members"))
+      members.filter(col("split") =!= "train")
+        .join(trainPerCluster, Seq("cluster_rep"))
+        .select(col("base_id").as("doc_id"), col("split"),
+          col("cluster_rep"), col("n_train_members"))
+    },
+
     // Corpus upsert / compaction (the SCD-1 merge): apply an update
     // batch (every 7th doc re-crawled, version 2) onto the standing
     // corpus, keeping the latest version per key. One shuffle on the
@@ -375,6 +405,33 @@ object Pipeline {
         |       ELSE 'test' END AS split,
         |  n_chars
         |FROM documents""".stripMargin,
+
+    // pp13: the dd08 recursive-CTE cluster map (qa06's pattern) joined
+    // against pp03's split rule; members collapse to base ids first so
+    // a doc's own planted copy never reads as cross-split leakage
+    "pp13_split_leakage" ->
+      s"""WITH cm AS (SELECT * FROM (${graft.ops.Dedup.dd08OracleSql}) z),
+         |sp AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS base_id,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         |           THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |members AS (
+         |  SELECT DISTINCT CAST(doc_id % 1000000 AS BIGINT) AS base_id,
+         |    CAST(cluster_rep AS BIGINT) AS cluster_rep
+         |  FROM cm),
+         |ms AS (SELECT m.base_id, m.cluster_rep, s.split
+         |       FROM members m JOIN sp s USING (base_id)),
+         |tr AS (SELECT cluster_rep,
+         |         CAST(COUNT(*) AS BIGINT) AS n_train_members
+         |       FROM ms WHERE split = 'train' GROUP BY cluster_rep)
+         |SELECT ms.base_id AS doc_id, ms.split, ms.cluster_rep,
+         |  tr.n_train_members
+         |FROM ms JOIN tr USING (cluster_rep)
+         |WHERE ms.split <> 'train'""".stripMargin,
 
     // NULLS FIRST pins the NULL placement: DuckDB defaults ascending
     // sorts to NULLS LAST while Spark's asc is nulls-first — without the

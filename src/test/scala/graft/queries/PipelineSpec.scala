@@ -55,6 +55,29 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pp13: every leakage row is val/test, cites a train-bearing " +
+    "cluster, and the near-dup relation is the dd08 map") {
+    val out = Pipeline.queries("pp13_split_leakage")(spark, sf).cache()
+    // only non-train docs can leak
+    assert(out.filter(col("split") === "train").count() == 0)
+    // n_train_members ≥ 1 by construction (inner join against the
+    // train-bearing clusters)
+    assert(out.filter(col("n_train_members") < 1).count() == 0)
+    // cross-check one row end-to-end against the cluster map + split rule
+    val clusters = graft.ops.Dedup.clusterMap(spark, sf)
+      .select((col("doc_id") % 1000000L).as("base_id"), col("cluster_rep"))
+      .distinct()
+    val splitOf = Pipeline.queries("pp03_hash_split")(spark, sf)
+      .select(col("doc_id").cast("long").as("base_id"), col("split"))
+    val expected = clusters.join(splitOf, "base_id")
+    val trainC = expected.filter(col("split") === "train")
+      .groupBy("cluster_rep").agg(count(lit(1)).as("n"))
+    val manual = expected.filter(col("split") =!= "train")
+      .join(trainC, "cluster_rep").count()
+    assert(out.count() == manual && manual > 0)
+    out.unpersist()
+  }
+
   test("mm03 resize: constant output size, correct kept-byte accounting") {
     val df = graft.ops.Multimodal.queries("mm03_resize_payload")(spark, sf).cache()
     assert(df.filter(col("resized_bytes") =!= 1024).count() == 0)
