@@ -90,8 +90,7 @@ object CmsAggregate {
     * 10) % width` computes (concat_ws renders both operands in
     * decimal; 5 hex digits = bytes 0, 1 and the high nibble of 2). */
   def bucket(seed: Int, id: Long, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest((seed.toString + "_" + id.toString).getBytes("UTF-8"))
+    val dig = Md5.digest(seed.toString + "_" + id.toString)
     val v = ((dig(0) & 0xff) << 12) | ((dig(1) & 0xff) << 4) | ((dig(2) & 0xf0) >>> 4)
     v % width
   }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** HyperLogLog as a PRODUCTION single-pass aggregate with a
+  * deterministic, cross-engine-replayable hash — the hash-exact sibling
+  * of `q08b_approx_distinct` (whose built-in HLL++ sketch can only ever
+  * be band-gated, because its xxhash64/bias-correction internals have
+  * no DuckDB counterpart).
+  *
+  * Shape: a TypedImperativeAggregate whose buffer IS the m-register
+  * array (one byte per register, m = 2^p). Each input id contributes
+  * `registers[bucket] = max(registers[bucket], rho)` — max is
+  * idempotent, so duplicates are free and partial buffers merge
+  * register-wise across the exchange (the defining HLL property:
+  * sketch(A ∪ B) = max(sketch(A), sketch(B))). One corpus scan, one
+  * m-byte buffer per map partition per group — at 100 TB the distinct
+  * count costs a constant-size shuffle instead of q08's
+  * shuffle-the-distinct-keys expand.
+  *
+  * The hash is md5, NOT xxhash/Murmur, for the same reason as
+  * CmsAggregate: both engines own an identical md5, so the DuckDB
+  * oracle replays every register — and therefore the register sum and
+  * the final estimate — bit-for-bit. Derivation per key (a STRING —
+  * integer callers render decimally, exactly what CAST(... AS VARCHAR)
+  * / concat_ws produce; all arithmetic on hex-digit integers, no
+  * floats):
+  *   hx     = md5(key)                              -- 32 hex digits
+  *   bucket = int(hx[0..5)) % m                     -- 20 bits, mod 2^p
+  *   w      = int(hx[5..13))                        -- 32 bits
+  *   rho    = numberOfLeadingZeros32(w) + 1         -- in [1, 33]
+  * The estimator downstream is the raw HLL formula
+  * alpha_m * m^2 / sum(2^-M_j), carried as the INTEGER
+  * `sum(2^(33 - M_j))` (exact in a BIGINT: <= m * 2^33) so both
+  * engines divide the same two numbers; see the q08c registry entry.
+  * RAW formula only: it is unbiased for n >~ 2.5m, so callers must
+  * pick p small enough for their cardinality floor (q08c: p=8, pair
+  * keys — thousands of distinct pairs per group at every test SF).
+  * The small-range regime would need linear counting, whose ln() is
+  * libm-dependent and therefore NOT cross-engine replayable; the
+  * zero-register count is in the output so a consumer can apply it.
+  *
+  * Flajolet et al. 2007 (the HLL paper); reference has no sketches —
+  * its nearest analog is row-count logging (fileloader.go:300).
+  */
+case class HllAggregate(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16, s"hll_sketch: p must be in [4,16], got $p")
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val dig = Md5.digest(v.toString)
+      // hex digits 1..5 (20 bits): bytes 0, 1 and the high nibble of 2
+      val v20 = ((dig(0) & 0xff) << 12) | ((dig(1) & 0xff) << 4) | ((dig(2) & 0xf0) >>> 4)
+      val bucket = v20 % m
+      // hex digits 6..13 (32 bits): low nibble of byte 2 through the
+      // high nibble of byte 6
+      val w = ((dig(2) & 0x0f) << 28) | ((dig(3) & 0xff) << 20) |
+        ((dig(4) & 0xff) << 12) | ((dig(5) & 0xff) << 4) | ((dig(6) & 0xf0) >>> 4)
+      val rho = Integer.numberOfLeadingZeros(w) + 1 // w == 0 => 33
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllAggregate =
+    copy(child = newChildren(0))
+  override def prettyName: String = "hll_sketch"
+}
+
+object Hll {
+  import org.apache.spark.sql.GraftBridge
+
+  /** `hll_sketch(id)` aggregate column: the m = 2^p register array. */
+  def hllSketch(id: Column, p: Int): Column =
+    GraftBridge.toColumn(HllAggregate(
+      GraftBridge.toExpression(id), p).toAggregateExpression())
+}

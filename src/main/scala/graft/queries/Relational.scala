@@ -149,6 +149,53 @@ object Relational {
           count(lit(1)).as("n_rows"))
     },
 
+    // q08c: the HASH-EXACT sketch answer to q08 — a deterministic
+    // md5-hashed HyperLogLog (functions.HllAggregate: single pass, one
+    // m-byte buffer per map partition per group, register-wise max
+    // merge) whose every register AND the raw estimate the DuckDB
+    // oracle replays bit-for-bit. q08b (built-in HLL++) stays as the
+    // engine-native form; this is the cross-engine-auditable one.
+    // All register math is integer (reg_sum = Σ 2^(33−M_j), exact in a
+    // BIGINT); the only float is the final estimate, computed from the
+    // same two numbers by the same literal expression in both engines:
+    //   alpha_m * m^2 * 2^33 / reg_sum,  alpha_m = 0.7213/(1+1.079/m)
+    // where m = 256 makes m^2 * 2^33 = 2^49 (exact as a double).
+    // Raw-formula estimate only — no small-range/linear-counting
+    // branch (ln is libm-dependent, not cross-engine); zero_buckets is
+    // emitted so a consumer can apply the correction downstream. The
+    // key is the (partkey, suppkey) PAIR and p = 8 so every group sits
+    // above the raw formula's ~2.5m validity floor at every test SF
+    // (sf0.001 measured |err| ≈ 4%, sf0.01 ≈ 2%).
+    "q08c_hll_distinct" -> { (s, d) =>
+      val regSum = expr(
+        "aggregate(regs, CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 33 - x))")
+      val li = Tables.load(s, d, "lineitem")
+      // sketch and exact-audit halves as SEPARATE aggregates joined on
+      // the 3-row group key: a distinct aggregate mixed into the same
+      // agg would force Spark's expand plan (every row duplicated per
+      // distinct branch), dragging the sketch pass with it — measured
+      // 2.6s fused vs 1.5s split at sf0.1. The exact side counts the
+      // (partkey, suppkey) struct (same integer as the oracle's
+      // COUNT(DISTINCT pk): '_' is unambiguous between integers).
+      val sketch = li
+        .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Hll.hllSketch(col("pk"), 8).as("regs"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey"), col("l_suppkey")).as("n_exact"),
+          count(lit(1)).as("n_rows"))
+      exact.join(sketch, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"), col("n_rows"),
+          expr("size(filter(regs, x -> x = 0))").cast("long").as("zero_buckets"),
+          regSum.as("reg_sum"))
+        .withColumn("hll_estimate",
+          lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+            lit(562949953421312.0) / col("reg_sum").cast("double"))
+        .withColumn("rel_err",
+          (col("hll_estimate") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"))
+    },
+
     // Set operations: UNION then EXCEPT (explicitly parenthesized the same
     // way in the oracle).
     "q09_setops" -> { (s, d) =>
@@ -315,6 +362,67 @@ object Relational {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // q08c: the full HLL replayed — same md5-derived bucket (5 hex
+    // digits mod 2^10) and rho (33 − bitlen of the next 8 hex digits;
+    // bitlen counted as |{2^k : 2^k <= w}|, pure integer — no float
+    // log), same integer register sum, and the raw estimate from the
+    // IDENTICAL literal float expression (every literal cast to
+    // DOUBLE: DuckDB otherwise computes decimal literals in DECIMAL
+    // arithmetic, which would diverge from Spark's double math).
+    "q08c_hll_distinct" ->
+      """WITH hx AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR)
+        |      AS pk,
+        |    md5(CAST(l_partkey AS VARCHAR) || '_'
+        |        || CAST(l_suppkey AS VARCHAR)) AS hx
+        |  FROM lineitem
+        |), br AS (
+        |  SELECT l_returnflag,
+        |    list_sum([CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1
+        |                   AS BIGINT)
+        |              * ([65536,4096,256,16,1])[i]
+        |              FOR i IN range(1, 6)]) % 256 AS b,
+        |    list_sum([CAST(strpos('0123456789abcdef', substr(hx, i + 5, 1)) - 1
+        |                   AS BIGINT)
+        |              * ([268435456,16777216,1048576,65536,4096,256,16,1])[i]
+        |              FOR i IN range(1, 9)]) AS w
+        |  FROM hx
+        |), reg AS (
+        |  SELECT l_returnflag, b,
+        |    MAX(CASE WHEN w = 0 THEN 33
+        |        ELSE 33 - len([x FOR x IN
+        |          [1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,
+        |           32768,65536,131072,262144,524288,1048576,2097152,4194304,
+        |           8388608,16777216,33554432,67108864,134217728,268435456,
+        |           536870912,1073741824,2147483648] IF w >= x]) END) AS m_j
+        |  FROM br GROUP BY 1, 2
+        |), regsum AS (
+        |  SELECT l_returnflag,
+        |    CAST(256 - COUNT(*) AS BIGINT) AS zero_buckets,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (33 - m_j))
+        |      + CAST(256 - COUNT(*) AS BIGINT) * (CAST(1 AS BIGINT) << 33)
+        |      AS BIGINT) AS reg_sum
+        |  FROM reg GROUP BY 1
+        |), exact AS (
+        |  SELECT l_returnflag, COUNT(DISTINCT pk) AS n_exact,
+        |    COUNT(*) AS n_rows
+        |  FROM hx GROUP BY 1
+        |)
+        |SELECT l_returnflag, n_exact, n_rows, zero_buckets, reg_sum,
+        |  hll_estimate,
+        |  (hll_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |    AS rel_err
+        |FROM (
+        |  SELECT e.l_returnflag, e.n_exact, e.n_rows, r.zero_buckets,
+        |    r.reg_sum,
+    |    CAST(0.7213 AS DOUBLE)
+        |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)
+        |           / CAST(256.0 AS DOUBLE))
+        |      * CAST(562949953421312.0 AS DOUBLE)
+        |      / CAST(r.reg_sum AS DOUBLE) AS hll_estimate
+        |  FROM exact e JOIN regsum r USING (l_returnflag)) z""".stripMargin,
 
     "q09_setops" ->
       """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'

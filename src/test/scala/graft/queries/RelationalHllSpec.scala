@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins q08c's deterministic-HLL semantics: the single-pass aggregate
+  * must produce the EXACT registers of the exploded md5 derivation it
+  * compresses (same 20-bit bucket mod 2^p, same 33 − bitlen rho), the
+  * merge must be idempotent under duplication (the defining HLL
+  * property), and the raw estimate must land inside the m=256 error
+  * band at sf0.001's cardinality (which is why q08c keys on the
+  * (partkey, suppkey) PAIR: thousands of distinct keys per group keep
+  * every group above the raw formula's ~2.5m validity floor). */
+class RelationalHllSpec extends SparkSpec {
+
+  private val P = 8
+  private val M = 1 << P
+
+  private def keyed =
+    graft.Tables.load(spark, sf, "lineitem")
+      .select(concat_ws("_", col("l_partkey"), col("l_suppkey")).as("pk"))
+
+  private def explodedRegisters = {
+    // the reference derivation, column-by-column: bucket = first 5 hex
+    // digits of md5(key) mod 2^p; rho = 33 - bit_length(next 8 hex
+    // digits), via bin() (the oracle replay uses pure-integer bitlen;
+    // bin-string length is the same integer for w > 0)
+    keyed.distinct()
+      .select(
+        (conv(substring(md5(col("pk")), 1, 5), 16, 10)
+          .cast("long") % M).as("b"),
+        conv(substring(md5(col("pk")), 6, 8), 16, 10)
+          .cast("long").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(33))
+          .otherwise(lit(33) - length(bin(col("w")))))
+      .groupBy(col("b")).agg(max(col("rho")).as("m_j"))
+      .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+  }
+
+  test("the single-pass HLL aggregate equals the exploded md5 derivation register-for-register") {
+    val regs = keyed
+      .agg(graft.functions.Hll.hllSketch(col("pk"), P).as("regs"))
+      .collect()(0).getSeq[Int](0)
+    assert(regs.length == M)
+    val expected = explodedRegisters
+    (0 until M).foreach { b =>
+      assert(regs(b) == expected.getOrElse(b, 0),
+        s"register $b diverged: aggregate=${regs(b)} exploded=${expected.getOrElse(b, 0)}")
+    }
+  }
+
+  test("HLL registers are duplication-invariant: corpus ∪ corpus sketches identically") {
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.agg(graft.functions.Hll.hllSketch(col("pk"), P))
+        .collect()(0).getSeq[Int](0)
+    val k = keyed
+    assert(sketch(k) == sketch(k.union(k)),
+      "max-merge must make duplicates free")
+  }
+
+  test("q08c: estimate within the m=256 error band, integer columns consistent") {
+    val df = Relational.queries("q08c_hll_distinct")(spark, sf).cache()
+    // every group must sit above the raw formula's validity floor —
+    // the whole reason q08c keys on pairs
+    assert(df.filter(col("n_exact") <= 2.5 * M).count() == 0,
+      "a group fell into the small-range regime the raw formula is biased in")
+    // reg_sum bounded by m * 2^33
+    assert(df.filter(col("reg_sum") > expr(s"CAST($M AS BIGINT) * CAST(8589934592 AS BIGINT)"))
+      .count() == 0)
+    // raw-formula HLL, m=256: standard error 1.04/16 ≈ 6.5%; 20% is
+    // the loose structural gate (sf0.001 measured ~4%, sf0.01 ~2%)
+    assert(df.filter(abs(col("rel_err")) > 0.20).count() == 0,
+      df.select("l_returnflag", "n_exact", "hll_estimate", "rel_err")
+        .collect().mkString(", "))
+    df.unpersist()
+  }
+
+  test("q08c plan: ONE hll_sketch aggregate over lineitem — constant-size shuffle") {
+    val plan = Relational.queries("q08c_hll_distinct")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(plan.toString.contains("hll_sketch"),
+      s"q08c lost the single-pass sketch aggregate:\n$plan")
+  }
+}
