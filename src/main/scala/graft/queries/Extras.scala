@@ -154,6 +154,41 @@ object Extras {
           count(lit(1)).as("n_rows"))
     },
 
+    // q19c: the HASH-EXACT sketch-tier sibling of q19b — percentiles
+    // over a DETERMINISTIC 2% hash sample (keep rows whose 16-bit md5
+    // prefix of the unique (orderkey, linenumber) key is < 1311), then
+    // rank selection (value at rank (n−1)·p/100 + 1, PURE INTEGER
+    // arithmetic — no interpolation, no floats) per group. Both engines
+    // pick the identical sample and the identical element, so the
+    // result replays bit-for-bit where q19b's KLL sketch never can.
+    // Scale shape: the sample predicate is map-only (no pre-shuffle),
+    // only the 2% sliver reaches the per-group sort; at 100 TB you
+    // tune the threshold so each group's sample fits one task (the
+    // estimate error is ~1/sqrt(sample size), independent of corpus
+    // size). Values are small integral decimals, cast to DOUBLE (exact)
+    // so both engines emit the same physical type.
+    "q19c_sampled_percentiles" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sampled = Tables.load(s, d, "lineitem")
+        .filter(conv(substring(
+            md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
+            1, 4), 16, 10).cast("long") < 1311)
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+      sampled
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_sample", count(lit(1)).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"), col("n_sample"))
+        .agg(
+          max(when(col("rn") === expr("(n_sample - 1) div 2 + 1"), col("q")))
+            .as("p50_s"),
+          max(when(col("rn") === expr("((n_sample - 1) * 9) div 10 + 1"), col("q")))
+            .as("p90_s"),
+          max(when(col("rn") === expr("((n_sample - 1) * 99) div 100 + 1"), col("q")))
+            .as("p99_s"))
+    },
+
     // String scalar functions + LIKE filter.
     "q20_string_funcs" -> { (s, d) =>
       Tables.load(s, d, "customer")
@@ -258,6 +293,33 @@ object Extras {
         |    ORDER BY CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_rev
         |FROM orders WHERE o_custkey < 200""".stripMargin,
+
+    // q19c: identical deterministic sample (16-bit md5 prefix of the
+    // unique line key, hex digits → integer via the strpos weight-dot
+    // technique), identical pure-integer rank selection — value picked
+    // FROM the data, so the replay is bit-exact with zero float risk.
+    "q19c_sampled_percentiles" ->
+      """WITH sampled AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q
+        |  FROM lineitem
+        |  WHERE list_sum([CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+        |                   || CAST(l_linenumber AS VARCHAR)), i, 1)) - 1
+        |        AS BIGINT) * ([4096,256,16,1])[i]
+        |        FOR i IN range(1, 5)]) < 1311
+        |), ranked AS (
+        |  SELECT l_returnflag, q,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY q) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n_sample
+        |  FROM sampled
+        |)
+        |SELECT l_returnflag, n_sample,
+        |  MAX(CASE WHEN rn = (n_sample - 1) // 2 + 1 THEN q END) AS p50_s,
+        |  MAX(CASE WHEN rn = ((n_sample - 1) * 9) // 10 + 1 THEN q END)
+        |    AS p90_s,
+        |  MAX(CASE WHEN rn = ((n_sample - 1) * 99) // 100 + 1 THEN q END)
+        |    AS p99_s
+        |FROM ranked GROUP BY l_returnflag, n_sample""".stripMargin,
 
     "q27_full_outer" ->
       """WITH c AS (

@@ -18,4 +18,65 @@ class ExtrasSpec extends SparkSpec {
       assert(math.abs(a90 - p90) / p90 <= 0.10, s"$k p90: $a90 vs $p90")
     }
   }
+
+  test("q19c sampled percentiles: ~2% deterministic sample, tracks exact at sf0.01") {
+    // accuracy band is a sampling-theory claim, so it needs a sample
+    // big enough to have one: sf0.01 (~400 rows per group). sf0.001's
+    // ~30-row groups are structurally valid but statistically noisy.
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Extras.queries("q19c_sampled_percentiles")(spark, sf01).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // sample fraction: 1311/65536 ≈ 2% of each group
+    graft.Tables.load(spark, sf01, "lineitem")
+      .groupBy(col("l_returnflag")).count().collect().foreach { r =>
+        val frac = rows(r.getString(0))._1.toDouble / r.getLong(1)
+        assert(frac > 0.01 && frac < 0.04, s"${r.getString(0)}: fraction $frac")
+      }
+    // rank selection is monotone by construction
+    rows.foreach { case (k, (_, p50, p90, p99)) =>
+      assert(p50 <= p90 && p90 <= p99, s"$k: $p50/$p90/$p99 not monotone")
+    }
+    // a hash sample is uniform: sampled quantiles track the population
+    val exact = Extras.queries("q19_quantity_percentiles")(spark, sf01)
+      .select(col("l_returnflag"), col("p50"), col("p90")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      val (_, s50, s90, _) = rows(k)
+      assert(math.abs(s50 - p50) / p50 <= 0.15, s"$k p50_s: $s50 vs $p50")
+      assert(math.abs(s90 - p90) / p90 <= 0.15, s"$k p90_s: $s90 vs $p90")
+    }
+    // determinism: a second evaluation picks the identical sample and
+    // the identical elements
+    val again = Extras.queries("q19c_sampled_percentiles")(spark, sf01).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(again == rows)
+  }
+
+  test("q19c plan: the sample filter runs below the exchange (map-side 2% sliver)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val df = Extras.queries("q19c_sampled_percentiles")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val nodes = walk(df.queryExecution.executedPlan)
+    // find the exchange; a Filter must appear beneath it (the sample
+    // predicate), so only the sliver shuffles to the per-group sort
+    val ex = nodes.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(ex.isDefined, s"q19c lost its shuffle?\n${df.queryExecution.executedPlan}")
+    val filterBelow = walk(ex.get).collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filterBelow.isDefined,
+      "the sample filter is not below the exchange — the full corpus would " +
+        s"shuffle:\n${df.queryExecution.executedPlan}")
+  }
 }
