@@ -224,6 +224,76 @@ object Similarity {
         nprobe = 3, topk = 10)
     },
 
+    // ss03's HASH-EXACT sibling: the same IVF search shape — coarse
+    // cells, probe the nearest few, scan only those — but every
+    // quantity integer (ss05's int8 grid, emb03's hash-ordered seeds +
+    // one-round truncating-mean Lloyd as the coarse quantizer, integer
+    // squared-L2 everywhere, ties to the lower cid/vec_id), so the
+    // DuckDB oracle replays the ENTIRE index build AND the probe
+    // bit-for-bit — the trick that turned PQ from "approx by design"
+    // (float ss03) into an oracle-gated query (ss09), applied to IVF.
+    // Scale shape: cell assignment is a map-only argmin against K=16
+    // in-plan literal centroids; the probe list (queries × nprobe=4
+    // rows, with the query vectors) broadcasts; the candidate scan
+    // touches ~nprobe/K of the corpus per query; top-k is the ss06
+    // window. Measured mean recall@10 vs the exact int8 L2 ranking:
+    // 0.75 at sf0.001 (spec gates >= 0.3); the reported distance is
+    // always the EXACT integer L2 — only the candidate set is
+    // approximate. The float ss03 remains the production path
+    // (persisted cell-partitioned index, static pruning); this is its
+    // cross-engine-auditable twin.
+    "ss03b_ivf_int8_topk" -> { (s, d) =>
+      val K = 16
+      val NProbe = 4
+      val q8 = quantized(s, d)
+
+      def sqDist(c: Seq[Int]): org.apache.spark.sql.Column =
+        expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+          "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
+      def assign(cs: Seq[(Int, Seq[Int])]): org.apache.spark.sql.Column =
+        array_min(array(cs.map { case (cid, c) =>
+          struct(sqDist(c).as("dist"), lit(cid).as("cid")) }: _*))
+
+      val seeds = q8
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(K).collect()
+        .map(r => r.getSeq[Int](r.fieldIndex("q")))
+        .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      val cents = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
+        assignId = (_, cs) => assign(cs).getField("cid"),
+        meanExpr = ((sum(col("v").cast("long")) -
+          (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+          .cast("int"),
+        decode = _.getInt(2),
+        fillEmpty = false)
+
+      val cells = q8.withColumn("cell", assign(cents).getField("cid"))
+
+      def il2(a: Seq[Int], b: Seq[Int]): Long =
+        a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+      val qs = q8.filter(col("vec_id") < 10).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1)))
+      val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
+        cents.map { case (cid, c) => (cid, il2(qv, c)) }
+          .sortBy { case (cid, dl) => (dl, cid) }.take(NProbe)
+          .map { case (cid, _) => (qid, cid, qv) }
+      }
+      import s.implicits._
+      val probe = broadcast(probeRows.toDF("q_id", "cell", "qq"))
+
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      cells.join(probe, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dist",
+          expr("aggregate(zip_with(q, qq, (a, b) -> CAST(a - b AS BIGINT) * (a - b)), " +
+            "0L, (acc, x) -> acc + x)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("dist"),
+          col("rank").cast("int").as("rank"))
+    },
+
     // Quantized brute-force top-k: ss05's int8 vectors searched with an
     // INTEGER dot product. Unlike float cosine, every score is an exact
     // integer (|score| ≤ 64·127² ≪ 2⁵³), so the ranking is bit-exact
@@ -692,6 +762,81 @@ object Similarity {
         |        + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
         |  FROM q8 x, newc c) z
         |WHERE rn = 1""".stripMargin,
+
+    // ss03b: the IVF build + probe replayed end-to-end — emb03's Lloyd
+    // chain at K=16 (same hash-ordered seeds, same truncating integer
+    // mean, same argmin tie rule), then the nprobe=4 nearest cells per
+    // query and exact integer L2 within them. list_dot_product's l2
+    // identity ldp(x,x) − 2·ldp(x,q) + ldp(q,q) equals Spark's
+    // zip_with squared fold exactly (integer arithmetic — the emb03
+    // argument).
+    "ss03b_ivf_int8_topk" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(
+        |      CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+        |    ) AS INT)) AS q
+        |  FROM embeddings
+        |),
+        |seeds AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid, q
+        |  FROM (SELECT vec_id, q FROM q8
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) t
+        |),
+        |a1 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT x.vec_id, x.q, s.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(x.q, s.q) AS BIGINT)
+        |          + CAST(list_dot_product(s.q, s.q) AS BIGINT), s.cid) AS rn
+        |    FROM q8 x, seeds s) z
+        |  WHERE rn = 1
+        |),
+        |sums AS (
+        |  SELECT cid, u.i AS pos, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a1, UNNEST(range(0, len(q))) AS u(i)
+        |  GROUP BY cid, u.i
+        |),
+        |newc AS (
+        |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
+        |  FROM sums GROUP BY cid
+        |),
+        |cells AS (
+        |  SELECT vec_id, q, cid AS cell FROM (
+        |    SELECT x.vec_id, x.q, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(x.q, c.q) AS BIGINT)
+        |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+        |    FROM q8 x, newc c) z
+        |  WHERE rn = 1
+        |),
+        |probe AS (
+        |  SELECT q_id, cell, qq FROM (
+        |    SELECT qv.vec_id AS q_id, c.cid AS cell, qv.q AS qq,
+        |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+        |        CAST(list_dot_product(qv.q, qv.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(qv.q, c.q) AS BIGINT)
+        |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+        |    FROM (SELECT vec_id, q FROM q8 WHERE vec_id < 10) qv, newc c) z
+        |  WHERE rn <= 4
+        |)
+        |SELECT q_id, vec_id, dist, CAST(rn AS INT) AS rank FROM (
+        |  SELECT p.q_id, c.vec_id,
+        |    CAST(list_dot_product(c.q, c.q) AS BIGINT)
+        |      - 2 * CAST(list_dot_product(c.q, p.qq) AS BIGINT)
+        |      + CAST(list_dot_product(p.qq, p.qq) AS BIGINT) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+        |      CAST(list_dot_product(c.q, c.q) AS BIGINT)
+        |        - 2 * CAST(list_dot_product(c.q, p.qq) AS BIGINT)
+        |        + CAST(list_dot_product(p.qq, p.qq) AS BIGINT), c.vec_id) AS rn
+        |  FROM probe p JOIN cells c
+        |    ON c.cell = p.cell AND c.vec_id != p.q_id) z
+        |WHERE rn <= 10""".stripMargin,
 
     "ss05_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -34,6 +34,40 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"IVF mean recall@10 $mean below 0.3")
   }
 
+  test("ss03b integer IVF: valid ranking, decent recall, probes only its cells") {
+    val ivf = Similarity.queries("ss03b_ivf_int8_topk")(spark, sf).cache()
+    val perQ = ivf.groupBy(col("q_id")).agg(count(lit(1)).as("n")).collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) == 10))
+    // the exact quantized ground truth, re-derived driver-side (the
+    // ss09/ss10 idiom)
+    val q8 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val scale = v.map(math.abs).max / 127.0
+        r.getLong(0) -> v.map(x => math.round(x / scale).toInt)
+      }.toMap
+    def l2(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    val exact = q8.keys.filter(_ < 10).map { q =>
+      q -> q8.keys.filter(_ != q).toSeq
+        .sortBy(x => (l2(q8(q), q8(x)), x)).take(10).toSet
+    }.toMap
+    val rows = ivf.collect()
+    val recalls = rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      (rs.map(_.getLong(1)).toSet intersect exact(q)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"ss03b mean recall@10 = $mean")
+    assert(mean >= 0.3, s"integer-IVF mean recall@10 $mean below 0.3")
+    // reported dist IS the exact integer L2 (the metric is not
+    // approximated — only the candidate set is)
+    rows.take(50).foreach { r =>
+      assert(r.getLong(2) == l2(q8(r.getLong(0)), q8(r.getLong(1))))
+    }
+    ivf.unpersist()
+  }
+
   test("ss09 PQ top-k: valid ranking, decent recall vs the exact int8 L2 order") {
     val pq = Similarity.queries("ss09_pq_topk")(spark, sf).cache()
     // structure: 10 ranked rows per query, distances non-decreasing
