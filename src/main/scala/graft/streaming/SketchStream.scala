@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming count-min sketch — the streaming twin of batch ev16's
+  * CmsAggregate: maintain the d×w cell array incrementally as event
+  * files land, so heavy-hitter estimates are available mid-stream
+  * without ever re-scanning history.
+  *
+  * State design for 100 TB: the ONLY state is the sketch itself — d
+  * keyed groups (one per hash row), each holding its w-cell Long array.
+  * Total state = d·w·8 bytes (32 KB at 4×1024) regardless of how many
+  * events ever flowed; per-trigger cost is one bucket update per
+  * (event, seed). That is the CMS's defining mergeability property in
+  * streaming form: state(batch₁ ∪ … ∪ batchₙ) accumulates cell-wise,
+  * so after any prefix of triggers the cells equal the batch aggregate
+  * over exactly the events seen so far — SketchStreamSpec pins that
+  * parity cell-for-cell against functions.CmsAggregate, which the
+  * DuckDB oracle already replays (ev16).
+  *
+  * Keying by seed shards the state d ways (each hash row updates
+  * independently); the ×d row fan-out is bounded by depth, not data.
+  * Each trigger emits the full nonzero cell set for every seed that saw
+  * data — cells only grow, so a consumer (or the parity spec) takes the
+  * latest (max) emission per cell.
+  */
+object SketchStream {
+
+  final case class Cell(seed: Int, b: Long, n: Long)
+
+  /** Incremental CMS cells over a stream of events (needs `user_id`). */
+  def cmsCells(spark: SparkSession, events: DataFrame,
+      depth: Int = 4, width: Int = 1024): Dataset[Cell] = {
+    import spark.implicits._
+    val exploded = events
+      .select(explode(sequence(lit(1), lit(depth))).as("seed"),
+        col("user_id").cast("long").as("id"))
+      .as[(Int, Long)]
+    exploded.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], Cell](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (seed, rows, state) =>
+          val cells = state.getOption.getOrElse(new Array[Long](width))
+          rows.foreach { case (_, id) =>
+            cells(graft.functions.CmsAggregate.bucket(seed, id, width)) += 1L
+          }
+          state.update(cells)
+          cells.iterator.zipWithIndex
+            .collect { case (n, b) if n > 0 => Cell(seed, b.toLong, n) }
+            .toSeq.iterator
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stream/batch parity for the incremental count-min sketch: after
+  * consuming the corpus (in multiple triggers), the streamed cells must
+  * equal the single-pass batch CmsAggregate cell-for-cell — the
+  * mergeability property that makes a CMS maintainable online at all.
+  * The batch form is what ev16's DuckDB oracle replays, so parity here
+  * transitively pins the streaming cells to the oracle too. */
+class SketchStreamSpec extends SparkSpec {
+
+  private val D = 4
+  private val W = 1024
+
+  private def batchCells = {
+    val ev = graft.Tables.load(spark, sf, "events").select(col("user_id"))
+    ev.agg(graft.functions.Cms.cmsSketch(col("user_id"), D, W).as("cells"))
+      .select(posexplode(col("cells")))
+      .collect()
+      .map(r => ((r.getInt(0) / W) + 1, (r.getInt(0) % W).toLong) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+  }
+
+  test("streamed CMS cells equal the batch aggregate after all triggers") {
+    val dir = java.nio.file.Files.createTempDirectory("events_cms")
+    // two triggers: split the corpus so cross-trigger accumulation is
+    // actually exercised (file 1 lands, then file 2)
+    val ev = graft.Tables.load(spark, sf, "events")
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(dir.resolve("part1").toString)
+    val q = SketchStream.cmsCells(spark,
+        EventsStream.readEvents(spark, dir.toString + "/part1"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(dir.resolve("part1").toString)
+      q.processAllAvailable()
+      // cells only grow: the latest emission per (seed, b) is the max
+      val streamed = spark.table("cms_stream")
+        .groupBy(col("seed"), col("b")).agg(max(col("n")).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batchCells,
+        "streamed cells diverged from the batch CmsAggregate")
+    } finally q.stop()
+  }
+
+  test("mid-stream cells equal the batch aggregate over the prefix seen so far") {
+    val dir = java.nio.file.Files.createTempDirectory("events_cms2")
+    val ev = graft.Tables.load(spark, sf, "events")
+    val firstHalf = ev.filter(col("event_id") % 2 === 0)
+    firstHalf.coalesce(1).write.parquet(dir.resolve("drop").toString)
+    val q = SketchStream.cmsCells(spark,
+        EventsStream.readEvents(spark, dir.toString + "/drop"))
+      .writeStream.format("memory").queryName("cms_stream_mid")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream_mid")
+        .groupBy(col("seed"), col("b")).agg(max(col("n")).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val prefixCells = firstHalf.select(col("user_id"))
+        .agg(graft.functions.Cms.cmsSketch(col("user_id"), D, W).as("cells"))
+        .select(posexplode(col("cells")))
+        .collect()
+        .map(r => ((r.getInt(0) / W) + 1, (r.getInt(0) % W).toLong) -> r.getLong(1))
+        .filter(_._2 > 0).toMap
+      assert(streamed == prefixCells,
+        "mid-stream cells are not the batch sketch of the consumed prefix")
+    } finally q.stop()
+  }
+}
