@@ -67,15 +67,7 @@ case class HllAggregate(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val dig = Md5.digest(v.toString)
-      // hex digits 1..5 (20 bits): bytes 0, 1 and the high nibble of 2
-      val v20 = ((dig(0) & 0xff) << 12) | ((dig(1) & 0xff) << 4) | ((dig(2) & 0xf0) >>> 4)
-      val bucket = v20 % m
-      // hex digits 6..13 (32 bits): low nibble of byte 2 through the
-      // high nibble of byte 6
-      val w = ((dig(2) & 0x0f) << 28) | ((dig(3) & 0xff) << 20) |
-        ((dig(4) & 0xff) << 12) | ((dig(5) & 0xff) << 4) | ((dig(6) & 0xf0) >>> 4)
-      val rho = Integer.numberOfLeadingZeros(w) + 1 // w == 0 => 33
+      val (bucket, rho) = Hll.bucketRho(v.toString, m)
       if (rho > buf(bucket)) buf(bucket) = rho.toByte
     }
     buf
@@ -111,4 +103,17 @@ object Hll {
   def hllSketch(id: Column, p: Int): Column =
     GraftBridge.toColumn(HllAggregate(
       GraftBridge.toExpression(id), p).toAggregateExpression())
+
+  /** The (bucket, rho) derivation shared by the batch aggregate and
+    * the streaming register state (SketchStream.hllRegisters): bucket
+    * from hex digits 1..5 (bytes 0, 1 and the high nibble of 2) mod m;
+    * rho = leading zeros + 1 of hex digits 6..13 (low nibble of byte 2
+    * through the high nibble of byte 6; w == 0 ⇒ 33). */
+  private[graft] def bucketRho(key: String, m: Int): (Int, Int) = {
+    val dig = Md5.digest(key)
+    val v20 = ((dig(0) & 0xff) << 12) | ((dig(1) & 0xff) << 4) | ((dig(2) & 0xf0) >>> 4)
+    val w = ((dig(2) & 0x0f) << 28) | ((dig(3) & 0xff) << 20) |
+      ((dig(4) & 0xff) << 12) | ((dig(5) & 0xff) << 4) | ((dig(6) & 0xf0) >>> 4)
+    (v20 % m, Integer.numberOfLeadingZeros(w) + 1)
+  }
 }

@@ -52,4 +52,37 @@ object SketchStream {
             .toSeq.iterator
       }
   }
+
+  final case class Register(bucket: Int, m: Int)
+
+  /** Incremental HLL registers over a stream of string keys (column
+    * `key`) — the streaming twin of q08c's HllAggregate, same
+    * md5-derived bucket/rho, register-wise MAX state. Distinct-count
+    * estimates are available after any trigger prefix; state is m
+    * bytes total, and because max-merge is idempotent AND commutative,
+    * replayed or reordered files cannot drift the registers (the spec
+    * pins replay-invariance — the property that makes the sketch safe
+    * under at-least-once delivery). Single state key: the whole
+    * register array is one m-byte blob, updated once per trigger —
+    * sharding it d-ways like the CMS would buy nothing at m = 256. */
+  def hllRegisters(spark: SparkSession, keys: DataFrame,
+      p: Int = 8): Dataset[Register] = {
+    import spark.implicits._
+    val m = 1 << p
+    keys.select(col("key").cast("string")).as[String]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Array[Byte], Register](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { k =>
+            val (b, rho) = graft.functions.Hll.bucketRho(k, m)
+            if (rho > regs(b)) regs(b) = rho.toByte
+          }
+          state.update(regs)
+          regs.iterator.zipWithIndex
+            .collect { case (r, b) if r > 0 => Register(b, r.toInt) }
+            .toSeq.iterator
+      }
+  }
 }

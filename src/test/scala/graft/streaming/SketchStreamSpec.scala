@@ -72,4 +72,36 @@ class SketchStreamSpec extends SparkSpec {
         "mid-stream cells are not the batch sketch of the consumed prefix")
     } finally q.stop()
   }
+
+  test("streamed HLL registers equal the batch aggregate, and a replayed file changes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_hll")
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id").cast("string").as("key"))
+    docs.coalesce(1).write.parquet(dir.resolve("drop").toString)
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("key", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/drop")
+    val q = SketchStream.hllRegisters(spark, stream, p = 8)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      def streamed = spark.table("hll_stream")
+        .groupBy(col("bucket")).agg(max(col("m")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val batch = docs
+        .agg(graft.functions.Hll.hllSketch(col("key"), 8).as("regs"))
+        .collect()(0).getSeq[Int](0).zipWithIndex
+        .collect { case (r, b) if r > 0 => b -> r }.toMap
+      assert(streamed == batch,
+        "streamed HLL registers diverged from the batch aggregate")
+      // at-least-once safety: replaying the whole corpus is a no-op
+      // because max-merge is idempotent
+      docs.coalesce(1).write.mode("append").parquet(dir.resolve("drop").toString)
+      q.processAllAvailable()
+      assert(streamed == batch, "a replayed file drifted the registers")
+    } finally q.stop()
+  }
 }
