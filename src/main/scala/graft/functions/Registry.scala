@@ -31,5 +31,10 @@ object Registry {
     reg("char_entropy", es => CharEntropy(es(0)))
     reg("jaccard_sorted", es => JaccardSortedLongs(es(0), es(1)))
     reg("span_cut", es => SpanFilter(es(0), es(1)))
+    // the sketch AGGREGATES register like any builtin aggregate: the
+    // builder returns the AggregateFunction and the analyzer wraps it
+    reg("cms_sketch", es => CmsAggregate(es(0),
+      litInt(es(1), "cms_sketch"), litInt(es(2), "cms_sketch")))
+    reg("hll_sketch", es => HllAggregate(es(0), litInt(es(1), "hll_sketch")))
   }
 }

@@ -34,6 +34,18 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("the sketch aggregates resolve and evaluate through spark.sql") {
+    val r = GraftSql.sql(spark, sf,
+      """SELECT size(cms_sketch(doc_id, 4, 1024)) AS n_cells,
+        |  size(hll_sketch(CAST(doc_id AS STRING), 8)) AS n_regs,
+        |  aggregate(hll_sketch(CAST(doc_id AS STRING), 8), 0,
+        |    (a, x) -> a + CASE WHEN x > 0 THEN 1 ELSE 0 END) AS nonzero
+        |FROM documents""".stripMargin).collect()(0)
+    assert(r.getAs[Int]("n_cells") == 4 * 1024)
+    assert(r.getAs[Int]("n_regs") == 256)
+    assert(r.getAs[Int]("nonzero") > 0 && r.getAs[Int]("nonzero") <= 256)
+  }
+
   test("SQL path equals Column API path on the same rows") {
     val viaSql = GraftSql.sql(spark, sf,
       "SELECT doc_id, simhash64(split(text, ' ')) AS sh, char_entropy(text) AS e " +
