@@ -162,10 +162,18 @@ object Extras {
     // pick the identical sample and the identical element, so the
     // result replays bit-for-bit where q19b's KLL sketch never can.
     // Scale shape: the sample predicate is map-only (no pre-shuffle),
-    // only the 2% sliver reaches the per-group sort; at 100 TB you
-    // tune the threshold so each group's sample fits one task (the
-    // estimate error is ~1/sqrt(sample size), independent of corpus
-    // size). Values are small integral decimals, cast to DOUBLE (exact)
+    // so only the 2% sliver shuffles at all — and the per-group rank is
+    // pp10's TWO-PASS PREFIX SUM over the total order (group, value,
+    // unique key), NOT a `Window.partitionBy(group)` row_number: three
+    // groups would mean three single-task sorts of the whole sample,
+    // the 100 TB-killer PrefixSum exists to replace. Group-local rank =
+    // global cumsum − the preceding groups' row counts (a group-count
+    // table, bounded by group cardinality like every Lloyd collect).
+    // Ties among equal values land in different ranks than the window
+    // form would give, but the SELECTED VALUE at any rank of a sorted
+    // multiset is identical — the output, and the oracle, don't move.
+    // Estimate error is ~1/sqrt(sample size), independent of corpus
+    // size. Values are small integral decimals, cast to DOUBLE (exact)
     // so both engines emit the same physical type.
     "q19c_sampled_percentiles" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -173,12 +181,23 @@ object Extras {
         .filter(conv(substring(
             md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
             1, 4), 16, 10).cast("long") < 1311)
-        .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
-      sampled
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_sample", count(lit(1)).over(
-          Window.partitionBy(col("l_returnflag"))))
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.ops.PrefixSum.globalCumsum(sampled, lit(1L),
+        Seq(col("l_returnflag"), col("q"),
+          col("l_orderkey"), col("l_linenumber")),
+        "grn", inclusive = true)
+      val counts = sampled.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sample"))
+      // exclusive prefix over the GROUP-COUNT table (rows = #groups,
+      // never data-sized — the one place an unpartitioned window is
+      // the bounded idiom)
+      val offs = counts.withColumn("off",
+        coalesce(sum(col("n_sample")).over(
+          Window.orderBy(col("l_returnflag"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      ranked.join(broadcast(offs), Seq("l_returnflag"))
+        .withColumn("rn", col("grn") - col("off"))
         .groupBy(col("l_returnflag"), col("n_sample"))
         .agg(
           max(when(col("rn") === expr("(n_sample - 1) div 2 + 1"), col("q")))
