@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Sketch-aggregate stress driver (the GramStress pattern applied to
+  * the CMS/HLL family): a synthetic key stream ~100x sf0.1's row
+  * count, generated entirely map-side from spark.range, with planted
+  * structure whose exact answer is known:
+  *
+  *   - keys are `id % nDistinct`, so the true distinct count is
+  *     EXACTLY nDistinct and every key's true frequency is
+  *     nRows/nDistinct (±1);
+  *   - one planted heavy hitter: key 0 also absorbs every id whose
+  *     id div nDistinct == 0 ... no — ids with id % heavyEvery == 0
+  *     remap to key 0, making its true count known in closed form.
+  *
+  * What this certifies at 100x scale:
+  *   - the CMS aggregate's buffer stays d×w regardless of rows (the
+  *     run would OOM instantly if the buffer scaled with data);
+  *   - the CMS estimate for the planted heavy hitter is >= its exact
+  *     count (the no-undercount bound) and within w-bound slack;
+  *   - the HLL raw estimate lands within ~5 standard errors of
+  *     nDistinct;
+  *   - wall time scales ~linearly with rows (one pass, no shuffle
+  *     growth — the exchange carries one buffer per map partition).
+  *
+  * Prints one JSON line. Run: tools/run.sh graft.tools.SketchStress
+  * [nRows] [nDistinct] (default 60000000 100000). Results recorded in
+  * docs/ROUND9.md.
+  */
+object SketchStress {
+  def main(args: Array[String]): Unit = {
+    val nRows = args.headOption.map(_.toLong).getOrElse(60000000L)
+    val nDistinct = args.drop(1).headOption.map(_.toLong).getOrElse(100000L)
+    val heavyEvery = 100L // every 100th row remaps to key 0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val keys = spark.range(nRows).select(
+      when(col("id") % heavyEvery === 0, lit(0L))
+        .otherwise(col("id") % nDistinct).as("k"))
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // CMS: one pass, 4x1024 cells; probe the planted heavy hitter
+    val D = 4; val W = 1024
+    val ((cells, cmsSec)) = timed {
+      keys.agg(graft.functions.Cms.cmsSketch(col("k"), D, W))
+        .collect()(0).getSeq[Long](0)
+    }
+    // exact count of the planted heavy key, computed from the same
+    // map-side generator (ids ≡ 0 mod heavyEvery plus the remapped
+    // multiples of nDistinct)
+    val exact0 = spark.range(nRows).select(
+        when(col("id") % heavyEvery === 0, lit(0L))
+          .otherwise(col("id") % nDistinct).as("k"))
+      .filter(col("k") === 0).count()
+    val est0 = (1 to D).map { seed =>
+      cells((seed - 1) * W + graft.functions.CmsAggregate.bucket(seed, 0L, W))
+    }.min
+
+    // HLL: one pass, 2^12 registers for the 1e5-distinct stream
+    val P = 12; val M = 1 << P
+    val ((regs, hllSec)) = timed {
+      keys.agg(graft.functions.Hll.hllSketch(col("k").cast("string"), P))
+        .collect()(0).getSeq[Int](0)
+    }
+    val regSum = regs.map(r => 1L << (33 - r)).sum
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    val hllEst = alpha * M.toDouble * M.toDouble * math.pow(2, 33) / regSum.toDouble
+    val hllErr = (hllEst - nDistinct) / nDistinct
+
+    val ok = est0 >= exact0 && math.abs(hllErr) < 5 * 1.04 / math.sqrt(M)
+    println(s"""{"nRows":$nRows,"nDistinct":$nDistinct,""" +
+      s""""cms_sec":$cmsSec,"hll_sec":$hllSec,""" +
+      s""""heavy_exact":$exact0,"heavy_est":$est0,""" +
+      s""""hll_est":$hllEst,"hll_rel_err":$hllErr,"ok":$ok}""")
+    assert(ok, "sketch stress bound violated")
+    spark.stop()
+  }
+}
