@@ -85,12 +85,20 @@ object IndexStore {
     * appends, deletes and re-ids). One map-only scan reading two
     * columns — at 100 TB this is the cheap end of the
     * staleness-vs-rescan tradeoff, and it runs once per session. */
+  /** Per-table (id, content) columns for fingerprinting. The id need
+    * not be unique (lineitem): count/max still catch appends and
+    * deletes, and the xor'd sampled hash stays content-sensitive. */
+  private val fpCols = Map(
+    "embeddings" -> ("vec_id", "embedding"),
+    "orders" -> ("o_orderkey", "o_totalprice"),
+    "lineitem" -> ("l_orderkey", "l_partkey"),
+    "events" -> ("event_id", "user_id"))
+
   def fingerprint(s: SparkSession, d: String, table: String): String = {
     SessionCaches.track(s)
     fpCache.getOrElseUpdate((s, d, table), {
       val df = Tables.load(s, d, table)
-      val (idCol, contentCol) =
-        if (table == "embeddings") ("vec_id", "embedding") else ("doc_id", "text")
+      val (idCol, contentCol) = fpCols.getOrElse(table, ("doc_id", "text"))
       val r = df
         .select(col(idCol).cast("long").as("id"),
           xxhash64(col(idCol), col(contentCol)).as("h"))
@@ -104,6 +112,9 @@ object IndexStore {
   }
 
   /** Decide load-vs-build for index `name` of `table` under corpus `d`.
+    * `table` may be a comma-list ("orders,lineitem") for indexes
+    * derived from several source tables — the fingerprint is the join
+    * of each table's, so a change in ANY source marks the index stale.
     * Most callers want [[dataFrame]]/[[bytes]]; `resolve` is for
     * payloads the caller writes itself (IVF's partitioned postings). */
   def resolve(s: SparkSession, d: String, name: String,
@@ -111,7 +122,8 @@ object IndexStore {
     case None => Unmanaged
     case Some(r) =>
       val base = s"$r/${corpusKey(d)}/$name"
-      val fp = fingerprint(s, d, table)
+      val fp = table.split(",").map(t => fingerprint(s, d, t.trim))
+        .mkString("|")
       readMeta(s, base) match {
         case Some(m) if m.getProperty("fingerprint") == fp =>
           lastAction((d, name)) = "loaded"

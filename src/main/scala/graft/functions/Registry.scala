@@ -18,6 +18,13 @@ object Registry {
       s"$fn: the size argument must be an INT literal")
   }
 
+  private def litLong(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: the bound argument must be an integer literal")
+  }
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
     def reg(name: String, b: Seq[Expression] => Expression): Unit =
@@ -36,5 +43,8 @@ object Registry {
     reg("cms_sketch", es => CmsAggregate(es(0),
       litInt(es(1), "cms_sketch"), litInt(es(2), "cms_sketch")))
     reg("hll_sketch", es => HllAggregate(es(0), litInt(es(1), "hll_sketch")))
+    reg("hist_sketch", es => HistAggregate(es(0),
+      litLong(es(1), "hist_sketch"), litLong(es(2), "hist_sketch"),
+      litInt(es(3), "hist_sketch")))
   }
 }

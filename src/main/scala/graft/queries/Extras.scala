@@ -208,6 +208,42 @@ object Extras {
             .as("p99_s"))
     },
 
+    // q19d: the MERGEABLE-SKETCH percentile tier — functions.HistAggregate,
+    // the quantile member of the sketch family (CMS = frequency, HLL =
+    // distinct). One corpus scan; the exchange carries ONE 1024-long
+    // bin array per map partition per group (constant size), where the
+    // exact q19 shuffles the data and q19c's hash sample shuffles a
+    // corpus-proportional 2% sliver. Bin assignment is integer floor
+    // division on exact cents (DECIMAL(18,2)·100), so every count — and
+    // the bin each rank lands in — replays bit-for-bit in DuckDB. The
+    // reported value is the holding bin's LOWER EDGE in cents: error ≤
+    // one binWidth ($163.84), fixed in value units, independent of
+    // corpus size. Rank convention matches q19c: (n−1)·p/100 + 1, pure
+    // integer. The posexplode + per-group cumsum below runs on
+    // groups×bins rows (3×1024) — bounded by the sketch, never by data,
+    // the same bounded-window idiom as q19c's group-count table.
+    "q19d_hist_percentiles" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lo = 0L; val w = 16384L; val nb = 1024
+      val sk = Tables.load(s, d, "lineitem")
+        .withColumn("cents", (dec(col("l_extendedprice")) * 100).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Hist.histSketch(col("cents"), lo, w, nb).as("bins"),
+          count(lit(1)).as("n_rows"))
+      val binRows = sk.select(col("l_returnflag"), col("n_rows"),
+          posexplode(col("bins")).as(Seq("b", "cnt")))
+        .filter(col("cnt") > 0)
+      val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      def pick(p: Int, nm: String) =
+        min(when(col("cum") >= expr(s"(n_rows - 1) * $p div 100 + 1"),
+          lit(lo) + col("b") * lit(w))).as(nm)
+      binRows.withColumn("cum", sum(col("cnt")).over(wcum))
+        .groupBy(col("l_returnflag"), col("n_rows"))
+        .agg(pick(50, "p50_lo_cents"), pick(90, "p90_lo_cents"),
+          pick(99, "p99_lo_cents"))
+    },
+
     // String scalar functions + LIKE filter.
     "q20_string_funcs" -> { (s, d) =>
       Tables.load(s, d, "customer")
@@ -261,6 +297,46 @@ object Extras {
         .agg(canon(collect_list(col("l_partkey"))).as("parts"),
           canon(collect_set(col("l_suppkey"))).as("supps"),
           count(lit(1)).as("n_items"))
+    },
+
+    // q30: CDC MERGE (SCD-1 upsert) — apply a change feed (insert /
+    // update / delete ops) to a base snapshot, the nightly-maintenance
+    // operator every warehouse pipeline runs. The feed here is derived
+    // deterministically from orders itself (keys ≡9 mod 10 are the
+    // "new" rows missing from the snapshot, ≡3 are updated, ≡7
+    // deleted) so the whole merge replays in DuckDB.
+    // Shape chosen for 100 TB: NOT a full-outer join. Inserts arrive
+    // op-tagged, so detecting them by absence is unnecessary — the
+    // merge is base LEFT JOIN (updates ∪ deletes) + UNION inserts. A
+    // real change feed is ≪ the base table, so the left join
+    // broadcasts (AQE) and the base never shuffles — where MERGE
+    // expressed as FULL OUTER would force a sort-merge exchange of the
+    // whole snapshot (full-outer has no broadcast form).
+    "q30_merge_upsert" -> { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val base = o.filter(col("o_orderkey") % 10 =!= 9)
+      val ud = o.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          lit("X").as("new_status"),
+          (col("o_totalprice") + lit(1000.0)).as("new_price"))
+        .unionByName(o.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey").as("k"), lit("D").as("op"),
+            lit(null).cast("string").as("new_status"),
+            lit(null).cast("double").as("new_price")))
+      val inserts = o.filter(col("o_orderkey") % 10 === 9)
+        .withColumn("src", lit("inserted"))
+      base.join(ud, col("o_orderkey") === col("k"), "left_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("op") === "U", col("new_status"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("op") === "U", col("new_price"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("op") === "U", lit("updated"))
+            .otherwise(lit("kept")).as("src"))
+        .unionByName(inserts)
     },
 
     // Date scalar functions: extract + day arithmetic.
@@ -387,6 +463,35 @@ object Extras {
         |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // q19d: identical integer bin assignment (exact cents via
+    // DECIMAL(18,2)·100, floor division, LEAST clamp to the last bin —
+    // cents are never negative so the low clamp is vacuous in both
+    // engines), identical cumulative-count rank selection. Every output
+    // is integer; nothing floats.
+    "q19d_hist_percentiles" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT l_returnflag, LEAST(cents // 16384, 1023) AS b,
+        |    COUNT(*) AS cnt
+        |  FROM c GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, b,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_rows
+        |  FROM b)
+        |SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(MIN(CASE WHEN cum >= (n_rows - 1) * 50 // 100 + 1
+        |    THEN b * 16384 END) AS BIGINT) AS p50_lo_cents,
+        |  CAST(MIN(CASE WHEN cum >= (n_rows - 1) * 90 // 100 + 1
+        |    THEN b * 16384 END) AS BIGINT) AS p90_lo_cents,
+        |  CAST(MIN(CASE WHEN cum >= (n_rows - 1) * 99 // 100 + 1
+        |    THEN b * 16384 END) AS BIGINT) AS p99_lo_cents
+        |FROM cum GROUP BY l_returnflag, n_rows""".stripMargin,
+
     "q20_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS uname,
         |  substr(c_name, 1, 8) AS prefix,
@@ -415,6 +520,34 @@ object Extras {
         |  COUNT(*) AS n_items
         |FROM lineitem WHERE l_orderkey < 500
         |GROUP BY l_orderkey""".stripMargin,
+
+    // q30: the same op-tagged merge — kept rows pass through, updates
+    // overwrite status/price, deletes drop, inserts append. Double
+    // arithmetic (+1000.0) is the identical IEEE op in both engines.
+    "q30_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 9
+        |), ud AS (
+        |  SELECT o_orderkey AS k, 'U' AS op, 'X' AS new_status,
+        |    o_totalprice + 1000.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |)
+        |SELECT b.o_orderkey, b.o_custkey,
+        |  CASE WHEN u.op = 'U' THEN u.new_status
+        |       ELSE b.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN u.op = 'U' THEN u.new_price
+        |       ELSE b.o_totalprice END AS o_totalprice,
+        |  CASE WHEN u.op = 'U' THEN 'updated' ELSE 'kept' END AS src
+        |FROM base b LEFT JOIN ud u ON b.o_orderkey = u.k
+        |WHERE u.op IS NULL OR u.op <> 'D'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  'inserted' AS src
+        |FROM orders WHERE o_orderkey % 10 = 9""".stripMargin,
 
     "q21_date_funcs" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -194,6 +194,64 @@ object Relational {
         .withColumn("rel_err",
           (col("hll_estimate") - col("n_exact").cast("double")) /
             col("n_exact").cast("double"))
+    },
+
+    // q08d: HLL SET ALGEBRA — the property that makes per-group
+    // sketches an INDEX, not just a count: register-wise max of two
+    // HLL register arrays IS the sketch of the union (max-merge is the
+    // sketch's defining identity), so every pairwise overlap between
+    // groups is answered from the tiny sketch table with ZERO further
+    // corpus scans. est_union from the union registers; est_intersect
+    // by inclusion–exclusion (est_a + est_b − est_union — the standard
+    // estimator; can go negative for disjoint sets, that's the noise
+    // floor). At 100 TB: one scan materializes per-source sketches,
+    // then ALL n² source-overlap questions cost |sources|²·m bytes of
+    // arithmetic. The sketch table is one row per group — the Lloyd
+    // k×dim class of bounded driver transfer — so the pair algebra
+    // (integer register sums, engine-independent) runs on collected
+    // arrays and re-enters the plan as a broadcast local relation; the
+    // exact-intersection audit stays fully distributed (one pk
+    // shuffle, flag-set pair explode ≤ |flags|² per key). The DuckDB
+    // oracle replays registers, unions, sums, and the identical
+    // literal float estimate — hash-exact like q08c.
+    "q08d_hll_overlap" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.Hll.hllSketch(col("pk"), 8).as("regs"))
+      val rows = sk.collect()
+        .map(r => (r.getString(0), r.getSeq[Int](1).toArray)).sortBy(_._1)
+      def regSum(a: Array[Int]): Long = a.map(m => 1L << (33 - m)).sum
+      val pairRows = for {
+        (fa, ra) <- rows.toSeq; (fb, rb) <- rows.toSeq if fa < fb
+      } yield (fa, fb, regSum(ra), regSum(rb),
+        regSum(ra.zip(rb).map { case (x, y) => math.max(x, y) }))
+      val pairs = pairRows.toDF(
+        "flag_a", "flag_b", "reg_sum_a", "reg_sum_b", "reg_sum_union")
+      val fs = li.select(col("l_returnflag"), col("pk")).distinct()
+      val ex = fs.groupBy(col("pk"))
+        .agg(collect_set(col("l_returnflag")).as("fsa"))
+        .select(explode(col("fsa")).as("fa"), col("fsa"))
+        .select(col("fa"), explode(col("fsa")).as("fb"))
+        .filter(col("fa") < col("fb"))
+        .groupBy(col("fa"), col("fb"))
+        .agg(count(lit(1)).as("n_exact_intersect"))
+      def est(c: Column) =
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(562949953421312.0) / c.cast("double")
+      broadcast(pairs)
+        .join(ex, col("flag_a") === col("fa") && col("flag_b") === col("fb"))
+        .withColumn("est_union", est(col("reg_sum_union")))
+        .withColumn("est_intersect",
+          est(col("reg_sum_a")) + est(col("reg_sum_b")) -
+            est(col("reg_sum_union")))
+        .withColumn("rel_err",
+          (col("est_intersect") - col("n_exact_intersect").cast("double")) /
+            col("n_exact_intersect").cast("double"))
+        .select(col("flag_a"), col("flag_b"), col("reg_sum_a"),
+          col("reg_sum_b"), col("reg_sum_union"), col("est_union"),
+          col("est_intersect"), col("n_exact_intersect"), col("rel_err"))
     },
 
     // Set operations: UNION then EXCEPT (explicitly parenthesized the same
@@ -423,6 +481,92 @@ object Relational {
         |      * CAST(562949953421312.0 AS DOUBLE)
         |      / CAST(r.reg_sum AS DOUBLE) AS hll_estimate
         |  FROM exact e JOIN regsum r USING (l_returnflag)) z""".stripMargin,
+
+    // q08d: per-flag registers replayed exactly as q08c, then the pair
+    // algebra — union registers via MAX over the two flags' sparse
+    // register rows (r.l_returnflag IN (fa, fb) GROUP BY bucket IS the
+    // register-wise max), integer register sums with the zero-register
+    // completion term, and the identical literal float estimate.
+    "q08d_hll_overlap" -> {
+      val estOf = (x: String) =>
+        s"""CAST(0.7213 AS DOUBLE)
+           |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)
+           |           / CAST(256.0 AS DOUBLE))
+           |      * CAST(562949953421312.0 AS DOUBLE)
+           |      / CAST($x AS DOUBLE)""".stripMargin
+      s"""WITH hx AS (
+         |  SELECT l_returnflag,
+         |    CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR)
+         |      AS pk,
+         |    md5(CAST(l_partkey AS VARCHAR) || '_'
+         |        || CAST(l_suppkey AS VARCHAR)) AS hx
+         |  FROM lineitem
+         |), br AS (
+         |  SELECT l_returnflag,
+         |    list_sum([CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1
+         |                   AS BIGINT)
+         |              * ([65536,4096,256,16,1])[i]
+         |              FOR i IN range(1, 6)]) % 256 AS b,
+         |    list_sum([CAST(strpos('0123456789abcdef', substr(hx, i + 5, 1)) - 1
+         |                   AS BIGINT)
+         |              * ([268435456,16777216,1048576,65536,4096,256,16,1])[i]
+         |              FOR i IN range(1, 9)]) AS w
+         |  FROM hx
+         |), reg AS (
+         |  SELECT l_returnflag, b,
+         |    MAX(CASE WHEN w = 0 THEN 33
+         |        ELSE 33 - len([x FOR x IN
+         |          [1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,
+         |           32768,65536,131072,262144,524288,1048576,2097152,4194304,
+         |           8388608,16777216,33554432,67108864,134217728,268435456,
+         |           536870912,1073741824,2147483648] IF w >= x]) END) AS m_j
+         |  FROM br GROUP BY 1, 2
+         |), rs AS (
+         |  SELECT l_returnflag,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (33 - m_j))
+         |      + CAST(256 - COUNT(*) AS BIGINT) * (CAST(1 AS BIGINT) << 33)
+         |      AS BIGINT) AS reg_sum
+         |  FROM reg GROUP BY 1
+         |), flags AS (SELECT DISTINCT l_returnflag FROM reg),
+         |pairs AS (
+         |  SELECT a.l_returnflag AS fa, b.l_returnflag AS fb
+         |  FROM flags a JOIN flags b ON a.l_returnflag < b.l_returnflag
+         |), ureg AS (
+         |  SELECT p.fa, p.fb, r.b, MAX(r.m_j) AS m_j
+         |  FROM pairs p JOIN reg r ON r.l_returnflag IN (p.fa, p.fb)
+         |  GROUP BY 1, 2, 3
+         |), urs AS (
+         |  SELECT fa, fb,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (33 - m_j))
+         |      + CAST(256 - COUNT(*) AS BIGINT) * (CAST(1 AS BIGINT) << 33)
+         |      AS BIGINT) AS reg_sum_union
+         |  FROM ureg GROUP BY 1, 2
+         |), fs AS (SELECT DISTINCT l_returnflag, pk FROM hx),
+         |ex AS (
+         |  SELECT x.l_returnflag AS fa, y.l_returnflag AS fb,
+         |    COUNT(*) AS n_exact_intersect
+         |  FROM fs x JOIN fs y
+         |    ON x.pk = y.pk AND x.l_returnflag < y.l_returnflag
+         |  GROUP BY 1, 2
+         |)
+         |SELECT flag_a, flag_b, reg_sum_a, reg_sum_b, reg_sum_union,
+         |  est_union, est_intersect, n_exact_intersect,
+         |  (est_intersect - CAST(n_exact_intersect AS DOUBLE))
+         |    / CAST(n_exact_intersect AS DOUBLE) AS rel_err
+         |FROM (
+         |  SELECT u.fa AS flag_a, u.fb AS flag_b,
+         |    ra.reg_sum AS reg_sum_a, rb.reg_sum AS reg_sum_b,
+         |    u.reg_sum_union,
+         |    ${estOf("u.reg_sum_union")} AS est_union,
+         |    ${estOf("ra.reg_sum")}
+         |      + ${estOf("rb.reg_sum")}
+         |      - ${estOf("u.reg_sum_union")} AS est_intersect,
+         |    e.n_exact_intersect
+         |  FROM urs u
+         |  JOIN rs ra ON ra.l_returnflag = u.fa
+         |  JOIN rs rb ON rb.l_returnflag = u.fb
+         |  JOIN ex e ON e.fa = u.fa AND e.fb = u.fb) z""".stripMargin
+    },
 
     "q09_setops" ->
       """(SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -53,6 +53,37 @@ object SketchStream {
       }
   }
 
+  final case class Bin(b: Int, n: Long)
+
+  /** Incremental histogram bins over a stream of longs (column `x`) —
+    * the streaming twin of q19d's HistAggregate, same floor-division
+    * bin derivation (Hist.bin), additive cell state. Rank/percentile
+    * estimates are available after any trigger prefix; state is nBins
+    * longs total regardless of rows seen. Like the CMS (additive, NOT
+    * idempotent) and unlike the HLL, replayed files double counts —
+    * the delivery-semantics contrast the three-sketch family
+    * documents: exactly-once sources for counting sketches,
+    * at-least-once suffices for max-merge ones. Single state key like
+    * the HLL: one bin array per trigger update. */
+  def histBins(spark: SparkSession, xs: DataFrame,
+      lo: Long = 0L, binWidth: Long = 16384L, nBins: Int = 1024): Dataset[Bin] = {
+    import spark.implicits._
+    xs.select(col("x").cast("long")).as[Long]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Array[Long], Bin](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val bins = state.getOption.getOrElse(new Array[Long](nBins))
+          rows.foreach { x =>
+            bins(graft.functions.Hist.bin(x, lo, binWidth, nBins)) += 1L
+          }
+          state.update(bins)
+          bins.iterator.zipWithIndex
+            .collect { case (n, b) if n > 0 => Bin(b, n) }
+            .toSeq.iterator
+      }
+  }
+
   final case class Register(bucket: Int, m: Int)
 
   /** Incremental HLL registers over a stream of string keys (column

@@ -80,10 +80,42 @@ object SketchStress {
     val hllEst = alpha * M.toDouble * M.toDouble * math.pow(2, 33) / regSum.toDouble
     val hllErr = (hllEst - nDistinct) / nDistinct
 
-    val ok = est0 >= exact0 && math.abs(hllErr) < 5 * 1.04 / math.sqrt(M)
+    // HIST: one pass, 1024 bins over the key space. The planted
+    // structure makes every key's count — and therefore the exact
+    // median key — known in closed form (divisibility required below:
+    // key 0 holds nRows/heavyEvery; other multiples of heavyEvery
+    // hold 0 because their ids are ≡0 mod heavyEvery and remap; the
+    // rest hold nRows/nDistinct each), so the histogram's p50 bin
+    // must be EXACTLY the bin containing that key. Certifies the same
+    // three properties as the CMS: constant nBins·8-byte buffer at
+    // any row count, one pass, constant-size exchange.
+    require(nDistinct % heavyEvery == 0 && nRows % nDistinct == 0,
+      "closed-form median needs heavyEvery | nDistinct | nRows")
+    val NB = 1024; val BW = math.max(1L, nDistinct / NB)
+    val ((bins, histSec)) = timed {
+      keys.agg(graft.functions.Hist.histSketch(col("k"), 0L, BW, NB))
+        .collect()(0).getSeq[Long](0)
+    }
+    val histN = bins.sum
+    val p50Rank = (histN - 1) / 2 + 1
+    val p50Bin = bins.scanLeft(0L)(_ + _).drop(1).indexWhere(_ >= p50Rank)
+    def keyCount(k: Long): Long =
+      if (k == 0L) nRows / heavyEvery
+      else if (k % heavyEvery == 0L) 0L
+      else nRows / nDistinct
+    var (cum, kk, medKey) = (0L, 0L, -1L)
+    while (medKey < 0 && kk < nDistinct) {
+      cum += keyCount(kk); if (cum >= p50Rank) medKey = kk; kk += 1
+    }
+    val histOk = histN == nRows &&
+      p50Bin == graft.functions.Hist.bin(medKey, 0L, BW, NB)
+
+    val ok = est0 >= exact0 && math.abs(hllErr) < 5 * 1.04 / math.sqrt(M) &&
+      histOk
     println(s"""{"nRows":$nRows,"nDistinct":$nDistinct,""" +
-      s""""cms_sec":$cmsSec,"hll_sec":$hllSec,""" +
+      s""""cms_sec":$cmsSec,"hll_sec":$hllSec,"hist_sec":$histSec,""" +
       s""""heavy_exact":$exact0,"heavy_est":$est0,""" +
+      s""""hist_rows":$histN,"p50_bin":$p50Bin,"median_key":$medKey,""" +
       s""""hll_est":$hllEst,"hll_rel_err":$hllErr,"ok":$ok}""")
     assert(ok, "sketch stress bound violated")
     spark.stop()

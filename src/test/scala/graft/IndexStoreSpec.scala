@@ -71,6 +71,38 @@ class IndexStoreSpec extends SparkSpec {
       s"expected a scan of the persisted index under $root in:\n$plan")
   }
 
+  test("a second session answers gr01/gr03 by loading the persisted " +
+    "trade-edge graph (multi-table fingerprint)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot3").toString
+    def runBoth(s: SparkSession): Map[String, Seq[String]] = Map(
+      "gr01" -> sortedRows(ops.Graph.queries("gr01_pagerank")(s, sf)),
+      "gr03" -> sortedRows(ops.Graph.queries("gr03_bfs_hops")(s, sf)))
+
+    IndexStore.lastAction.clear()
+    val first = runBoth(managed(root))
+    assert(IndexStore.lastAction.get((sf, "trade_edges")).contains("built"),
+      s"trade_edges should have been BUILT: ${IndexStore.lastAction.toMap}")
+    assert(first.values.forall(_.nonEmpty))
+
+    IndexStore.lastAction.clear()
+    val second = runBoth(managed(root))
+    assert(IndexStore.lastAction.get((sf, "trade_edges")).contains("loaded"),
+      s"trade_edges should have been LOADED: ${IndexStore.lastAction.toMap}")
+    assert(second == first)
+
+    // the multi-table fingerprint is the join of each source's — a
+    // change in EITHER orders or lineitem must flip it
+    val s = SparkSpec.session.newSession()
+    val joint = Seq("orders", "lineitem")
+      .map(t => IndexStore.fingerprint(s, sf, t)).mkString("|")
+    val meta = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .iterator().next().resolve("trade_edges").resolve("_GRAFT_META")
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(meta)
+    try props.load(in) finally in.close()
+    assert(props.getProperty("fingerprint") == joint)
+  }
+
   test("a stale index (mutated corpus) fails loudly on load; " +
     "ifStale=rebuild rebuilds in place") {
     val root = java.nio.file.Files.createTempDirectory("graft_idxroot2").toString

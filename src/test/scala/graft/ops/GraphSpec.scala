@@ -108,6 +108,61 @@ class GraphSpec extends SparkSpec {
     assert(got(rnd) == brute(rnd))
   }
 
+  /** Independent BFS reference: plain Scala queue on the enumerated
+    * graph. */
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Int] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edges.map(_._1).toSet
+    var dist = seeds.filter(nodes).map(_ -> 0).toMap
+    for (i <- 1 to iters) {
+      val next = dist.filter(_._2 == i - 1).keys
+        .flatMap(n => adj.getOrElse(n, Nil)).toSet
+      dist = dist ++ next.filterNot(dist.contains).map(_ -> i)
+    }
+    dist ++ nodes.filterNot(dist.contains).map(_ -> -1)
+  }
+
+  test("bfsHops matches the reference on a path with an unreachable component") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 (symmetrized) + disconnected pair 10-11; seed 0.
+    // 4 rounds reach node 4 but NOT node 5; 10/11 stay unreached.
+    val path = (0L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val extra = Seq((10L, 11L), (11L, 10L))
+    val e = path ++ extra
+    val got = Graph.bfsHops(e.toDF("src", "dst"), col("node") === 0L, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == refBfs(e, Set(0L), 4))
+    assert(got(4L) == 4 && got(5L) == -1 && got(10L) == -1)
+  }
+
+  test("bfsHops takes the MIN over multiple seeds and over multiple paths") {
+    import spark.implicits._
+    // diamond: 0-1, 0-2, 1-3, 2-3 symmetrized — node 3 reachable two
+    // ways at dist 2; seeds {0, 3} make every node dist <= 1
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val one = Graph.bfsHops(e.toDF("src", "dst"), col("node") === 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
+    val two = Graph.bfsHops(e.toDF("src", "dst"),
+        col("node") === 0L || col("node") === 3L, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two == Map(0L -> 0, 3L -> 0, 1L -> 1, 2L -> 1))
+  }
+
+  test("gr03 bipartite parity: customers at even hop distances, suppliers at odd") {
+    val df = Graph.queries("gr03_bfs_hops")(spark, sf).cache()
+    assert(df.count() > 0)
+    // seeds are customers and the trade graph is bipartite, so any
+    // REACHED customer is at even distance, any supplier at odd;
+    // unreached (-1) rows may be either kind
+    assert(df.filter(col("dist") >= 0 &&
+      ((col("kind") === "customer" && col("dist") % 2 =!= 0) ||
+        (col("kind") === "supplier" && col("dist") % 2 =!= 1))).count() == 0)
+    df.unpersist()
+  }
+
   test("gr01 every rank is at least the teleport floor and kinds split by parity") {
     val df = Graph.queries("gr01_pagerank")(spark, sf).cache()
     assert(df.filter(col("rank") < 15L * Graph.Scale / 100).count() == 0)

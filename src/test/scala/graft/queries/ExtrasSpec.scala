@@ -79,4 +79,33 @@ class ExtrasSpec extends SparkSpec {
       "the sample filter is not below the exchange — the full corpus would " +
         s"shuffle:\n${df.queryExecution.executedPlan}")
   }
+
+  test("q30 merge: deletes vanish, updates overwrite, inserts append, kept pass through") {
+    val o = graft.Tables.load(spark, sf, "orders")
+    val merged = Extras.queries("q30_merge_upsert")(spark, sf).cache()
+    def nWithMod(m: Int) = o.filter(col("o_orderkey") % 10 === m).count()
+    // cardinality: all orders minus the deleted tier (mod 7 rows were in
+    // the base; mod 9 rows arrive via the insert branch)
+    assert(merged.count() == o.count() - nWithMod(7))
+    assert(merged.filter(col("o_orderkey") % 10 === 7).count() == 0,
+      "deleted keys must not survive the merge")
+    assert(merged.filter(col("src") === "inserted").count() == nWithMod(9))
+    assert(merged.filter(col("src") === "updated").count() == nWithMod(3))
+    // every updated row carries the feed's values: status X, price +1000
+    val probe = o.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val upd = merged.filter(col("src") === "updated")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+    upd.foreach { r =>
+      assert(r.getString(1) == "X")
+      assert(r.getDouble(2) == probe(r.getLong(0)) + 1000.0)
+    }
+    // no full-outer: the plan must not sort-merge the whole base —
+    // the update/delete side joins as a broadcast (feed ≪ base)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("FullOuter"), s"merge degenerated to full outer:\n$plan")
+    merged.unpersist()
+  }
 }

@@ -76,6 +76,23 @@ class RelationalHllSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q08d set algebra: union registers dominate, estimates track exact overlap") {
+    val df = Relational.queries("q08d_hll_overlap")(spark, sf).cache()
+    assert(df.count() == 3, "three flag pairs")
+    // register-wise max can only RAISE registers, so the union's
+    // register sum (Σ 2^(33−M_j)) can only SHRINK: the structural
+    // invariant of max-merge, independent of data
+    assert(df.filter(col("reg_sum_union") >
+      least(col("reg_sum_a"), col("reg_sum_b"))).count() == 0,
+      "union register sum exceeded a constituent's — max-merge broken")
+    // inclusion–exclusion stacks three raw estimates, so the band is
+    // looser than q08c's single-sketch 20%; sf0.001 measures ≤ 12.5%
+    assert(df.filter(abs(col("rel_err")) > 0.35).count() == 0,
+      df.select("flag_a", "flag_b", "est_intersect", "n_exact_intersect", "rel_err")
+        .collect().mkString(", "))
+    df.unpersist()
+  }
+
   test("q08c plan: ONE hll_sketch aggregate over lineitem — constant-size shuffle") {
     val plan = Relational.queries("q08c_hll_distinct")(spark, sf)
       .queryExecution.sparkPlan

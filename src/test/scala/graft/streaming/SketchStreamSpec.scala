@@ -73,6 +73,39 @@ class SketchStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed histogram bins equal the batch aggregate after cross-trigger accumulation") {
+    val dir = java.nio.file.Files.createTempDirectory("li_hist")
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("x"), col("l_orderkey"))
+    li.filter(col("l_orderkey") % 2 === 0).select(col("x"))
+      .coalesce(1).write.parquet(dir.resolve("drop").toString)
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("x", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/drop")
+    val q = SketchStream.histBins(spark, stream)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      li.filter(col("l_orderkey") % 2 =!= 0).select(col("x"))
+        .coalesce(1).write.mode("append").parquet(dir.resolve("drop").toString)
+      q.processAllAvailable()
+      // bins only grow: latest emission per bin is the max
+      val streamed = spark.table("hist_stream")
+        .groupBy(col("b")).agg(max(col("n")).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = li
+        .agg(graft.functions.Hist.histSketch(col("x"), 0L, 16384L, 1024).as("bins"))
+        .collect()(0).getSeq[Long](0).zipWithIndex
+        .collect { case (n, b) if n > 0 => b -> n }.toMap
+      assert(streamed == batch,
+        "streamed bins diverged from the batch HistAggregate")
+    } finally q.stop()
+  }
+
   test("streamed HLL registers equal the batch aggregate, and a replayed file changes nothing") {
     val dir = java.nio.file.Files.createTempDirectory("docs_hll")
     val docs = graft.Tables.load(spark, sf, "documents")
