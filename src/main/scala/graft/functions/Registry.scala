@@ -43,6 +43,7 @@ object Registry {
     reg("cms_sketch", es => CmsAggregate(es(0),
       litInt(es(1), "cms_sketch"), litInt(es(2), "cms_sketch")))
     reg("hll_sketch", es => HllAggregate(es(0), litInt(es(1), "hll_sketch")))
+    reg("z_value", es => ZValue(es(0), es(1)))
     reg("hist_sketch", es => HistAggregate(es(0),
       litLong(es(1), "hist_sketch"), litLong(es(2), "hist_sketch"),
       litInt(es(3), "hist_sketch")))

@@ -68,7 +68,65 @@ object Bucketing {
     })
   }
 
+  // bk02: Z-ORDER layout — the 2-D companion to bk01's single-key
+  // bucketing. The layout interleaves the bits of the (partkey,
+  // suppkey) grid cell (functions.ZValue, 16×16 cells sized from the
+  // corpus maxima) and writes lineitem partitioned by z-cell; a 2-D
+  // range query then enumerates only the cells intersecting its box
+  // (ZOrderUtil.rangeCells — a driver-side, grid-bounded IN-list) and
+  // every other partition is pruned at planning time. Same
+  // write-once-amortize-forever cost model as bk01, so the layout is
+  // memoized per (session, dir); at 100 TB this is OPTIMIZE/ZORDER
+  // clustering as a first-class layout + query path — a query box of
+  // 1/64 of the key space touches ~4 of 256 partitions instead of
+  // scanning the table.
+  private val zBuilt = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Long, Long)]
+  graft.SessionCaches.registerEvictor(s =>
+    zBuilt.keySet.toSeq.filter(_._1 eq s).foreach(zBuilt.remove))
+
+  /** (layoutPath, cellWidthA, cellWidthB) for the z-ordered lineitem
+    * copy, built on demand once per (session, dir). */
+  def zorderLayout(s: SparkSession, d: String): (String, Long, Long) = {
+    graft.SessionCaches.track(s)
+    zBuilt.getOrElseUpdate((s, d), {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      val m = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (wa, wb) = (m.getLong(0) / 16 + 1, m.getLong(1) / 16 + 1)
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      li.withColumn("zcell", graft.functions.ZOrder.zValue(
+          expr(s"l_partkey div $wa"), expr(s"l_suppkey div $wb")))
+        .write.mode("overwrite").partitionBy("zcell").parquet(path)
+      (path, wa, wb)
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 2-D range query over the z-ordered layout: the box
+    // [max/8, max/4]² (deterministic per corpus — the oracle derives
+    // the same bounds in SQL) becomes a z-cell IN-list partition
+    // filter plus the exact residual predicate. The oracle is the
+    // plain box query on the original table: layout must never change
+    // answers, only the partitions touched (plan pinned in
+    // BucketingSpec).
+    "bk02_zorder_prune" -> { (s, d) =>
+      val (path, wa, wb) = zorderLayout(s, d)
+      val m = Tables.load(s, d, "lineitem")
+        .agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (ma, mb) = (m.getLong(0), m.getLong(1))
+      val (a0, a1, b0, b1) = (ma / 8, ma / 4, mb / 8, mb / 4)
+      val cells = graft.functions.ZOrderUtil
+        .rangeCells(a0 / wa, a1 / wa, b0 / wb, b1 / wb, bits = 31)
+      s.read.parquet(path)
+        .filter(col("zcell").isin(cells: _*) &&
+          col("l_partkey").between(a0, a1) &&
+          col("l_suppkey").between(b0, b1))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+    },
+
     // Fact-fact cojoin over the bucketed layout: lines + quantity per
     // order priority. Semantically the plain orders⋈lineitem join — the
     // oracle IS the plain join — but the join itself is bucket-local
@@ -84,6 +142,16 @@ object Bucketing {
   )
 
   def oracle: Map[String, String] = Map(
+    // bk02: the plain box query — bounds derived from the same maxima
+    // the layout used, so both engines pick the identical box.
+    "bk02_zorder_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN (SELECT MAX(l_partkey) // 8 FROM lineitem)
+        |                    AND (SELECT MAX(l_partkey) // 4 FROM lineitem)
+        |  AND l_suppkey BETWEEN (SELECT MAX(l_suppkey) // 8 FROM lineitem)
+        |                    AND (SELECT MAX(l_suppkey) // 4 FROM lineitem)""".stripMargin,
+
     "bk01_bucketed_cojoin" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -62,25 +62,48 @@ object Graph {
     (1 to math.min(12, 17 - digits)).foldLeft(1L)((a, _) => a * 10)
   }
 
+  // The repartitioned+persisted adjacency and its distinct-node table,
+  // memoized per (session, edges-instance, variant): pagerank and BFS
+  // both materialize an adjacency ONCE ("write the adjacency list
+  // once" at 100 TB), but doing it per INVOCATION leaked one persisted
+  // copy per call for the session lifetime (the ss09 quantized-corpus
+  // leak, round-9 ADVICE). gr01/gr03 pass the memoized tradeEdges
+  // instance, so reference keying hits across calls; ad-hoc callers
+  // (specs) get per-instance builds that evict with the session.
+  private val adjCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, DataFrame, String), (DataFrame, DataFrame)]
+  graft.SessionCaches.registerEvictor(s =>
+    adjCache.keySet.toSeq.filter(_._1 eq s).foreach(adjCache.remove))
+
+  private def adjNodes(edges: DataFrame, variant: String)
+      (buildAdj: => DataFrame): (DataFrame, DataFrame) = {
+    val s = edges.sparkSession
+    graft.SessionCaches.track(s)
+    adjCache.getOrElseUpdate((s, edges, variant), {
+      val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+      val adj = buildAdj.persist(disk)
+      // materialize before any iteration fans out: every round scans
+      // this table
+      adj.count()
+      val nodes = adj.select(col("src").as("node")).distinct().persist(disk)
+      (adj, nodes)
+    })
+  }
+
   /** Fixed-iteration integer PageRank over a directed edge list with
     * columns (src, dst). Returns (node, rank); every node that appears
     * as a source gets a rank (on a symmetrized graph: every node). */
   def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
     val s = edges.sparkSession
     val parts = s.sessionState.conf.numShufflePartitions
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src")
-      .repartition(parts, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // materialize before the iteration fans out: every round scans this
-    // table, and at 100 TB this line IS "write the adjacency list once"
-    adj.count()
+    val (adj, nodes) = adjNodes(edges, "pagerank") {
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      edges.join(deg, "src").repartition(parts, col("src"))
+    }
     // one tiny agg over the persisted adjacency — the node count that
     // fixes the scale; a single scalar to the driver, never row data.
     // The distinct node table is persisted and reused as the rank
     // init, so the count costs no extra distinct computation.
-    val nodes = adj.select(col("src").as("node")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = nodes.count()
     val scale = scaleFor(n)
     val teleport = 15L * scale / 100 // 0.15, exactly (scale >= 100)
@@ -107,22 +130,14 @@ object Graph {
     * recursive CTE).
     *
     * Scale shape = gr01's: the edge table is pre-partitioned on `src`
-    * and persisted ONCE; each round is one join (only the small
-    * (node, dist) state shuffles — the edges never move again) and one
-    * min-aggregation WITH map-side partial min. Carrying the full dist
-    * table through each round (instead of a delta frontier) keeps the
-    * recurrence trivially replayable; min is idempotent, so revisiting
-    * settled nodes costs a partial-agged shuffle of the state table —
-    * state-sized, not edge-sized. At a diameter ≫ iters, the delta
-    * frontier (join only nodes first reached last round) is the
-    * optimization; for hop-bounded audits (the common ask: "what can
-    * reach X in k hops") the fixed unroll IS the query. */
+    * and persisted ONCE (memoized adjacency, shared across calls);
+    * each round is one join — only the small frontier state shuffles,
+    * the edges never move again. */
   def bfsHops(edges: DataFrame, seedPred: Column, iters: Int): DataFrame = {
-    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val adj = edges.repartition(parts, col("src")).persist(disk)
-    adj.count()
-    val nodes = adj.select(col("src").as("node")).distinct().persist(disk)
+    val (adj, nodes) = adjNodes(edges, "bfs") {
+      edges.repartition(parts, col("src"))
+    }
     // DELTA-FRONTIER supersteps with lineage TRUNCATION each round —
     // both halves of the Pregel contract, and both measured to matter:
     //  - frontier, not full state: only nodes FIRST reached last round

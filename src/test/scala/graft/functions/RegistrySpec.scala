@@ -18,6 +18,7 @@ class RegistrySpec extends SparkSpec {
         |  size(winnow_fingerprint(text)) AS n_fp,
         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
         |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
+        |  z_value(3L, 1L) AS zv,
         |  size(split(text, ' ')) AS n_toks,
         |  size(span_cut(split(text, ' '),
         |    array(named_struct('span_start', CAST(0 AS BIGINT),
@@ -30,6 +31,7 @@ class RegistrySpec extends SparkSpec {
       assert(r.getAs[Double]("dot") == 11.0)
       assert(r.getAs[Double]("ent") > 0.0 && r.getAs[Int]("n_fp") > 0)
       assert(r.getAs[Double]("jac") == 0.5)
+      assert(r.getAs[Long]("zv") == 7L)
       assert(r.getAs[Int]("n_after_cut") == r.getAs[Int]("n_toks") - 2)
     }
   }

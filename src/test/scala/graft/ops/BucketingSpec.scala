@@ -50,4 +50,60 @@ class BucketingSpec extends SparkSpec {
         "bucketed cojoin aggregate differs from the plain join")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("z_value interleave: bit positions, ordering on the grid, loud negatives") {
+    import graft.functions.ZOrderUtil.interleave
+    assert(interleave(3L, 1L, 31) == 7L) // a→bits 0,2; b→bit 1
+    assert(interleave(0L, 3L, 31) == 10L) // b→bits 1,3
+    // round trip: de-interleave recovers both coordinates
+    for (a <- 0L to 20L; b <- 0L to 20L) {
+      val z = interleave(a, b, 31)
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 31) {
+        ra |= ((z >>> (2 * i)) & 1L) << i
+        rb |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"round trip failed at ($a, $b)")
+    }
+    intercept[IllegalArgumentException](interleave(-1L, 0L, 31))
+  }
+
+  test("rangeCells covers every cell a box row can land in") {
+    import graft.functions.ZOrderUtil.{interleave, rangeCells}
+    val (wa, wb) = (7L, 13L)
+    val cells = rangeCells(100L / wa, 300L / wa, 50L / wb, 90L / wb, 31).toSet
+    for (a <- 100L to 300L by 11L; b <- 50L to 90L by 7L)
+      assert(cells(interleave(a / wa, b / wb, 31)),
+        s"cell of ($a, $b) missing from the enumeration")
+  }
+
+  test("bk02: the z-layout prunes partitions and answers the box exactly") {
+    val df = Bucketing.queries("bk02_zorder_prune")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zcell"),
+      s"no z-cell partition pruning in plan:\n$plan")
+    // exact rows vs the plain box query on the original table
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val m = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (ma, mb) = (m.getLong(0), m.getLong(1))
+    val plain = li
+      .filter(col("l_partkey").between(ma / 8, ma / 4) &&
+        col("l_suppkey").between(mb / 8, mb / 4))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty,
+      "z-ordered box query differs from the plain scan")
+    // the executed scan reads FEWER files than the layout holds
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value }.getOrElse(-1L)
+    }
+    val (path, _, _) = Bucketing.zorderLayout(spark, sf)
+    val pruned = scannedFiles(Bucketing.queries("bk02_zorder_prune")(spark, sf))
+    val all = scannedFiles(spark.read.parquet(path))
+    assert(pruned > 0 && pruned < all,
+      s"no pruning: scanned $pruned of $all files")
+  }
 }
