@@ -86,7 +86,14 @@ object Bucketing {
     zBuilt.keySet.toSeq.filter(_._1 eq s).foreach(zBuilt.remove))
 
   /** (layoutPath, cellWidthA, cellWidthB) for the z-ordered lineitem
-    * copy, built on demand once per (session, dir). */
+    * copy, built on demand once per (session, dir). With an index root
+    * configured (IndexStore) the layout persists ACROSS sessions under
+    * the root with a lineitem fingerprint — a data layout is the
+    * archetypal write-once artifact, so it gets the same freshness-
+    * gated store as the LSH pairs and PQ codebooks; unmanaged, it
+    * lives in a temp dir for the session. The cell widths derive from
+    * the corpus maxima, so they are recomputed (one bounded agg) per
+    * session rather than stored. */
   def zorderLayout(s: SparkSession, d: String): (String, Long, Long) = {
     graft.SessionCaches.track(s)
     zBuilt.getOrElseUpdate((s, d), {
@@ -95,10 +102,22 @@ object Bucketing {
           col("l_suppkey"), col("l_quantity"))
       val m = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
       val (wa, wb) = (m.getLong(0) / 16 + 1, m.getLong(1) / 16 + 1)
-      val path = java.nio.file.Files.createTempDirectory("graft_zorder").toString
-      li.withColumn("zcell", graft.functions.ZOrder.zValue(
-          expr(s"l_partkey div $wa"), expr(s"l_suppkey div $wb")))
-        .write.mode("overwrite").partitionBy("zcell").parquet(path)
+      def writeTo(path: String): Unit =
+        li.withColumn("zcell", graft.functions.ZOrder.zValue(
+            expr(s"l_partkey div $wa"), expr(s"l_suppkey div $wb")))
+          .write.mode("overwrite").partitionBy("zcell").parquet(path)
+      val path = graft.IndexStore.resolve(s, d, "zorder_lineitem", "lineitem") match {
+        case graft.IndexStore.Unmanaged =>
+          val p = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+          writeTo(p)
+          p
+        case graft.IndexStore.Fresh(base) =>
+          graft.IndexStore.dataPath(base)
+        case graft.IndexStore.Build(base, commit) =>
+          writeTo(graft.IndexStore.dataPath(base))
+          commit()
+          graft.IndexStore.dataPath(base)
+      }
       (path, wa, wb)
     })
   }

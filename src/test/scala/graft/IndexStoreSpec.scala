@@ -103,6 +103,19 @@ class IndexStoreSpec extends SparkSpec {
     assert(props.getProperty("fingerprint") == joint)
   }
 
+  test("a second session answers bk02 by loading the persisted z-order layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot4").toString
+    IndexStore.lastAction.clear()
+    val first = sortedRows(ops.Bucketing.queries("bk02_zorder_prune")(managed(root), sf))
+    assert(IndexStore.lastAction.get((sf, "zorder_lineitem")).contains("built"))
+    assert(first.nonEmpty)
+    IndexStore.lastAction.clear()
+    val second = sortedRows(ops.Bucketing.queries("bk02_zorder_prune")(managed(root), sf))
+    assert(IndexStore.lastAction.get((sf, "zorder_lineitem")).contains("loaded"),
+      s"z-layout should load, not rebuild: ${IndexStore.lastAction.toMap}")
+    assert(second == first)
+  }
+
   test("a stale index (mutated corpus) fails loudly on load; " +
     "ifStale=rebuild rebuilds in place") {
     val root = java.nio.file.Files.createTempDirectory("graft_idxroot2").toString
