@@ -254,6 +254,70 @@ object Relational {
           col("est_intersect"), col("n_exact_intersect"), col("rel_err"))
     },
 
+    // q08e: SLIDING-WINDOW distinct via HLL register algebra — the
+    // windowed form of q08d's set union, and the canonical streaming-
+    // analytics sketch trick: per-month sketches are computed ONCE
+    // (one corpus pass), and every overlapping 3-month window is
+    // answered by register-wise max over its member months — no
+    // rescan per window, window length changes are free, and the
+    // per-window exchange is m bytes instead of the window's rows.
+    // Without sketches, W overlapping windows cost W scans (or an
+    // exploded W× shuffle: each row shuffled once per window that
+    // contains it — the shape the exact AUDIT below deliberately
+    // uses); with them, one scan + calendar-bounded algebra. The
+    // month-sketch table is one row per month — calendar-bounded (a
+    // century is ~300 KB at m=256), the Lloyd class of driver
+    // transfer — so the window algebra runs on collected registers
+    // like q08d, re-entering the plan as a broadcast local relation;
+    // the exact audit stays distributed. Windows needing months past
+    // either end of the data are dropped (inner semantics), matching
+    // the oracle.
+    "q08e_hll_sliding" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .withColumn("m", trunc(col("l_shipdate"), "month"))
+        .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
+      val sk = li.groupBy(col("m"))
+        .agg(graft.functions.Hll.hllSketch(col("pk"), 8).as("regs"))
+      val byMonth = sk.collect()
+        .map(r => (r.getDate(0), r.getSeq[Int](1).toArray))
+        .sortBy(_._1.toString)
+      val monthIdx = byMonth.map(_._1.toString).zipWithIndex.toMap
+      def plusMonths(dt: java.sql.Date, k: Int): String =
+        dt.toLocalDate.plusMonths(k.toLong).toString
+      def regSum(a: Array[Int]): Long = a.map(m => 1L << (33 - m)).sum
+      val winRows = byMonth.flatMap { case (m0, r0) =>
+        for {
+          i1 <- monthIdx.get(plusMonths(m0, 1))
+          i2 <- monthIdx.get(plusMonths(m0, 2))
+        } yield {
+          val u = r0.indices.map(j =>
+            math.max(r0(j), math.max(byMonth(i1)._2(j), byMonth(i2)._2(j)))).toArray
+          (m0, regSum(u))
+        }
+      }.toSeq
+      val wins = winRows.toDF("w_start", "reg_sum_union")
+      // exact audit: each distinct (month, pk) membership explodes into
+      // the <= 3 windows that contain it — the W x shuffle the sketch
+      // path exists to avoid, kept here because it IS the audit
+      val ex = li.select(col("m"), col("pk")).distinct()
+        .select(explode(array(col("m"), add_months(col("m"), -1),
+          add_months(col("m"), -2))).as("w_start"), col("pk"))
+        .groupBy(col("w_start"))
+        .agg(countDistinct(col("pk")).as("n_exact"))
+      def est(c: Column) =
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(562949953421312.0) / c.cast("double")
+      broadcast(wins).join(ex, Seq("w_start"))
+        .withColumn("est_union", est(col("reg_sum_union")))
+        .withColumn("rel_err",
+          (col("est_union") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"))
+        .select(date_format(col("w_start"), "yyyy-MM").as("w_start"),
+          col("reg_sum_union"), col("est_union"), col("n_exact"),
+          col("rel_err"))
+    },
+
     // Set operations: UNION then EXCEPT (explicitly parenthesized the same
     // way in the oracle).
     "q09_setops" -> { (s, d) =>
@@ -566,6 +630,77 @@ object Relational {
          |  JOIN rs ra ON ra.l_returnflag = u.fa
          |  JOIN rs rb ON rb.l_returnflag = u.fb
          |  JOIN ex e ON e.fa = u.fa AND e.fb = u.fb) z""".stripMargin
+    },
+
+    // q08e: per-month registers replayed exactly as q08c, window
+    // union via MAX over the three member months' sparse register
+    // rows, exact audit via the same window-membership join.
+    "q08e_hll_sliding" -> {
+      val estOf = (x: String) =>
+        s"""CAST(0.7213 AS DOUBLE)
+           |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)
+           |           / CAST(256.0 AS DOUBLE))
+           |      * CAST(562949953421312.0 AS DOUBLE)
+           |      / CAST($x AS DOUBLE)""".stripMargin
+      s"""WITH hx AS (
+         |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+         |    CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR)
+         |      AS pk,
+         |    md5(CAST(l_partkey AS VARCHAR) || '_'
+         |        || CAST(l_suppkey AS VARCHAR)) AS hx
+         |  FROM lineitem
+         |), br AS (
+         |  SELECT m,
+         |    list_sum([CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1
+         |                   AS BIGINT)
+         |              * ([65536,4096,256,16,1])[i]
+         |              FOR i IN range(1, 6)]) % 256 AS b,
+         |    list_sum([CAST(strpos('0123456789abcdef', substr(hx, i + 5, 1)) - 1
+         |                   AS BIGINT)
+         |              * ([268435456,16777216,1048576,65536,4096,256,16,1])[i]
+         |              FOR i IN range(1, 9)]) AS w
+         |  FROM hx
+         |), reg AS (
+         |  SELECT m, b,
+         |    MAX(CASE WHEN w = 0 THEN 33
+         |        ELSE 33 - len([x FOR x IN
+         |          [1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,
+         |           32768,65536,131072,262144,524288,1048576,2097152,4194304,
+         |           8388608,16777216,33554432,67108864,134217728,268435456,
+         |           536870912,1073741824,2147483648] IF w >= x]) END) AS m_j
+         |  FROM br GROUP BY 1, 2
+         |), months AS (SELECT DISTINCT m FROM reg),
+         |wins AS (
+         |  SELECT a.m AS w FROM months a
+         |  JOIN months b ON b.m = CAST(a.m + INTERVAL 1 MONTH AS DATE)
+         |  JOIN months c ON c.m = CAST(a.m + INTERVAL 2 MONTH AS DATE)
+         |), ureg AS (
+         |  SELECT w.w, r.b, MAX(r.m_j) AS m_j
+         |  FROM wins w JOIN reg r
+         |    ON r.m IN (w.w, CAST(w.w + INTERVAL 1 MONTH AS DATE),
+         |               CAST(w.w + INTERVAL 2 MONTH AS DATE))
+         |  GROUP BY 1, 2
+         |), urs AS (
+         |  SELECT w,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (33 - m_j))
+         |      + CAST(256 - COUNT(*) AS BIGINT) * (CAST(1 AS BIGINT) << 33)
+         |      AS BIGINT) AS reg_sum_union
+         |  FROM ureg GROUP BY 1
+         |), fs AS (SELECT DISTINCT m, pk FROM hx),
+         |ex AS (
+         |  SELECT w.w, COUNT(DISTINCT f.pk) AS n_exact
+         |  FROM wins w JOIN fs f
+         |    ON f.m IN (w.w, CAST(w.w + INTERVAL 1 MONTH AS DATE),
+         |               CAST(w.w + INTERVAL 2 MONTH AS DATE))
+         |  GROUP BY 1
+         |)
+         |SELECT w_start, reg_sum_union, est_union, n_exact,
+         |  (est_union - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+         |    AS rel_err
+         |FROM (
+         |  SELECT strftime(u.w, '%Y-%m') AS w_start, u.reg_sum_union,
+         |    ${estOf("u.reg_sum_union")} AS est_union, e.n_exact
+         |  FROM urs u JOIN ex e ON e.w = u.w) z""".stripMargin
     },
 
     "q09_setops" ->

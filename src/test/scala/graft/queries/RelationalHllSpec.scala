@@ -93,6 +93,32 @@ class RelationalHllSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q08e sliding windows: one window per 3-consecutive-month run, tracks exact at sf0.01") {
+    // structural shape at the spec SF: every valid window = a month
+    // with both followers present; months are contiguous here, so
+    // windows = months - 2, and reg_sum stays within the m * 2^33 cap
+    val df = Relational.queries("q08e_hll_sliding")(spark, sf).cache()
+    val nMonths = graft.Tables.load(spark, sf, "lineitem")
+      .select(trunc(col("l_shipdate"), "month")).distinct().count()
+    assert(df.count() == nMonths - 2,
+      s"expected ${nMonths - 2} windows, got ${df.count()}")
+    assert(df.filter(col("reg_sum_union") >
+      expr(s"CAST($M AS BIGINT) * CAST(8589934592 AS BIGINT)")).count() == 0)
+    df.unpersist()
+    // the accuracy claim needs windows above the raw formula's ~2.5m
+    // floor — sf0.01 (~2000 distinct pairs per window; sf0.001's ~200
+    // sits in the documented small-range-bias regime)
+    val sf01 = "/root/testdata/sf0.01"
+    val acc = Relational.queries("q08e_hll_sliding")(spark, sf01).cache()
+    assert(acc.filter(col("n_exact") <= 2.5 * M).count() == 0,
+      "a window fell below the raw-formula validity floor at sf0.01")
+    assert(acc.filter(abs(col("rel_err")) > 0.25).count() == 0,
+      acc.orderBy(abs(col("rel_err")).desc)
+        .select("w_start", "n_exact", "est_union", "rel_err")
+        .limit(3).collect().mkString(", "))
+    acc.unpersist()
+  }
+
   test("q08c plan: ONE hll_sketch aggregate over lineitem — constant-size shuffle") {
     val plan = Relational.queries("q08c_hll_distinct")(spark, sf)
       .queryExecution.sparkPlan
