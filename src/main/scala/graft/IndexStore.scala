@@ -77,31 +77,35 @@ object IndexStore {
   SessionCaches.registerEvictor(s =>
     fpCache.keySet.toSeq.filter(_._1 eq s).foreach(fpCache.remove))
 
-  /** Content fingerprint of `table` under `d`: row count, max id, and
-    * a bit_xor of `xxhash64(id, content)` over the deterministic
-    * `id % 101 == 0` sample. Order-independent (xor) so partitioning
-    * and file layout don't matter; content-sensitive via the sampled
-    * hash (an in-place edit of a sampled row flips it; count/max catch
-    * appends, deletes and re-ids). One map-only scan reading two
-    * columns — at 100 TB this is the cheap end of the
-    * staleness-vs-rescan tradeoff, and it runs once per session. */
-  /** Per-table (id, content) columns for fingerprinting. The id need
-    * not be unique (lineitem): count/max still catch appends and
-    * deletes, and the xor'd sampled hash stays content-sensitive. */
-  private val fpCols = Map(
-    "embeddings" -> ("vec_id", "embedding"),
-    "orders" -> ("o_orderkey", "o_totalprice"),
-    "lineitem" -> ("l_orderkey", "l_partkey"),
-    "events" -> ("event_id", "user_id"))
+  /** Per-table id column for fingerprinting (the sampled hash covers
+    * EVERY column — see below). The id need not be unique (lineitem):
+    * count/max still catch appends and deletes. */
+  private val fpIdCol = Map(
+    "embeddings" -> "vec_id",
+    "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey")
 
+  /** Content fingerprint of `table` under `d`: row count, max id, and
+    * a bit_xor of `xxhash64(EVERY column)` over the deterministic
+    * `id % 101 == 0` sample. Order-independent (xor) so partitioning
+    * and file layout don't matter; content-sensitive across the WHOLE
+    * row — an index may read any column (the trade graph reads
+    * o_custkey, the z-layout filters l_suppkey and returns
+    * l_quantity), so hashing one designated "content" column would
+    * let an in-place edit of an unhashed column serve stale results
+    * marked fresh, silently breaking the store's fail-loudly
+    * contract. Count/max catch appends, deletes and re-ids. One
+    * map-only scan (full row width on the sampled rows) — still the
+    * cheap end of the staleness-vs-rescan tradeoff, and it runs once
+    * per session. */
   def fingerprint(s: SparkSession, d: String, table: String): String = {
     SessionCaches.track(s)
     fpCache.getOrElseUpdate((s, d, table), {
       val df = Tables.load(s, d, table)
-      val (idCol, contentCol) = fpCols.getOrElse(table, ("doc_id", "text"))
+      val idCol = fpIdCol.getOrElse(table, "doc_id")
       val r = df
         .select(col(idCol).cast("long").as("id"),
-          xxhash64(col(idCol), col(contentCol)).as("h"))
+          xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
         .agg(count(lit(1)).as("n"),
           coalesce(max(col("id")), lit(-1L)).as("mx"),
           coalesce(expr("bit_xor(CASE WHEN id % 101 = 0 THEN h END)"),

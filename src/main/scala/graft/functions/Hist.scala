@@ -102,7 +102,18 @@ object Hist {
       GraftBridge.toExpression(x), lo, binWidth, nBins).toAggregateExpression())
 
   /** The bin for a value — the derivation shared by the batch
-    * aggregate and the streaming state (SketchStream.histBins). */
+    * aggregate and the streaming state (SketchStream.histBins). The
+    * `d < 0` branch catches long overflow of `x - lo` (possible when
+    * lo is very negative and x very positive — hist_sketch is
+    * SQL-exposed, so the bounds are caller-controlled): the true
+    * difference exceeds Long.MaxValue, which is past any bin range,
+    * so it clamps into the last bin like any other above-range value
+    * instead of indexing negatively. */
   private[graft] def bin(x: Long, lo: Long, binWidth: Long, nBins: Int): Int =
-    (if (x < lo) 0L else math.min((x - lo) / binWidth, nBins - 1L)).toInt
+    if (x < lo) 0
+    else {
+      val d = x - lo
+      if (d < 0) nBins - 1
+      else math.min(d / binWidth, nBins - 1L).toInt
+    }
 }

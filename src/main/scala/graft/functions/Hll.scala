@@ -104,6 +104,28 @@ object Hll {
     GraftBridge.toColumn(HllAggregate(
       GraftBridge.toExpression(id), p).toAggregateExpression())
 
+  /** Integer register sum Σ 2^(33−M_j) over a collected register
+    * array — exact in a BIGINT (≤ m·2^33); zero registers contribute
+    * 2^33. The single definition q08d/q08e/SketchStress share. */
+  private[graft] def regSum(regs: Seq[Int]): Long =
+    regs.foldLeft(0L)((a, m) => a + (1L << (33 - m)))
+
+  /** The raw HLL estimate as a Column over a BIGINT regSum — the
+    * LITERAL float expression both engines evaluate identically (see
+    * q08c's oracle): alpha_m · m² · 2^33 / regSum, every constant
+    * exact in a double for m a power of two. */
+  private[graft] def rawEstimate(regSumCol: Column, m: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble * m.toDouble * 8589934592.0) / regSumCol.cast("double")
+  }
+
+  /** Scalar form of [[rawEstimate]] — same operations in the same
+    * order, for driver-side audits (SketchStress). */
+  private[graft] def rawEstimate(regSum: Long, m: Int): Double =
+    0.7213 / (1.0 + 1.079 / m.toDouble) *
+      (m.toDouble * m.toDouble * 8589934592.0) / regSum.toDouble
+
   /** The (bucket, rho) derivation shared by the batch aggregate and
     * the streaming register state (SketchStream.hllRegisters): bucket
     * from hex digits 1..5 (bytes 0, 1 and the high nibble of 2) mod m;

@@ -81,34 +81,40 @@ object Bucketing {
   // 1/64 of the key space touches ~4 of 256 partitions instead of
   // scanning the table.
   private val zBuilt = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, Long, Long)]
+    .empty[(SparkSession, String), (String, Long, Long, Long, Long)]
   graft.SessionCaches.registerEvictor(s =>
     zBuilt.keySet.toSeq.filter(_._1 eq s).foreach(zBuilt.remove))
 
-  /** (layoutPath, cellWidthA, cellWidthB) for the z-ordered lineitem
-    * copy, built on demand once per (session, dir). With an index root
-    * configured (IndexStore) the layout persists ACROSS sessions under
-    * the root with a lineitem fingerprint — a data layout is the
-    * archetypal write-once artifact, so it gets the same freshness-
-    * gated store as the LSH pairs and PQ codebooks; unmanaged, it
-    * lives in a temp dir for the session. The cell widths derive from
-    * the corpus maxima, so they are recomputed (one bounded agg) per
-    * session rather than stored. */
-  def zorderLayout(s: SparkSession, d: String): (String, Long, Long) = {
+  /** (layoutPath, cellWidthA, cellWidthB, maxA, maxB) for the
+    * z-ordered lineitem copy, built on demand once per (session, dir).
+    * With an index root configured (IndexStore) the layout persists
+    * ACROSS sessions under the root with a lineitem fingerprint — a
+    * data layout is the archetypal write-once artifact, so it gets the
+    * same freshness-gated store as the LSH pairs and PQ codebooks;
+    * unmanaged, it lives under the JVM temp dir at a DETERMINISTIC
+    * per-corpus path written with overwrite, so repeated sessions on
+    * one machine reuse one directory instead of accumulating
+    * corpus-sized copies. The corpus maxima ride along in the memo so
+    * the query never re-scans the table for bounds it already
+    * computed. */
+  def zorderLayout(s: SparkSession, d: String): (String, Long, Long, Long, Long) = {
     graft.SessionCaches.track(s)
     zBuilt.getOrElseUpdate((s, d), {
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
       val m = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
-      val (wa, wb) = (m.getLong(0) / 16 + 1, m.getLong(1) / 16 + 1)
+      val (ma, mb) = (m.getLong(0), m.getLong(1))
+      val (wa, wb) = (ma / 16 + 1, mb / 16 + 1)
       def writeTo(path: String): Unit =
         li.withColumn("zcell", graft.functions.ZOrder.zValue(
             expr(s"l_partkey div $wa"), expr(s"l_suppkey div $wb")))
           .write.mode("overwrite").partitionBy("zcell").parquet(path)
       val path = graft.IndexStore.resolve(s, d, "zorder_lineitem", "lineitem") match {
         case graft.IndexStore.Unmanaged =>
-          val p = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+          val sfx = java.lang.Integer.toHexString(d.hashCode)
+          val p = java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir"), s"graft_zorder_$sfx").toString
           writeTo(p)
           p
         case graft.IndexStore.Fresh(base) =>
@@ -118,7 +124,7 @@ object Bucketing {
           commit()
           graft.IndexStore.dataPath(base)
       }
-      (path, wa, wb)
+      (path, wa, wb, ma, mb)
     })
   }
 
@@ -131,10 +137,7 @@ object Bucketing {
     // answers, only the partitions touched (plan pinned in
     // BucketingSpec).
     "bk02_zorder_prune" -> { (s, d) =>
-      val (path, wa, wb) = zorderLayout(s, d)
-      val m = Tables.load(s, d, "lineitem")
-        .agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
-      val (ma, mb) = (m.getLong(0), m.getLong(1))
+      val (path, wa, wb, ma, mb) = zorderLayout(s, d)
       val (a0, a1, b0, b1) = (ma / 8, ma / 4, mb / 8, mb / 4)
       val cells = graft.functions.ZOrderUtil
         .rangeCells(a0 / wa, a1 / wa, b0 / wb, b1 / wb, bits = 31)

@@ -62,26 +62,30 @@ object Graph {
     (1 to math.min(12, 17 - digits)).foldLeft(1L)((a, _) => a * 10)
   }
 
-  // The repartitioned+persisted adjacency and its distinct-node table,
-  // memoized per (session, edges-instance, variant): pagerank and BFS
-  // both materialize an adjacency ONCE ("write the adjacency list
-  // once" at 100 TB), but doing it per INVOCATION leaked one persisted
-  // copy per call for the session lifetime (the ss09 quantized-corpus
-  // leak, round-9 ADVICE). gr01/gr03 pass the memoized tradeEdges
+  // ONE repartitioned+persisted adjacency (with out-degrees) and its
+  // distinct-node table per (session, edges-instance), SHARED by
+  // pagerank and BFS: both materialize the adjacency ONCE ("write the
+  // adjacency list once" at 100 TB). Per-INVOCATION persists leaked
+  // one copy per call for the session lifetime (the ss09
+  // quantized-corpus leak, round-9 ADVICE), and per-ALGORITHM variants
+  // stored the same edge table twice — BFS simply ignores the deg
+  // column pagerank needs. gr01/gr03 pass the memoized tradeEdges
   // instance, so reference keying hits across calls; ad-hoc callers
   // (specs) get per-instance builds that evict with the session.
   private val adjCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, DataFrame, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, DataFrame), (DataFrame, DataFrame)]
   graft.SessionCaches.registerEvictor(s =>
     adjCache.keySet.toSeq.filter(_._1 eq s).foreach(adjCache.remove))
 
-  private def adjNodes(edges: DataFrame, variant: String)
-      (buildAdj: => DataFrame): (DataFrame, DataFrame) = {
+  private def adjNodes(edges: DataFrame): (DataFrame, DataFrame) = {
     val s = edges.sparkSession
     graft.SessionCaches.track(s)
-    adjCache.getOrElseUpdate((s, edges, variant), {
+    adjCache.getOrElseUpdate((s, edges), {
       val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
-      val adj = buildAdj.persist(disk)
+      val parts = s.sessionState.conf.numShufflePartitions
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val adj = edges.join(deg, "src")
+        .repartition(parts, col("src")).persist(disk)
       // materialize before any iteration fans out: every round scans
       // this table
       adj.count()
@@ -110,12 +114,7 @@ object Graph {
     * columns (src, dst). Returns (node, rank); every node that appears
     * as a source gets a rank (on a symmetrized graph: every node). */
   def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
-    val s = edges.sparkSession
-    val parts = s.sessionState.conf.numShufflePartitions
-    val (adj, nodes) = adjNodes(edges, "pagerank") {
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      edges.join(deg, "src").repartition(parts, col("src"))
-    }
+    val (adj, nodes) = adjNodes(edges)
     // one tiny agg over the persisted adjacency — the node count that
     // fixes the scale; a single scalar to the driver, never row data.
     // The distinct node table is persisted and reused as the rank
@@ -150,10 +149,7 @@ object Graph {
     * each round is one join — only the small frontier state shuffles,
     * the edges never move again. */
   def bfsHops(edges: DataFrame, seedPred: Column, iters: Int): DataFrame = {
-    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val (adj, nodes) = adjNodes(edges, "bfs") {
-      edges.repartition(parts, col("src"))
-    }
+    val (adj, nodes) = adjNodes(edges) // deg column unused here
     // DELTA-FRONTIER supersteps with lineage TRUNCATION each round —
     // both halves of the Pregel contract, and both measured to matter:
     //  - frontier, not full state: only nodes FIRST reached last round
@@ -325,7 +321,10 @@ object Graph {
           .distinct()
         e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       }
-      edges.count()
+      // materialize the DISK_ONLY persist only in unmanaged mode; a
+      // managed load is already a parquet scan of the store — counting
+      // it would be one full wasted pass of the edge table per session
+      if (graft.IndexStore.root(s).isEmpty) edges.count()
       edges
     })
   }

@@ -189,8 +189,7 @@ object Relational {
           expr("size(filter(regs, x -> x = 0))").cast("long").as("zero_buckets"),
           regSum.as("reg_sum"))
         .withColumn("hll_estimate",
-          lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-            lit(562949953421312.0) / col("reg_sum").cast("double"))
+          graft.functions.Hll.rawEstimate(col("reg_sum"), 256))
         .withColumn("rel_err",
           (col("hll_estimate") - col("n_exact").cast("double")) /
             col("n_exact").cast("double"))
@@ -222,11 +221,11 @@ object Relational {
         .agg(graft.functions.Hll.hllSketch(col("pk"), 8).as("regs"))
       val rows = sk.collect()
         .map(r => (r.getString(0), r.getSeq[Int](1).toArray)).sortBy(_._1)
-      def regSum(a: Array[Int]): Long = a.map(m => 1L << (33 - m)).sum
+      import graft.functions.Hll.regSum
       val pairRows = for {
         (fa, ra) <- rows.toSeq; (fb, rb) <- rows.toSeq if fa < fb
-      } yield (fa, fb, regSum(ra), regSum(rb),
-        regSum(ra.zip(rb).map { case (x, y) => math.max(x, y) }))
+      } yield (fa, fb, regSum(ra.toSeq), regSum(rb.toSeq),
+        regSum(ra.zip(rb).map { case (x, y) => math.max(x, y) }.toSeq))
       val pairs = pairRows.toDF(
         "flag_a", "flag_b", "reg_sum_a", "reg_sum_b", "reg_sum_union")
       val fs = li.select(col("l_returnflag"), col("pk")).distinct()
@@ -237,9 +236,7 @@ object Relational {
         .filter(col("fa") < col("fb"))
         .groupBy(col("fa"), col("fb"))
         .agg(count(lit(1)).as("n_exact_intersect"))
-      def est(c: Column) =
-        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-          lit(562949953421312.0) / c.cast("double")
+      def est(c: Column) = graft.functions.Hll.rawEstimate(c, 256)
       broadcast(pairs)
         .join(ex, col("flag_a") === col("fa") && col("flag_b") === col("fb"))
         .withColumn("est_union", est(col("reg_sum_union")))
@@ -285,14 +282,14 @@ object Relational {
       val monthIdx = byMonth.map(_._1.toString).zipWithIndex.toMap
       def plusMonths(dt: java.sql.Date, k: Int): String =
         dt.toLocalDate.plusMonths(k.toLong).toString
-      def regSum(a: Array[Int]): Long = a.map(m => 1L << (33 - m)).sum
+      import graft.functions.Hll.regSum
       val winRows = byMonth.flatMap { case (m0, r0) =>
         for {
           i1 <- monthIdx.get(plusMonths(m0, 1))
           i2 <- monthIdx.get(plusMonths(m0, 2))
         } yield {
           val u = r0.indices.map(j =>
-            math.max(r0(j), math.max(byMonth(i1)._2(j), byMonth(i2)._2(j)))).toArray
+            math.max(r0(j), math.max(byMonth(i1)._2(j), byMonth(i2)._2(j))))
           (m0, regSum(u))
         }
       }.toSeq
@@ -305,11 +302,9 @@ object Relational {
           add_months(col("m"), -2))).as("w_start"), col("pk"))
         .groupBy(col("w_start"))
         .agg(countDistinct(col("pk")).as("n_exact"))
-      def est(c: Column) =
-        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-          lit(562949953421312.0) / c.cast("double")
       broadcast(wins).join(ex, Seq("w_start"))
-        .withColumn("est_union", est(col("reg_sum_union")))
+        .withColumn("est_union",
+          graft.functions.Hll.rawEstimate(col("reg_sum_union"), 256))
         .withColumn("rel_err",
           (col("est_union") - col("n_exact").cast("double")) /
             col("n_exact").cast("double"))

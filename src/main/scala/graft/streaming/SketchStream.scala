@@ -68,7 +68,11 @@ object SketchStream {
   def histBins(spark: SparkSession, xs: DataFrame,
       lo: Long = 0L, binWidth: Long = 16384L, nBins: Int = 1024): Dataset[Bin] = {
     import spark.implicits._
-    xs.select(col("x").cast("long")).as[Long]
+    // null (or uncastable) x rows are SKIPPED, matching the batch
+    // HistAggregate's null check — without the filter, .as[Long] on a
+    // null primitive throws inside the trigger and kills the query
+    xs.select(col("x").cast("long").as("x"))
+      .filter(col("x").isNotNull).as[Long]
       .groupByKey(_ => 0)
       .flatMapGroupsWithState[Array[Long], Bin](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {

@@ -75,9 +75,8 @@ object SketchStress {
       keys.agg(graft.functions.Hll.hllSketch(col("k").cast("string"), P))
         .collect()(0).getSeq[Int](0)
     }
-    val regSum = regs.map(r => 1L << (33 - r)).sum
-    val alpha = 0.7213 / (1.0 + 1.079 / M)
-    val hllEst = alpha * M.toDouble * M.toDouble * math.pow(2, 33) / regSum.toDouble
+    val hllEst = graft.functions.Hll.rawEstimate(
+      graft.functions.Hll.regSum(regs), M)
     val hllErr = (hllEst - nDistinct) / nDistinct
 
     // HIST: one pass, 1024 bins over the key space. The planted

@@ -170,5 +170,12 @@ class IndexStoreSpec extends SparkSpec {
     assert(fpOf(df => df.withColumn("text",
       when(col("doc_id") === 101, lit("edited")).otherwise(col("text")))
     ) != orig, "in-place edit of a sampled row")
+    // the hash covers EVERY column, not a designated content column:
+    // an index may read any of them (trade graph: o_custkey; z-layout:
+    // l_suppkey/l_quantity), so an edit to a "side" column must flip
+    // the fingerprint too
+    assert(fpOf(df => df.withColumn("lang",
+      when(col("doc_id") === 101, lit("xx")).otherwise(col("lang")))
+    ) != orig, "in-place edit of a non-text column of a sampled row")
   }
 }
