@@ -339,6 +339,45 @@ object Extras {
         .unionByName(inserts)
     },
 
+    // q31: OLS TREND — least-squares slope/intercept of monthly
+    // revenue over time, the closed-form regression every analytics
+    // engine ships (and the honest version of q06's "forecast"
+    // heritage). Exactness: the five sufficient statistics (n, Σx,
+    // Σy, Σxy, Σx²) are PURE BIGINTs — y is exact cents via
+    // DECIMAL(18,2)·100, x is the month index yr·12+mo centered by a
+    // constant 24000 so |x| < 100 and every product keeps comfortable
+    // 2^63 headroom at test SFs (at petabyte monthly revenues the
+    // same statistics carry in DECIMAL(38,0), documented upgrade) —
+    // and the only floats are slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²)
+    // and the intercept, computed from those integers by the same
+    // literal IEEE expression in both engines (BIGINT→DOUBLE casts
+    // are correctly rounded everywhere). The integer statistics are
+    // in the output, so the hash gate pins the whole derivation, not
+    // just the two floats. Scale shape: one partial-agged month
+    // aggregate (month cardinality is calendar-bounded), then a
+    // single-row reduce — nothing data-sized crosses the exchange
+    // twice.
+    "q31_ols_trend" -> { (s, d) =>
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+          - lit(24000)).as("x"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("y"))
+      val stats = monthly.agg(
+        count(lit(1)).as("n_months"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      stats
+        .withColumn("slope_cents_per_month",
+          (col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept_cents",
+          (col("sy").cast("double") -
+            col("slope_cents_per_month") * col("sx").cast("double")) /
+            col("n_months").cast("double"))
+    },
+
     // Date scalar functions: extract + day arithmetic.
     "q21_date_funcs" -> { (s, d) =>
       Tables.load(s, d, "orders")
@@ -548,6 +587,33 @@ object Extras {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  'inserted' AS src
         |FROM orders WHERE o_orderkey % 10 = 9""".stripMargin,
+
+    // q31: identical integer sufficient statistics (exact cents,
+    // centered month index), identical literal float expressions.
+    "q31_ols_trend" ->
+      """WITH monthly AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+        |           + EXTRACT(month FROM o_orderdate) - 24000 AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |          AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_months,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM monthly
+        |)
+        |SELECT n_months, sx, sy, sxy, sxx, slope_cents_per_month,
+        |  (CAST(sy AS DOUBLE) - slope_cents_per_month * CAST(sx AS DOUBLE))
+        |    / CAST(n_months AS DOUBLE) AS intercept_cents
+        |FROM (
+        |  SELECT *,
+        |    CAST(n_months * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_months * sxx - sx * sx AS DOUBLE)
+        |      AS slope_cents_per_month
+        |  FROM stats) z""".stripMargin,
 
     "q21_date_funcs" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,

@@ -80,6 +80,30 @@ class ExtrasSpec extends SparkSpec {
         s"shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q31 OLS: statistics match a driver-side reference and the line fits the means") {
+    val r = Extras.queries("q31_ols_trend")(spark, sf).collect()(0)
+    // independent reference: recompute the monthly table and the
+    // closed form with plain Scala BigInts
+    val monthly = graft.Tables.load(spark, sf, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+        - lit(24000)).as("x"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("y"))
+      .collect().map(row => (row.getInt(0).toLong, row.getLong(1)))
+    val n = monthly.length.toLong
+    val (sx, sy) = (monthly.map(_._1).sum, monthly.map(_._2).sum)
+    val sxy = monthly.map { case (x, y) => x * y }.sum
+    val sxx = monthly.map { case (x, _) => x * x }.sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((n, sx, sy, sxy, sxx)))
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(r.getDouble(5) == slope)
+    // the fitted line passes through the centroid (ȳ = slope·x̄ + b)
+    val b = r.getDouble(6)
+    val (xbar, ybar) = (sx.toDouble / n, sy.toDouble / n)
+    assert(math.abs(slope * xbar + b - ybar) < 1e-6 * math.abs(ybar))
+  }
+
   test("q30 merge: deletes vanish, updates overwrite, inserts append, kept pass through") {
     val o = graft.Tables.load(spark, sf, "orders")
     val merged = Extras.queries("q30_merge_upsert")(spark, sf).cache()
