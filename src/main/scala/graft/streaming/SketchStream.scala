@@ -90,6 +90,40 @@ object SketchStream {
 
   final case class Register(bucket: Int, m: Int)
 
+  final case class KeyedRegister(k: String, bucket: Int, m: Int)
+
+  /** Per-key HLL registers over a stream of (k, key) rows — the
+    * streaming feed for q08e's window algebra: each group (e.g. a
+    * month) maintains its own m-byte register state, and any
+    * overlapping window over groups is answered downstream by
+    * register-wise max of the member groups' emissions, never by
+    * re-scanning history. State = m bytes per DISTINCT GROUP (time
+    * groups are calendar-bounded, not data-bounded), max-merge
+    * idempotent per group — the same at-least-once-safe contract as
+    * the single-key form. */
+  def hllRegistersByKey(spark: SparkSession, rows: DataFrame,
+      p: Int = 8): Dataset[KeyedRegister] = {
+    import spark.implicits._
+    val m = 1 << p
+    rows.select(col("k").cast("string"), col("key").cast("string"))
+      .filter(col("k").isNotNull && col("key").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], KeyedRegister](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k, it, state) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          it.foreach { case (_, key) =>
+            val (b, rho) = graft.functions.Hll.bucketRho(key, m)
+            if (rho > regs(b)) regs(b) = rho.toByte
+          }
+          state.update(regs)
+          regs.iterator.zipWithIndex
+            .collect { case (r, b) if r > 0 => KeyedRegister(k, b, r.toInt) }
+            .toSeq.iterator
+      }
+  }
+
   /** Incremental HLL registers over a stream of string keys (column
     * `key`) — the streaming twin of q08c's HllAggregate, same
     * md5-derived bucket/rho, register-wise MAX state. Distinct-count

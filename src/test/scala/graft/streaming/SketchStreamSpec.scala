@@ -106,6 +106,43 @@ class SketchStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed HLL registers equal the per-month batch sketches — the q08e streaming feed") {
+    val dir = java.nio.file.Files.createTempDirectory("li_hllk")
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select(date_format(trunc(col("l_shipdate"), "month"), "yyyy-MM").as("k"),
+        concat_ws("_", col("l_partkey"), col("l_suppkey")).as("key"),
+        col("l_orderkey"))
+    li.filter(col("l_orderkey") % 2 === 0).select(col("k"), col("key"))
+      .coalesce(1).write.parquet(dir.resolve("drop").toString)
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", StringType),
+        StructField("key", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/drop")
+    val q = SketchStream.hllRegistersByKey(spark, stream, p = 8)
+      .writeStream.format("memory").queryName("hllk_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      li.filter(col("l_orderkey") % 2 =!= 0).select(col("k"), col("key"))
+        .coalesce(1).write.mode("append").parquet(dir.resolve("drop").toString)
+      q.processAllAvailable()
+      val streamed = spark.table("hllk_stream")
+        .groupBy(col("k"), col("bucket")).agg(max(col("m")).as("m"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val batch = li.groupBy(col("k"))
+        .agg(graft.functions.Hll.hllSketch(col("key"), 8).as("regs"))
+        .collect().flatMap { r =>
+          r.getSeq[Int](1).zipWithIndex.collect {
+            case (v, b) if v > 0 => (r.getString(0), b) -> v
+          }
+        }.toMap
+      assert(streamed == batch,
+        "keyed streamed registers diverged from the per-month batch sketches")
+    } finally q.stop()
+  }
+
   test("streamed HLL registers equal the batch aggregate, and a replayed file changes nothing") {
     val dir = java.nio.file.Files.createTempDirectory("docs_hll")
     val docs = graft.Tables.load(spark, sf, "documents")
