@@ -43,6 +43,20 @@ object Similarity {
   graft.SessionCaches.registerEvictor(s =>
     q8Cache.keySet.toSeq.filter(_._1 eq s).foreach(q8Cache.remove))
 
+  // The PQ-ENCODED corpus (vec_id, codes) — the compressed index a PQ
+  // deployment materializes ONCE (Jégou et al.: the codes ARE the
+  // stored database). Previously recomputed per invocation: the
+  // 32-argmin encode scan re-ran on every ss09/ss10 call, ~2.3s of
+  // each query's 2.7s at sf0.1. IndexStore-managed (cross-session,
+  // fingerprinted against embeddings) with this session memo as the
+  // read-through cache; unmanaged it is one DISK_ONLY persist per
+  // (session, dir). Codes derive deterministically from the quantized
+  // corpus + codebooks, so the oracle replay is unchanged.
+  private val encCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  graft.SessionCaches.registerEvictor(s =>
+    encCache.keySet.toSeq.filter(_._1 eq s).foreach(encCache.remove))
+
   private def quantized(s: SparkSession, d: String): DataFrame = {
     graft.SessionCaches.track(s)
     q8Cache.getOrElseUpdate((s, d), {
@@ -557,8 +571,14 @@ object Similarity {
   private def pqAdc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val q8 = quantized(s, d)
     val codebooks = pqCodebooksFor(s, d)
-    val enc = q8.select(col("vec_id"),
-      pqEncode(col("q"), codebooks).as("codes"))
+    graft.SessionCaches.track(s)
+    val enc = encCache.getOrElseUpdate((s, d), {
+      val built = graft.IndexStore.dataFrame(s, d, "pq_codes", "embeddings") {
+        q8.select(col("vec_id"), pqEncode(col("q"), codebooks).as("codes"))
+      }
+      if (graft.IndexStore.root(s).isEmpty) built.count() // materialize the persist
+      built
+    })
     def il2(a: Seq[Int], b: Seq[Int]): Long =
       a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
     val qs = q8.filter(col("vec_id") < 10).collect()
