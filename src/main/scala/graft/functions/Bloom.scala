@@ -31,8 +31,16 @@ object Bloom {
     * bounded by the parameters, never by the data. */
   def build(df: DataFrame, c: Column, expectedItems: Long,
       fpp: Double): Array[Byte] = {
-    val bf = df.select(xxhash64(c).as("_h")).stat
-      .bloomFilter("_h", expectedItems, fpp)
+    val h = df.select(xxhash64(c).as("_h"))
+    // zero-row input: DataFrameStatFunctions.bloomFilter yields a
+    // filter whose probe NPEs at execution — build the well-defined
+    // empty filter instead (every might_contain = false), so an empty
+    // benchmark/standing corpus degrades to "nothing matches" rather
+    // than killing the query
+    val bf =
+      if (h.isEmpty) org.apache.spark.util.sketch.BloomFilter
+        .create(expectedItems, fpp)
+      else h.stat.bloomFilter("_h", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

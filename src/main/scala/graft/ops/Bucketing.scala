@@ -81,7 +81,7 @@ object Bucketing {
   // 1/64 of the key space touches ~4 of 256 partitions instead of
   // scanning the table.
   private val zBuilt = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, Long, Long, Long, Long)]
+    .empty[(SparkSession, String), Option[(String, Long, Long, Long, Long)]]
   graft.SessionCaches.registerEvictor(s =>
     zBuilt.keySet.toSeq.filter(_._1 eq s).foreach(zBuilt.remove))
 
@@ -97,13 +97,17 @@ object Bucketing {
     * corpus-sized copies. The corpus maxima ride along in the memo so
     * the query never re-scans the table for bounds it already
     * computed. */
-  def zorderLayout(s: SparkSession, d: String): (String, Long, Long, Long, Long) = {
+  def zorderLayout(s: SparkSession, d: String): Option[(String, Long, Long, Long, Long)] = {
     graft.SessionCaches.track(s)
     zBuilt.getOrElseUpdate((s, d), {
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
       val m = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      // empty corpus: no maxima, and a 0-row partitioned write leaves
+      // an unreadable directory — there is no layout to build
+      if (m.isNullAt(0)) None
+      else {
       val (ma, mb) = (m.getLong(0), m.getLong(1))
       val (wa, wb) = (ma / 16 + 1, mb / 16 + 1)
       def writeTo(path: String): Unit =
@@ -124,7 +128,8 @@ object Bucketing {
           commit()
           graft.IndexStore.dataPath(base)
       }
-      (path, wa, wb, ma, mb)
+      Some((path, wa, wb, ma, mb))
+      }
     })
   }
 
@@ -137,16 +142,22 @@ object Bucketing {
     // answers, only the partitions touched (plan pinned in
     // BucketingSpec).
     "bk02_zorder_prune" -> { (s, d) =>
-      val (path, wa, wb, ma, mb) = zorderLayout(s, d)
-      val (a0, a1, b0, b1) = (ma / 8, ma / 4, mb / 8, mb / 4)
-      val cells = graft.functions.ZOrderUtil
-        .rangeCells(a0 / wa, a1 / wa, b0 / wb, b1 / wb, bits = 31)
-      s.read.parquet(path)
-        .filter(col("zcell").isin(cells: _*) &&
-          col("l_partkey").between(a0, a1) &&
-          col("l_suppkey").between(b0, b1))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("l_quantity"))
+      zorderLayout(s, d) match {
+        case None => // empty corpus: empty box result, same schema
+          Tables.load(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"), col("l_quantity")).limit(0)
+        case Some((path, wa, wb, ma, mb)) =>
+          val (a0, a1, b0, b1) = (ma / 8, ma / 4, mb / 8, mb / 4)
+          val cells = graft.functions.ZOrderUtil
+            .rangeCells(a0 / wa, a1 / wa, b0 / wb, b1 / wb, bits = 31)
+          s.read.parquet(path)
+            .filter(col("zcell").isin(cells: _*) &&
+              col("l_partkey").between(a0, a1) &&
+              col("l_suppkey").between(b0, b1))
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"), col("l_quantity"))
+      }
     },
 
     // Fact-fact cojoin over the bucketed layout: lines + quantity per

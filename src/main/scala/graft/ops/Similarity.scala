@@ -233,9 +233,18 @@ object Similarity {
     // pins selectedPartitions/numFiles ∝ nprobe/ncells). Same centroids,
     // same candidate set, same results as the inline formulation.
     "ss03_ivf_topk" -> { (s, d) =>
-      val index = IvfIndex.builtFor(s, d)
-      IvfIndex.probe(s, index, emb(s, d).filter(col("vec_id") < 10),
-        nprobe = 3, topk = 10)
+      val e = emb(s, d)
+      // empty corpus: nothing to train an IVF on (and a 0-row
+      // partitioned write leaves an unreadable index dir) — searching
+      // nothing returns nothing
+      if (e.isEmpty)
+        e.select(col("vec_id").as("q_id"), col("vec_id"),
+          lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
+      else {
+        val index = IvfIndex.builtFor(s, d)
+        IvfIndex.probe(s, index, e.filter(col("vec_id") < 10),
+          nprobe = 3, topk = 10)
+      }
     },
 
     // ss03's HASH-EXACT sibling: the same IVF search shape — coarse
@@ -273,39 +282,47 @@ object Similarity {
         .limit(K).collect()
         .map(r => r.getSeq[Int](r.fieldIndex("q")))
         .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      val cents = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
-        assignId = (_, cs) => assign(cs).getField("cid"),
-        meanExpr = ((sum(col("v").cast("long")) -
-          (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
-          .cast("int"),
-        decode = _.getInt(2),
-        fillEmpty = false)
 
-      val cells = q8.withColumn("cell", assign(cents).getField("cid"))
+      // empty corpus => no seeds => malformed zero-arm array_min;
+      // searching nothing returns nothing
+      if (seeds.isEmpty)
+        q8.select(col("vec_id").as("q_id"), col("vec_id"),
+          lit(0L).as("dist"), lit(0).as("rank")).limit(0)
+      else {
+        val cents = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
+          assignId = (_, cs) => assign(cs).getField("cid"),
+          meanExpr = ((sum(col("v").cast("long")) -
+            (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+            .cast("int"),
+          decode = _.getInt(2),
+          fillEmpty = false)
 
-      def il2(a: Seq[Int], b: Seq[Int]): Long =
-        a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
-      val qs = q8.filter(col("vec_id") < 10).collect()
-        .map(r => (r.getLong(0), r.getSeq[Int](1)))
-      val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
-        cents.map { case (cid, c) => (cid, il2(qv, c)) }
-          .sortBy { case (cid, dl) => (dl, cid) }.take(NProbe)
-          .map { case (cid, _) => (qid, cid, qv) }
+        val cells = q8.withColumn("cell", assign(cents).getField("cid"))
+
+        def il2(a: Seq[Int], b: Seq[Int]): Long =
+          a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+        val qs = q8.filter(col("vec_id") < 10).collect()
+          .map(r => (r.getLong(0), r.getSeq[Int](1)))
+        val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
+          cents.map { case (cid, c) => (cid, il2(qv, c)) }
+            .sortBy { case (cid, dl) => (dl, cid) }.take(NProbe)
+            .map { case (cid, _) => (qid, cid, qv) }
+        }
+        import s.implicits._
+        val probe = broadcast(probeRows.toDF("q_id", "cell", "qq"))
+
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist"), col("vec_id"))
+        cells.join(probe, "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("dist",
+            expr("aggregate(zip_with(q, qq, (a, b) -> CAST(a - b AS BIGINT) * (a - b)), " +
+              "0L, (acc, x) -> acc + x)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("vec_id"), col("dist"),
+            col("rank").cast("int").as("rank"))
       }
-      import s.implicits._
-      val probe = broadcast(probeRows.toDF("q_id", "cell", "qq"))
-
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("dist"), col("vec_id"))
-      cells.join(probe, "cell")
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("dist",
-          expr("aggregate(zip_with(q, qq, (a, b) -> CAST(a - b AS BIGINT) * (a - b)), " +
-            "0L, (acc, x) -> acc + x)"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), col("dist"),
-          col("rank").cast("int").as("rank"))
     },
 
     // Quantized brute-force top-k: ss05's int8 vectors searched with an
@@ -412,22 +429,29 @@ object Similarity {
         .map(r => r.getSeq[Int](r.fieldIndex("q")))
         .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
 
-      // Lloyd scaffolding shared with KMeans.doFit (ops.Lloyd); this
-      // kernel: integer squared-L2 argmin, truncating integer mean
-      // ((s - s % n) / n divides exactly, so every division operator
-      // agrees cross-engine), empty clusters DROPPED (the oracle
-      // replays exactly that)
-      val newc = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
-        assignId = (_, cs) => assign(cs).getField("cid"),
-        meanExpr = ((sum(col("v").cast("long")) -
-          (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
-          .cast("int"),
-        decode = _.getInt(2),
-        fillEmpty = false)
+      // empty corpus => no seeds => assign() would be a malformed
+      // zero-arm array_min; k-means of nothing is the empty assignment
+      if (seeds.isEmpty)
+        q8.select(col("vec_id"), lit(0).as("c_id"),
+          lit(0L).as("dist")).limit(0)
+      else {
+        // Lloyd scaffolding shared with KMeans.doFit (ops.Lloyd); this
+        // kernel: integer squared-L2 argmin, truncating integer mean
+        // ((s - s % n) / n divides exactly, so every division operator
+        // agrees cross-engine), empty clusters DROPPED (the oracle
+        // replays exactly that)
+        val newc = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
+          assignId = (_, cs) => assign(cs).getField("cid"),
+          meanExpr = ((sum(col("v").cast("long")) -
+            (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+            .cast("int"),
+          decode = _.getInt(2),
+          fillEmpty = false)
 
-      q8.withColumn("a", assign(newc))
-        .select(col("vec_id"), col("a.cid").as("c_id"),
-          col("a.dist").as("dist"))
+        q8.withColumn("a", assign(newc))
+          .select(col("vec_id"), col("a.cid").as("c_id"),
+            col("a.dist").as("dist"))
+      }
     },
 
     // Product-quantization ANN (Jégou et al. 2011, "Product

@@ -100,7 +100,7 @@ class BucketingSpec extends SparkSpec {
         .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
           s.metrics("numFiles").value }.getOrElse(-1L)
     }
-    val (path, _, _, _, _) = Bucketing.zorderLayout(spark, sf)
+    val Some((path, _, _, _, _)) = Bucketing.zorderLayout(spark, sf)
     val pruned = scannedFiles(Bucketing.queries("bk02_zorder_prune")(spark, sf))
     val all = scannedFiles(spark.read.parquet(path))
     assert(pruned > 0 && pruned < all,
