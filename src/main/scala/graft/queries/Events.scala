@@ -81,14 +81,19 @@ object Events {
           sum(v6).cast("double").as("s1"),
           sum(v6 * v6).cast("double").as("s2"))
         .select(col("event_type"), (col("s1") / col("n")).as("mean"),
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-            .as("sd"))
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            nullif(col("n") - 1, lit(0L))).as("sd"))
       // Σv² at scale 12 overflows double's 2^53 exact range, so the
       // DECIMAL→DOUBLE cast can differ in the last bit across engines
       // (the Num.scala pitfall); z is therefore reported at 4 dp with
       // membership decided on the rounded value — the tx12 pattern.
+      // sd = 0 (single-row or constant group) leaves z undefined:
+      // nullif keeps the divide lazy (ANSI mode would otherwise abort
+      // the whole query on a degenerate group) and the abs(null) > 3
+      // filter then drops the row — mirrored in the oracle
       ev.join(broadcast(stats), "event_type")
-        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 4))
+        .withColumn("z",
+          round((col("value") - col("mean")) / nullif(col("sd"), lit(0.0)), 4))
         .filter(abs(col("z")) > lit(3.0))
         .select(col("event_id"), col("event_type"), col("z"))
     },
@@ -426,14 +431,15 @@ object Events {
         |  SELECT event_type,
         |    CAST(s1 AS DOUBLE) / n AS mean,
         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-        |      / (n - 1)) AS sd
+        |      / nullif(n - 1, 0)) AS sd
         |  FROM (
         |    SELECT event_type, COUNT(*) AS n,
         |      SUM(CAST(value AS DECIMAL(18,6))) AS s1,
         |      SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
         |    FROM events GROUP BY event_type) m)
         |SELECT event_id, event_type, z FROM (
-        |  SELECT event_id, e.event_type, round((value - mean) / sd, 4) AS z
+        |  SELECT event_id, e.event_type,
+        |    round((value - mean) / nullif(sd, 0.0), 4) AS z
         |  FROM events e JOIN stats USING (event_type)) t
         |WHERE abs(z) > 3.0""".stripMargin,
 

@@ -368,10 +368,14 @@ object Extras {
         sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).cast("long").as("sxx"))
+      // a single-month corpus has zero x-variance: the slope is
+      // undefined, reported null (nullif keeps ANSI mode from aborting
+      // the query) — mirrored in the oracle
       stats
         .withColumn("slope_cents_per_month",
           (col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            nullif((col("n_months") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), lit(0.0)))
         .withColumn("intercept_cents",
           (col("sy").cast("double") -
             col("slope_cents_per_month") * col("sx").cast("double")) /
@@ -611,7 +615,7 @@ object Extras {
         |FROM (
         |  SELECT *,
         |    CAST(n_months * sxy - sx * sy AS DOUBLE)
-        |      / CAST(n_months * sxx - sx * sx AS DOUBLE)
+        |      / nullif(CAST(n_months * sxx - sx * sx AS DOUBLE), 0.0)
         |      AS slope_cents_per_month
         |  FROM stats) z""".stripMargin,
 

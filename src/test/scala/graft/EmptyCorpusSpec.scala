@@ -11,10 +11,10 @@ package graft
   * loud failure on a quiet day does not. */
 class EmptyCorpusSpec extends SparkSpec {
 
-  test("every registered query runs on an empty corpus") {
-    val d = java.nio.file.Files.createTempDirectory("graft_empty").toString
+  private def sweep(n: Int): Unit = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_deg$n").toString
     Tables.all.foreach { t =>
-      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+      spark.read.parquet(s"$sf/$t.parquet").limit(n)
         .coalesce(1).write.mode("overwrite").parquet(s"$d/$t.parquet")
     }
     val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -26,7 +26,15 @@ class EmptyCorpusSpec extends SparkSpec {
         }
     }
     assert(failed.isEmpty,
-      s"${failed.length} queries crash on an empty corpus:\n" +
-        failed.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
+      s"${failed.length} queries crash on a $n-row corpus:\n" +
+        failed.map { case (nm, m) => s"  $nm -> $m" }.mkString("\n"))
   }
+
+  test("every registered query runs on an empty corpus") { sweep(0) }
+
+  // n = 1 is the sharpest statistical edge: zero variance (ev12's sd,
+  // q31's x-variance — both now report null via nullif instead of an
+  // ANSI divide-by-zero abort), single-element windows, self-pair-free
+  // dedup. Found two real crashes on first run.
+  test("every registered query runs on a single-row corpus") { sweep(1) }
 }
