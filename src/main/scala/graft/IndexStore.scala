@@ -160,11 +160,17 @@ object IndexStore {
     * historical session-memo shape (build + DISK_ONLY persist; callers
     * memoize the result per session). */
   def dataFrame(s: SparkSession, d: String, name: String, table: String,
-      persistWhenUnmanaged: Boolean = true)(build: => DataFrame): DataFrame =
+      persistWhenUnmanaged: Boolean = true,
+      eagerWhenUnmanaged: Boolean = false)(build: => DataFrame): DataFrame =
     resolve(s, d, name, table) match {
       case Unmanaged =>
         val df = build
-        if (persistWhenUnmanaged) df.persist(StorageLevel.DISK_ONLY) else df
+        val p = if (persistWhenUnmanaged) df.persist(StorageLevel.DISK_ONLY) else df
+        // eager: materialize the unmanaged persist NOW (iterative
+        // consumers scan it repeatedly); managed loads are already
+        // materialized parquet, so no extra pass happens there
+        if (eagerWhenUnmanaged && persistWhenUnmanaged) p.count()
+        p
       case Fresh(base) => s.read.parquet(dataPath(base))
       case Build(base, commit) =>
         build.write.mode("overwrite").parquet(dataPath(base))

@@ -99,7 +99,12 @@ object Bucketing {
     * computed. */
   def zorderLayout(s: SparkSession, d: String): Option[(String, Long, Long, Long, Long)] = {
     graft.SessionCaches.track(s)
-    zBuilt.getOrElseUpdate((s, d), {
+    // NOTE: only a built layout is memoized. Caching the None (empty
+    // corpus) verdict would poison the session — data landing in the
+    // same dir later would keep answering "empty" until the JVM died;
+    // instead the cheap maxima probe re-runs until a layout exists.
+    zBuilt.get((s, d)).getOrElse {
+      val built: Option[(String, Long, Long, Long, Long)] = {
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
@@ -130,7 +135,10 @@ object Bucketing {
       }
       Some((path, wa, wb, ma, mb))
       }
-    })
+      }
+      if (built.isDefined) zBuilt.putIfAbsent((s, d), built)
+      built
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

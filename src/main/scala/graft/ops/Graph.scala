@@ -309,8 +309,8 @@ object Graph {
       // later sessions scan the materialized edge parquet; the
       // fingerprint covers BOTH source tables (comma-list), so editing
       // either orders or lineitem marks the persisted graph stale.
-      val edges = graft.IndexStore.dataFrame(s, d, "trade_edges",
-        "orders,lineitem") {
+      graft.IndexStore.dataFrame(s, d, "trade_edges",
+        "orders,lineitem", eagerWhenUnmanaged = true) {
         val orders = Tables.load(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
         val line = Tables.load(s, d, "lineitem")
@@ -321,11 +321,6 @@ object Graph {
           .distinct()
         e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       }
-      // materialize the DISK_ONLY persist only in unmanaged mode; a
-      // managed load is already a parquet scan of the store — counting
-      // it would be one full wasted pass of the edge table per session
-      if (graft.IndexStore.root(s).isEmpty) edges.count()
-      edges
     })
   }
 

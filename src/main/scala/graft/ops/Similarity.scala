@@ -73,6 +73,23 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
+  // memoized NON-emptiness of the embeddings table (ss03's guard): a
+  // "non-empty" verdict is stable, an "empty" one is not — see ss03
+  private val embNonEmpty = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Boolean]
+  graft.SessionCaches.registerEvictor(s =>
+    embNonEmpty.keySet.toSeq.filter(_._1 eq s).foreach(embNonEmpty.remove))
+
+  private def embEmpty(s: SparkSession, d: String, e: DataFrame): Boolean = {
+    graft.SessionCaches.track(s)
+    if (embNonEmpty.contains((s, d))) false
+    else {
+      val empty = e.isEmpty
+      if (!empty) embNonEmpty.putIfAbsent((s, d), true)
+      empty
+    }
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed, 16 × 64). */
   private lazy val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
@@ -236,8 +253,11 @@ object Similarity {
       val e = emb(s, d)
       // empty corpus: nothing to train an IVF on (and a 0-row
       // partitioned write leaves an unreadable index dir) — searching
-      // nothing returns nothing
-      if (e.isEmpty)
+      // nothing returns nothing. Emptiness is memoized per (session,
+      // dir) so warm invocations don't pay a probe job; like the
+      // z-layout memo, only the NON-empty verdict is cached (an empty
+      // verdict must re-check once data lands).
+      if (embEmpty(s, d, e))
         e.select(col("vec_id").as("q_id"), col("vec_id"),
           lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
       else {
@@ -596,13 +616,11 @@ object Similarity {
     val q8 = quantized(s, d)
     val codebooks = pqCodebooksFor(s, d)
     graft.SessionCaches.track(s)
-    val enc = encCache.getOrElseUpdate((s, d), {
-      val built = graft.IndexStore.dataFrame(s, d, "pq_codes", "embeddings") {
+    val enc = encCache.getOrElseUpdate((s, d),
+      graft.IndexStore.dataFrame(s, d, "pq_codes", "embeddings",
+        eagerWhenUnmanaged = true) {
         q8.select(col("vec_id"), pqEncode(col("q"), codebooks).as("codes"))
-      }
-      if (graft.IndexStore.root(s).isEmpty) built.count() // materialize the persist
-      built
-    })
+      })
     def il2(a: Seq[Int], b: Seq[Int]): Long =
       a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
     val qs = q8.filter(col("vec_id") < 10).collect()

@@ -11,23 +11,39 @@ package graft
   * loud failure on a quiet day does not. */
 class EmptyCorpusSpec extends SparkSpec {
 
+  private def rmTree(p: String): Unit = {
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   private def sweep(n: Int): Unit = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_deg$n").toString
-    Tables.all.foreach { t =>
-      spark.read.parquet(s"$sf/$t.parquet").limit(n)
-        .coalesce(1).write.mode("overwrite").parquet(s"$d/$t.parquet")
+    try {
+      Tables.all.foreach { t =>
+        spark.read.parquet(s"$sf/$t.parquet").limit(n)
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/$t.parquet")
+      }
+      val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(spark, d).collect(); None }
+          catch {
+            case e: Throwable => Some(name -> (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString))
+          }
+      }
+      assert(failed.isEmpty,
+        s"${failed.length} queries crash on a $n-row corpus:\n" +
+          failed.map { case (nm, m) => s"  $nm -> $m" }.mkString("\n"))
+    } finally {
+      // the sweep corpus is per-run; so is the z-layout the Bucketing
+      // queries derive for it (deterministic per-corpus temp path) —
+      // delete both, or every CI run leaks corpus-sized directories
+      rmTree(d)
+      rmTree(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_zorder_${java.lang.Integer.toHexString(d.hashCode)}").toString)
     }
-    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { fn(spark, d).collect(); None }
-        catch {
-          case e: Throwable => Some(name -> (e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString))
-        }
-    }
-    assert(failed.isEmpty,
-      s"${failed.length} queries crash on a $n-row corpus:\n" +
-        failed.map { case (nm, m) => s"  $nm -> $m" }.mkString("\n"))
   }
 
   test("every registered query runs on an empty corpus") { sweep(0) }
