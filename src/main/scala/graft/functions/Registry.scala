@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinus}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SQL registration for every custom Catalyst expression, so the whole
   * engine surface — including the fused dedup/similarity/text kernels —
@@ -12,18 +12,35 @@ import org.apache.spark.sql.types.IntegerType
   */
 object Registry {
 
-  private def litInt(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case _ => throw new IllegalArgumentException(
-      s"$fn: the size argument must be an INT literal")
+  // A "literal" in SQL text is not always a Literal node by the time
+  // the function builder sees it: `-100` parses as
+  // UnaryMinus(Literal(100)), and constant arithmetic like `4 * 256`
+  // arrives unfolded (the builder runs before ConstantFolding). Fold
+  // any foldable integral expression instead of rejecting it.
+  private def foldIntegral(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case Literal(v: Byte, ByteType) => Some(v.toLong)
+    case UnaryMinus(c, _) => foldIntegral(c).map(x => -x)
+    case _ if e.resolved && e.foldable &&
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType) =>
+      Option(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)).map {
+        case v: java.lang.Number => v.longValue()
+      }
+    case _ => None
   }
 
-  private def litLong(e: Expression, fn: String): Long = e match {
-    case Literal(v: Int, IntegerType) => v.toLong
-    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
-    case _ => throw new IllegalArgumentException(
-      s"$fn: the bound argument must be an integer literal")
-  }
+  private def litInt(e: Expression, fn: String): Int =
+    foldIntegral(e) match {
+      case Some(v) if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: the size argument must be an INT literal")
+    }
+
+  private def litLong(e: Expression, fn: String): Long =
+    foldIntegral(e).getOrElse(throw new IllegalArgumentException(
+      s"$fn: the bound argument must be an integer literal"))
 
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry

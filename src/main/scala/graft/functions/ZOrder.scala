@@ -22,10 +22,18 @@ object ZOrderUtil {
     * the result positive in a long. Negative inputs are rejected — the
     * curve is defined on the non-negative grid, and a silent
     * two's-complement interleave would place -1 above every positive
-    * cell. */
+    * cell. Inputs ≥ 2^bits are rejected for the same reason: the
+    * interleave would silently DROP their high bits, colliding two
+    * distinct keys onto one z-value — and z_value is SQL-registered,
+    * so an external caller passing raw un-bucketed keys would get a
+    * silently wrong layout instead of a loud error. */
   def interleave(a: Long, b: Long, bits: Int): Long = {
     if (a < 0 || b < 0) throw new IllegalArgumentException(
       s"z_value: inputs must be non-negative, got ($a, $b)")
+    if (a >= (1L << bits) || b >= (1L << bits))
+      throw new IllegalArgumentException(
+        s"z_value: inputs must fit in $bits bits (< ${1L << bits}), " +
+          s"got ($a, $b); bucket raw keys into grid cells first")
     var z = 0L
     var i = 0
     while (i < bits) {

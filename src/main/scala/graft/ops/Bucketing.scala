@@ -53,11 +53,21 @@ object Bucketing {
   graft.SessionCaches.registerEvictor(s =>
     built.keySet.toSeq.filter(_._1 eq s).foreach(built.remove))
 
+  // Strong per-corpus-dir suffix for derived table/dir names.
+  // String.hashCode is 32-bit: two DIFFERENT corpus dirs colliding
+  // would alias their bucketed tables (the second build silently
+  // overwrites the first corpus's layout while its memo still points
+  // there) or share one z-layout temp dir. md5 makes that chance
+  // cryptographically negligible.
+  private def dirSfx(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** (ordersTable, lineitemTable) bucketed by orderkey, built on demand. */
   def bucketedPair(s: SparkSession, d: String): (String, String) = {
     graft.SessionCaches.track(s)
     built.getOrElseUpdate((s, d), {
-      val sfx = java.lang.Integer.toHexString(d.hashCode)
+      val sfx = dirSfx(d)
       val (ot, lt) = (s"graft_bk_orders_$sfx", s"graft_bk_lineitem_$sfx")
       writeBucketed(s, Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderpriority")), ot, "o_orderkey", 8)
@@ -121,9 +131,14 @@ object Bucketing {
           .write.mode("overwrite").partitionBy("zcell").parquet(path)
       val path = graft.IndexStore.resolve(s, d, "zorder_lineitem", "lineitem") match {
         case graft.IndexStore.Unmanaged =>
-          val sfx = java.lang.Integer.toHexString(d.hashCode)
-          val p = java.nio.file.Paths.get(
-            System.getProperty("java.io.tmpdir"), s"graft_zorder_$sfx").toString
+          // per-JVM temp scope (plus the strong dirSfx hash): the old
+          // deterministic shared path meant two concurrent JVMs on one
+          // corpus raced overwrite-vs-read on the same directory.
+          // Cross-SESSION layout reuse is the managed (IndexStore)
+          // path's job; unmanaged is session-scoped by design, and the
+          // zBuilt memo already makes it write-once per session.
+          val p = java.nio.file.Files.createTempDirectory(
+            s"graft_zorder_${dirSfx(d)}_").toString
           writeTo(p)
           p
         case graft.IndexStore.Fresh(base) =>

@@ -72,10 +72,51 @@ object Graph {
   // column pagerank needs. gr01/gr03 pass the memoized tradeEdges
   // instance, so reference keying hits across calls; ad-hoc callers
   // (specs) get per-instance builds that evict with the session.
-  private val adjCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, DataFrame), (DataFrame, DataFrame)]
-  graft.SessionCaches.registerEvictor(s =>
-    adjCache.keySet.toSeq.filter(_._1 eq s).foreach(adjCache.remove))
+  // Bounded, persist-aware memo keyed by (session, input DataFrame
+  // INSTANCE). Reference-identity keys are right for the memoized
+  // gr01/gr02/gr03 paths (they pass stable instances), but an external
+  // caller that rebuilds its edge DataFrame per invocation would
+  // otherwise accumulate one DISK_ONLY pair per call until session
+  // eviction — the per-invocation-persist leak class. Cap live entries
+  // per session; on overflow the oldest entry's tables are unpersisted
+  // (a consumer mid-query just recomputes — the persist is a cache,
+  // never a correctness dependency). Builds run OUTSIDE the lock; a
+  // lost insert race unpersists the loser's copy.
+  private final class BoundedPairCache(max: Int) {
+    private val m = scala.collection.mutable.LinkedHashMap
+      .empty[(SparkSession, DataFrame), (DataFrame, DataFrame)]
+    def getOrElseUpdate(k: (SparkSession, DataFrame),
+        build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+      m.synchronized(m.get(k)) match {
+        case Some(v) => v
+        case None =>
+          val v = build
+          m.synchronized {
+            m.get(k) match {
+              case Some(w) =>
+                v._1.unpersist(blocking = false)
+                v._2.unpersist(blocking = false)
+                w
+              case None =>
+                m.put(k, v)
+                val mine = m.keysIterator.filter(_._1 eq k._1).toSeq
+                mine.dropRight(max).foreach { old =>
+                  m.remove(old).foreach { p =>
+                    p._1.unpersist(blocking = false)
+                    p._2.unpersist(blocking = false)
+                  }
+                }
+                v
+            }
+          }
+      }
+    def evict(s: SparkSession): Unit = m.synchronized {
+      m.keysIterator.filter(_._1 eq s).toSeq.foreach(m.remove)
+    }
+  }
+
+  private val adjCache = new BoundedPairCache(max = 4)
+  graft.SessionCaches.registerEvictor(adjCache.evict)
 
   private def adjNodes(edges: DataFrame): (DataFrame, DataFrame) = {
     val s = edges.sparkSession
@@ -97,10 +138,8 @@ object Graph {
   // triangleCount's two materialized edge tables (canonical + oriented),
   // memoized per (session, input instance) — see the comment in
   // triangleCount.
-  private val triCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, DataFrame), (DataFrame, DataFrame)]
-  graft.SessionCaches.registerEvictor(s =>
-    triCache.keySet.toSeq.filter(_._1 eq s).foreach(triCache.remove))
+  private val triCache = new BoundedPairCache(max = 4)
+  graft.SessionCaches.registerEvictor(triCache.evict)
 
   // gr02's co-purchase projection, memoized UNPERSISTED per (session,
   // dir) so repeated gr02 calls hand triangleCount the same instance

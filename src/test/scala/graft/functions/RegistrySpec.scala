@@ -59,6 +59,17 @@ class RegistrySpec extends SparkSpec {
     assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
   }
 
+  test("negative and folded-constant bounds are accepted as literals") {
+    // -100 parses as UnaryMinus(Literal(100)) and 4 * 256 arrives
+    // unfolded — both are compile-time constants and must register
+    val r = GraftSql.sql(spark, sf,
+      """SELECT size(hist_sketch(CAST(n_chars AS BIGINT), -100, 10000, 64)) AS nb,
+        |  size(cms_sketch(doc_id, 2 + 2, 4 * 256)) AS nc
+        |FROM documents""".stripMargin).collect()(0)
+    assert(r.getAs[Int]("nb") == 64)
+    assert(r.getAs[Int]("nc") == 4 * 1024)
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       GraftSql.sql(spark, sf,

@@ -66,6 +66,12 @@ class BucketingSpec extends SparkSpec {
       assert(ra == a && rb == b, s"round trip failed at ($a, $b)")
     }
     intercept[IllegalArgumentException](interleave(-1L, 0L, 31))
+    // inputs >= 2^bits would silently drop high bits, colliding two
+    // distinct keys onto one z-value — rejected as loudly as negatives
+    intercept[IllegalArgumentException](interleave(1L << 31, 0L, 31))
+    intercept[IllegalArgumentException](interleave(0L, Long.MaxValue, 31))
+    intercept[IllegalArgumentException](interleave(4L, 0L, 2))
+    assert(interleave((1L << 31) - 1, 0L, 31) >= 0L) // max valid input
   }
 
   test("rangeCells covers every cell a box row can land in") {

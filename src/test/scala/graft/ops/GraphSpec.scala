@@ -36,6 +36,23 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.scaleFor(1000000000000000L * 10))
   }
 
+  test("adjacency memo is bounded: fresh edge instances don't grow persists forever") {
+    // an external caller rebuilding its edge DataFrame per invocation
+    // misses the reference-identity memo every time; the cache must
+    // unpersist superseded entries instead of pinning one DISK_ONLY
+    // pair per call for the session lifetime
+    import spark.implicits._
+    def freshEdges() = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    Graph.pagerank(freshEdges(), iters = 1).collect()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    (1 to 8).foreach(_ => Graph.pagerank(freshEdges(), iters = 1).collect())
+    val after9 = spark.sparkContext.getPersistentRDDs.size
+    // 8 extra cache-missing calls may add at most the cache bound's
+    // worth of persisted pairs, never one pair per call
+    assert(after9 - after1 <= 8,
+      s"persisted RDDs grew $after1 -> $after9 across 8 cache-missing calls")
+  }
+
   test("pagerank survives a 150k-spoke star that overflows the fixed 1e12 scale") {
     // worst-case mass concentration: every spoke's whole rank flows to
     // the hub, so inbound ~ 1.5e5 * scale; at the old fixed 1e12 the
