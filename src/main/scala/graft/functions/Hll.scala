@@ -110,6 +110,87 @@ object Hll {
   private[graft] def regSum(regs: Seq[Int]): Long =
     regs.foldLeft(0L)((a, m) => a + (1L << (33 - m)))
 
+  /** [[regSum]] as a native Column over an ARRAY<INT> register column —
+    * the same Σ 2^(33−M_j) fold, inside codegen. Bits come from the SQL
+    * `shiftleft` (via call_function — the Scala `shiftleft` only takes
+    * literal bit counts), matching the oracle's
+    * `shiftleft(CAST(1 AS BIGINT), 33 - x)` token-for-token. */
+  private[graft] def regSumCol(regs: Column): Column = {
+    import org.apache.spark.sql.functions.{aggregate, call_function, lit}
+    aggregate(regs, lit(0L), (acc, x) =>
+      acc + call_function("shiftleft", lit(1L), lit(33) - x))
+  }
+
+  /** Register-wise max of two register arrays — the sketch of the
+    * UNION (the defining HLL identity), as a native zip_with so the
+    * set algebra runs inside the plan, never on the driver. */
+  private[graft] def maxMerge(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{greatest, zip_with}
+    zip_with(a, b, (x, y) => greatest(x, y))
+  }
+
+  /** DISTRIBUTED pairwise set algebra over a per-group sketch table
+    * `(key, regs)`: every unordered pair (key_a < key_b) with the
+    * integer register sums of a, b, and a∪b. This is the operator's
+    * 100 TB shape — with n per-source sketches, the n²/2 pair algebra
+    * is |sketch-table|²·m bytes of ARITHMETIC inside the plan (the
+    * sketch side broadcasts; each executor streams its slice of the
+    * pair grid), never an n² driver loop. Estimates follow from the
+    * sums via [[rawEstimate]] + inclusion–exclusion (q08d). */
+  def pairUnions(sk: org.apache.spark.sql.DataFrame, key: String,
+      regs: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // the self-join references the sketch AGGREGATE twice; a lazy
+    // localCheckpoint materializes the (tiny) sketch table on first
+    // touch so the corpus-sized sketch scan runs ONCE, not per side —
+    // blocks are freed by the ContextCleaner when the plan is GC'd
+    val skM = sk.localCheckpoint(false)
+    // per-key sums fold ONCE per key before the join; only the union
+    // fold is per-pair work
+    val a = skM.select(col(key).as("key_a"), col(regs).as("regs_a"),
+      regSumCol(col(regs)).as("reg_sum_a"))
+    val b = skM.select(col(key).as("key_b"), col(regs).as("regs_b"),
+      regSumCol(col(regs)).as("reg_sum_b"))
+    broadcast(a).join(b, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        col("reg_sum_a"), col("reg_sum_b"),
+        regSumCol(maxMerge(col("regs_a"), col("regs_b")))
+          .as("reg_sum_union"))
+  }
+
+  /** DISTRIBUTED sliding-window set algebra over a per-MONTH sketch
+    * table `(period, regs)` (period = a month-truncated date column;
+    * the window steps by add_months): for every window of `w` consecutive months that
+    * are ALL present (inner semantics — windows running past either
+    * end of the data are dropped), the integer register sum of the
+    * window union. Shape: each period row explodes into the ≤ w
+    * windows containing it (w× a TINY table, not the corpus), register
+    * positions max-merge per (window, pos) in one partial-agged
+    * shuffle, and the per-window sum folds in a second — window-length
+    * changes are free because the algebra never rescans the corpus.
+    * Register-position explosion keeps the whole path native (no
+    * collect): w·m rows per period, still sketch-table-sized. */
+  def slidingUnion(sk: org.apache.spark.sql.DataFrame, period: String,
+      regs: String, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(w >= 1, s"slidingUnion: window must be >= 1 period, got $w")
+    val memb = sk.select(
+      explode(array((0 until w).map(k =>
+        add_months(col(period), -k)): _*)).as("w_start"),
+      col(regs).as("regs"))
+    memb
+      .select(col("w_start"), posexplode(col("regs")).as(Seq("pos", "r")))
+      .groupBy(col("w_start"), col("pos"))
+      // n_at_pos counts member periods (each contributes one r per pos)
+      .agg(max(col("r")).as("mr"), count(lit(1)).as("n_at_pos"))
+      .groupBy(col("w_start"))
+      .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), 33 - mr))")
+          .as("reg_sum_union"),
+        max(col("n_at_pos")).as("n_periods"))
+      .filter(col("n_periods") === w)
+      .select(col("w_start"), col("reg_sum_union"))
+  }
+
   /** The raw HLL estimate as a Column over a BIGINT regSum — the
     * LITERAL float expression both engines evaluate identically (see
     * q08c's oracle): alpha_m · m² · 2^33 / regSum, every constant

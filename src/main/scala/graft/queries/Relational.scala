@@ -205,29 +205,23 @@ object Relational {
     // estimator; can go negative for disjoint sets, that's the noise
     // floor). At 100 TB: one scan materializes per-source sketches,
     // then ALL n² source-overlap questions cost |sources|²·m bytes of
-    // arithmetic. The sketch table is one row per group — the Lloyd
-    // k×dim class of bounded driver transfer — so the pair algebra
-    // (integer register sums, engine-independent) runs on collected
-    // arrays and re-enters the plan as a broadcast local relation; the
-    // exact-intersection audit stays fully distributed (one pk
-    // shuffle, flag-set pair explode ≤ |flags|² per key). The DuckDB
-    // oracle replays registers, unions, sums, and the identical
+    // ARITHMETIC — and that arithmetic runs INSIDE the plan
+    // (Hll.pairUnions: broadcast self-join of the sketch table,
+    // zip_with(greatest) union, native register-sum fold), so a
+    // 10⁴–10⁵-source corpus never routes its n² pair grid through the
+    // driver (RelationalHllSpec pins the no-collect path at ≥10³
+    // groups). The exact-intersection audit stays fully distributed
+    // (one pk shuffle, flag-set pair explode ≤ |flags|² per key). The
+    // DuckDB oracle replays registers, unions, sums, and the identical
     // literal float estimate — hash-exact like q08c.
     "q08d_hll_overlap" -> { (s, d) =>
-      import s.implicits._
       val li = Tables.load(s, d, "lineitem")
         .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
       val sk = li.groupBy(col("l_returnflag"))
         .agg(graft.functions.Hll.hllSketch(col("pk"), 8).as("regs"))
-      val rows = sk.collect()
-        .map(r => (r.getString(0), r.getSeq[Int](1).toArray)).sortBy(_._1)
-      import graft.functions.Hll.regSum
-      val pairRows = for {
-        (fa, ra) <- rows.toSeq; (fb, rb) <- rows.toSeq if fa < fb
-      } yield (fa, fb, regSum(ra.toSeq), regSum(rb.toSeq),
-        regSum(ra.zip(rb).map { case (x, y) => math.max(x, y) }.toSeq))
-      val pairs = pairRows.toDF(
-        "flag_a", "flag_b", "reg_sum_a", "reg_sum_b", "reg_sum_union")
+      val pairs = graft.functions.Hll.pairUnions(sk, "l_returnflag", "regs")
+        .withColumnRenamed("key_a", "flag_a")
+        .withColumnRenamed("key_b", "flag_b")
       val fs = li.select(col("l_returnflag"), col("pk")).distinct()
       val ex = fs.groupBy(col("pk"))
         .agg(collect_set(col("l_returnflag")).as("fsa"))
@@ -261,39 +255,22 @@ object Relational {
     // Without sketches, W overlapping windows cost W scans (or an
     // exploded W× shuffle: each row shuffled once per window that
     // contains it — the shape the exact AUDIT below deliberately
-    // uses); with them, one scan + calendar-bounded algebra. The
-    // month-sketch table is one row per month — calendar-bounded (a
-    // century is ~300 KB at m=256), the Lloyd class of driver
-    // transfer — so the window algebra runs on collected registers
-    // like q08d, re-entering the plan as a broadcast local relation;
-    // the exact audit stays distributed. Windows needing months past
-    // either end of the data are dropped (inner semantics), matching
-    // the oracle.
+    // uses); with them, one scan + calendar-bounded algebra — and the
+    // algebra itself runs INSIDE the plan (Hll.slidingUnion: each
+    // month-sketch row explodes into its ≤ W windows, register
+    // positions max-merge in a partial-agged shuffle of the TINY
+    // sketch table), W-generic for free — RelationalHllSpec proves
+    // W ∈ {2, 4} against an independent reference without touching
+    // this query. Windows needing months past either end of the data
+    // are dropped (inner semantics: a window union is only emitted
+    // when all W member months exist), matching the oracle.
     "q08e_hll_sliding" -> { (s, d) =>
-      import s.implicits._
       val li = Tables.load(s, d, "lineitem")
         .withColumn("m", trunc(col("l_shipdate"), "month"))
         .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
       val sk = li.groupBy(col("m"))
         .agg(graft.functions.Hll.hllSketch(col("pk"), 8).as("regs"))
-      val byMonth = sk.collect()
-        .map(r => (r.getDate(0), r.getSeq[Int](1).toArray))
-        .sortBy(_._1.toString)
-      val monthIdx = byMonth.map(_._1.toString).zipWithIndex.toMap
-      def plusMonths(dt: java.sql.Date, k: Int): String =
-        dt.toLocalDate.plusMonths(k.toLong).toString
-      import graft.functions.Hll.regSum
-      val winRows = byMonth.flatMap { case (m0, r0) =>
-        for {
-          i1 <- monthIdx.get(plusMonths(m0, 1))
-          i2 <- monthIdx.get(plusMonths(m0, 2))
-        } yield {
-          val u = r0.indices.map(j =>
-            math.max(r0(j), math.max(byMonth(i1)._2(j), byMonth(i2)._2(j))))
-          (m0, regSum(u))
-        }
-      }.toSeq
-      val wins = winRows.toDF("w_start", "reg_sum_union")
+      val wins = graft.functions.Hll.slidingUnion(sk, "m", "regs", w = 3)
       // exact audit: each distinct (month, pk) membership explodes into
       // the <= 3 windows that contain it — the W x shuffle the sketch
       // path exists to avoid, kept here because it IS the audit

@@ -119,6 +119,72 @@ class RelationalHllSpec extends SparkSpec {
     acc.unpersist()
   }
 
+  test("pair algebra runs DISTRIBUTED at 1024 sketch groups — no driver loop, exact vs reference") {
+    // the operator's own 100 TB pitch: n per-source sketches answer all
+    // n²/2 overlap questions. At n = 1024 (the high-cardinality regime
+    // a driver-side pair loop would choke on first), the algebra must
+    // (a) run inside the plan — the old collect-based shape re-entered
+    // as a LocalTableScan of driver-built rows; the distributed one is
+    // a broadcast nested-loop self-join — and (b) produce exactly the
+    // driver-computed register arithmetic on a sampled slice.
+    import graft.functions.Hll
+    val sk = graft.Tables.load(spark, sf, "lineitem")
+      .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
+      .groupBy(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+        lit(1024)).cast("int").as("g"))
+      .agg(Hll.hllSketch(col("pk"), P).as("regs"))
+    val nGroups = sk.count()
+    assert(nGroups >= 1000, s"want >= 1000 sketch groups, got $nGroups")
+    val pairs = Hll.pairUnions(sk, "g", "regs")
+    val planStr = pairs.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastNestedLoopJoin"),
+      s"pair algebra lost its in-plan self-join:\n$planStr")
+    assert(!planStr.contains("LocalTableScan"),
+      "pair algebra re-entered the plan as driver-built rows")
+    assert(pairs.count() == nGroups * (nGroups - 1) / 2,
+      "every unordered pair exactly once")
+    // reference arithmetic on a bounded slice: all pairs among the
+    // first 24 groups, driver-computed from the collected sketches
+    val byKey = sk.filter(col("g") < 24).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap
+    val got = pairs.filter(col("key_a") < 24 && col("key_b") < 24)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 24 * 23 / 2)
+    got.foreach { case ((ka, kb), (sa, sb, su)) =>
+      val (ra, rb) = (byKey(ka), byKey(kb))
+      assert(sa == Hll.regSum(ra.toSeq) && sb == Hll.regSum(rb.toSeq),
+        s"per-key sums diverged for ($ka, $kb)")
+      val u = ra.indices.map(i => math.max(ra(i), rb(i)))
+      assert(su == Hll.regSum(u), s"union sum diverged for ($ka, $kb)")
+    }
+  }
+
+  test("slidingUnion is W-generic: W in {2, 4} equals the driver reference") {
+    import graft.functions.Hll
+    val sk = graft.Tables.load(spark, sf, "lineitem")
+      .withColumn("m", trunc(col("l_shipdate"), "month"))
+      .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
+      .groupBy(col("m")).agg(Hll.hllSketch(col("pk"), P).as("regs"))
+    val byMonth = sk.collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getSeq[Int](1).toArray)
+      .sortBy(_._1.toString)
+    val idx = byMonth.map(_._1).zipWithIndex.toMap
+    for (w <- Seq(2, 4)) {
+      val expected = byMonth.flatMap { case (m0, _) =>
+        val members = (0 until w).map(k => idx.get(m0.plusMonths(k.toLong)))
+        if (members.forall(_.isDefined)) {
+          val regs = members.flatten.map(byMonth(_)._2)
+          val u = regs.head.indices.map(i => regs.map(_(i)).max)
+          Some(m0.toString -> Hll.regSum(u))
+        } else None
+      }.toMap
+      val got = Hll.slidingUnion(sk, "m", "regs", w).collect()
+        .map(r => r.getDate(0).toLocalDate.toString -> r.getLong(1)).toMap
+      assert(got == expected, s"W=$w window algebra diverged from reference")
+    }
+  }
+
   test("q08c plan: ONE hll_sketch aggregate over lineitem — constant-size shuffle") {
     val plan = Relational.queries("q08c_hll_distinct")(spark, sf)
       .queryExecution.sparkPlan
