@@ -73,6 +73,60 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
+  /** Exact integer squared L2 — the driver-side twin of the in-plan
+    * zip_with fold (bounded uses only: probe lists, spec audits). */
+  private def intL2(a: Seq[Int], b: Seq[Int]): Long =
+    a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+
+  private def int8SqDist(c: Seq[Int]): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+      "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
+
+  /** argmin over in-plan literal centroids as a zero-shuffle map
+    * expression: struct(dist, cid) array_min ties to the lower cid. */
+  private def int8Assign(
+      cs: Seq[(Int, Seq[Int])]): org.apache.spark.sql.Column =
+    array_min(array(cs.map { case (cid, c) =>
+      struct(int8SqDist(c).as("dist"), lit(cid).as("cid")) }: _*))
+
+  // The K=16 integer IVF coarse quantizer SHARED by ss03b (one-stage
+  // probe) and ss03c (ADC shortlist + exact re-rank): emb03's Lloyd
+  // chain — hash-ordered seeds, one truncating-integer-mean round.
+  // Memoized per (session, dir): the centroid list is k×dim integers
+  // (the bounded Lloyd transfer). An EMPTY corpus yields Nil and is
+  // NOT cached — the zBuilt rule: an empty verdict must re-check once
+  // data lands.
+  private val IvfK = 16
+  private val ivfCentCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, Seq[Int])]]
+  graft.SessionCaches.registerEvictor(s =>
+    ivfCentCache.keySet.toSeq.filter(_._1 eq s).foreach(ivfCentCache.remove))
+
+  private def ivfInt8Centroids(s: SparkSession,
+      d: String): Seq[(Int, Seq[Int])] = {
+    graft.SessionCaches.track(s)
+    ivfCentCache.get((s, d)).getOrElse {
+      val q8 = quantized(s, d)
+      val seeds = q8
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(IvfK).collect()
+        .map(r => r.getSeq[Int](r.fieldIndex("q")))
+        .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      if (seeds.isEmpty) Nil
+      else {
+        val cents = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
+          assignId = (_, cs) => int8Assign(cs).getField("cid"),
+          meanExpr = ((sum(col("v").cast("long")) -
+            (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+            .cast("int"),
+          decode = _.getInt(2),
+          fillEmpty = false)
+        ivfCentCache.putIfAbsent((s, d), cents)
+        cents
+      }
+    }
+  }
+
   // memoized NON-emptiness of the embeddings table (ss03's guard): a
   // "non-empty" verdict is stable, an "empty" one is not — see ss03
   private val embNonEmpty = scala.collection.concurrent.TrieMap
@@ -286,45 +340,22 @@ object Similarity {
     // (persisted cell-partitioned index, static pruning); this is its
     // cross-engine-auditable twin.
     "ss03b_ivf_int8_topk" -> { (s, d) =>
-      val K = 16
       val NProbe = 4
       val q8 = quantized(s, d)
+      val cents = ivfInt8Centroids(s, d)
 
-      def sqDist(c: Seq[Int]): org.apache.spark.sql.Column =
-        expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
-          "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
-      def assign(cs: Seq[(Int, Seq[Int])]): org.apache.spark.sql.Column =
-        array_min(array(cs.map { case (cid, c) =>
-          struct(sqDist(c).as("dist"), lit(cid).as("cid")) }: _*))
-
-      val seeds = q8
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(K).collect()
-        .map(r => r.getSeq[Int](r.fieldIndex("q")))
-        .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-
-      // empty corpus => no seeds => malformed zero-arm array_min;
+      // empty corpus => no centroids => malformed zero-arm array_min;
       // searching nothing returns nothing
-      if (seeds.isEmpty)
+      if (cents.isEmpty)
         q8.select(col("vec_id").as("q_id"), col("vec_id"),
           lit(0L).as("dist"), lit(0).as("rank")).limit(0)
       else {
-        val cents = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
-          assignId = (_, cs) => assign(cs).getField("cid"),
-          meanExpr = ((sum(col("v").cast("long")) -
-            (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
-            .cast("int"),
-          decode = _.getInt(2),
-          fillEmpty = false)
+        val cells = q8.withColumn("cell", int8Assign(cents).getField("cid"))
 
-        val cells = q8.withColumn("cell", assign(cents).getField("cid"))
-
-        def il2(a: Seq[Int], b: Seq[Int]): Long =
-          a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
         val qs = q8.filter(col("vec_id") < 10).collect()
           .map(r => (r.getLong(0), r.getSeq[Int](1)))
         val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
-          cents.map { case (cid, c) => (cid, il2(qv, c)) }
+          cents.map { case (cid, c) => (cid, intL2(qv, c)) }
             .sortBy { case (cid, dl) => (dl, cid) }.take(NProbe)
             .map { case (cid, _) => (qid, cid, qv) }
         }
@@ -341,6 +372,73 @@ object Similarity {
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 10)
           .select(col("q_id"), col("vec_id"), col("dist"),
+            col("rank").cast("int").as("rank"))
+      }
+    },
+
+    // ss03c: IVFADC with exact RE-RANK — the production retrieval
+    // architecture (Jégou et al. 2011 §V "IVFADC" + §VII re-rank)
+    // assembled from this file's three index tiers: the IVF coarse
+    // quantizer restricts the scan to nprobe=10 of 16 cells (ss03b's
+    // integer Lloyd cells), the compressed-domain ADC distance (ss09's
+    // PQ codes + per-query LUT — M array lookups per row, never a
+    // 64-term kernel) ranks the probed cells into a top-C=100
+    // shortlist, and only the shortlist pays the exact int8 L2 kernel
+    // (ss10's stage 2). Recall ≥ 0.95 vs the exact ranking
+    // (spec-gated at measured-minus-margin; ss03b's one-stage probe
+    // measures 0.75): the re-rank fixes every ADC ranking error, so
+    // the only misses are true neighbors whose CELL was not probed.
+    // Everything stays integer, so the oracle replays the entire
+    // two-index pipeline — cells AND codes — bit-for-bit. Scale
+    // shape: both index scans are map-only over in-plan literals /
+    // broadcast LUTs; the shortlist (queries×C rows) joins hint-free
+    // (AQE broadcasts it); at 100 TB the same plan runs with
+    // K=65536 cells and nprobe≈64 — the nprobe/K = 5/8 here is an
+    // artifact of the tiny 16-cell test grid, not the design point.
+    "ss03c_ivfadc_rerank" -> { (s, d) =>
+      val NProbe = 10
+      val C = 100
+      val q8 = quantized(s, d)
+      val cents = ivfInt8Centroids(s, d)
+      if (cents.isEmpty)
+        q8.select(col("vec_id").as("q_id"), col("vec_id"),
+          lit(0L).as("l2"), lit(0).as("rank")).limit(0)
+      else {
+        val cells = q8.select(col("vec_id"),
+          int8Assign(cents).getField("cid").as("cell"))
+        val (enc, qlut) = pqAdc(s, d)
+        val qs = q8.filter(col("vec_id") < 10).collect()
+          .map(r => (r.getLong(0), r.getSeq[Int](1)))
+        val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
+          cents.map { case (cid, c) => (cid, intL2(qv, c)) }
+            .sortBy { case (cid, dl) => (dl, cid) }.take(NProbe)
+            .map { case (cid, _) => (qid, cid) }
+        }
+        import s.implicits._
+        val probe = broadcast(
+          probeRows.toDF("q_id", "cell").join(qlut, "q_id"))
+
+        val adcW = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc"), col("vec_id"))
+        val shortlist = cells.join(enc, "vec_id").join(probe, "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("adc", adcDist)
+          .withColumn("rn", row_number().over(adcW))
+          .filter(col("rn") <= C)
+          .select(col("q_id"), col("vec_id"))
+
+        val qvecs = broadcast(q8.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("q").as("q_q")))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("l2"), col("vec_id"))
+        shortlist.join(q8, Seq("vec_id"))
+          .join(qvecs, Seq("q_id"))
+          .withColumn("l2",
+            expr("aggregate(zip_with(q, q_q, (a, b) -> CAST(a - b AS BIGINT) * (a - b)), " +
+              "0L, (acc, x) -> acc + x)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("vec_id"), col("l2"),
             col("rank").cast("int").as("rank"))
       }
     },
@@ -899,6 +997,86 @@ object Similarity {
         |  FROM probe p JOIN cells c
         |    ON c.cell = p.cell AND c.vec_id != p.q_id) z
         |WHERE rn <= 10""".stripMargin,
+
+    // ss03c: BOTH index chains replayed end-to-end — pqCoreSql's PQ
+    // chain (codes + per-pair ADC dists) and ss03b's IVF chain (the
+    // identical K=16 Lloyd recurrence, c-prefixed to avoid CTE name
+    // clashes), composed: the shortlist is the ADC top-100 restricted
+    // to each query's nprobe=10 probed cells, the final ranking is the
+    // exact integer L2 identity on the shortlist (the emb03 argument:
+    // integer arithmetic has no rounding to disagree on).
+    "ss03c_ivfadc_rerank" ->
+      s"""$pqCoreSql,
+         |cseeds AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid, q
+         |  FROM (SELECT vec_id, q FROM q8
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) t
+         |),
+         |ca1 AS (
+         |  SELECT vec_id, q, cid FROM (
+         |    SELECT x.vec_id, x.q, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+         |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(x.q, s.q) AS BIGINT)
+         |          + CAST(list_dot_product(s.q, s.q) AS BIGINT), s.cid) AS rn
+         |    FROM q8 x, cseeds s) z
+         |  WHERE rn = 1
+         |),
+         |csums AS (
+         |  SELECT cid, u.i AS pos, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ca1, UNNEST(range(0, len(q))) AS u(i)
+         |  GROUP BY cid, u.i
+         |),
+         |cnewc AS (
+         |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
+         |  FROM csums GROUP BY cid
+         |),
+         |vcell AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT x.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+         |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(x.q, c.q) AS BIGINT)
+         |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+         |    FROM q8 x, cnewc c) z
+         |  WHERE rn = 1
+         |),
+         |cprobe AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT qv.vec_id AS q_id, c.cid AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+         |        CAST(list_dot_product(qv.q, qv.q) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(qv.q, c.q) AS BIGINT)
+         |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+         |    FROM (SELECT vec_id, q FROM q8 WHERE vec_id < 10) qv, cnewc c) z
+         |  WHERE rn <= 10
+         |),
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT dd.q_id, dd.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY dd.q_id
+         |        ORDER BY dd.dist, dd.vec_id) AS rn
+         |    FROM dists dd
+         |    JOIN vcell v ON v.vec_id = dd.vec_id
+         |    JOIN cprobe p ON p.q_id = dd.q_id AND p.cell = v.cell) z
+         |  WHERE rn <= 100
+         |),
+         |rex AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    CAST(list_dot_product(x.q, x.q) AS BIGINT)
+         |      - 2 * CAST(list_dot_product(x.q, qq.q) AS BIGINT)
+         |      + CAST(list_dot_product(qq.q, qq.q) AS BIGINT) AS l2
+         |  FROM short s
+         |  JOIN q8 x ON x.vec_id = s.vec_id
+         |  JOIN q8 qq ON qq.vec_id = s.q_id
+         |)
+         |SELECT q_id, vec_id, l2, CAST(rn AS INT) AS rank FROM (
+         |  SELECT q_id, vec_id, l2,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rn
+         |  FROM rex) z
+         |WHERE rn <= 10""".stripMargin,
 
     "ss05_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

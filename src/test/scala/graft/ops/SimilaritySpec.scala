@@ -31,7 +31,11 @@ class SimilaritySpec extends SparkSpec {
     val ivf = topkSet("ss03_ivf_topk")
     val recalls = ivf.map { case (q, s) => (s intersect exact(q)).size / 10.0 }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.3, s"IVF mean recall@10 $mean below 0.3")
+    // measured 0.49 at sf0.001 (nprobe=3 of 20 cells); gate at
+    // measured-minus-margin so a 2x recall regression fails loudly
+    // instead of sliding under an anything-goes floor (round-9
+    // verdict: the 0.3 gate was slack). ss03c is the high-recall path.
+    assert(mean >= 0.4, s"IVF mean recall@10 $mean below 0.4")
   }
 
   test("ss03b integer IVF: valid ranking, decent recall, probes only its cells") {
@@ -59,13 +63,48 @@ class SimilaritySpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     info(s"ss03b mean recall@10 = $mean")
-    assert(mean >= 0.3, s"integer-IVF mean recall@10 $mean below 0.3")
+    // measured 0.75; gated at measured-minus-margin (see ss03's gate)
+    assert(mean >= 0.6, s"integer-IVF mean recall@10 $mean below 0.6")
     // reported dist IS the exact integer L2 (the metric is not
     // approximated — only the candidate set is)
     rows.take(50).foreach { r =>
       assert(r.getLong(2) == l2(q8(r.getLong(0)), q8(r.getLong(1))))
     }
     ivf.unpersist()
+  }
+
+  test("ss03c IVFADC re-rank: recall >= 0.95, exact distances, 10 rows per query") {
+    val rr = Similarity.queries("ss03c_ivfadc_rerank")(spark, sf).cache()
+    val perQ = rr.groupBy(col("q_id")).agg(count(lit(1)).as("n")).collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) == 10))
+    // exact quantized ground truth, re-derived driver-side (ss10 idiom)
+    val q8 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val scale = v.map(math.abs).max / 127.0
+        r.getLong(0) -> v.map(x => math.round(x / scale).toInt)
+      }.toMap
+    def l2(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    val exact = q8.keys.filter(_ < 10).map { q =>
+      q -> q8.keys.filter(_ != q).toSeq
+        .sortBy(x => (l2(q8(q), q8(x)), x)).take(10).toSet
+    }.toMap
+    val rows = rr.collect()
+    val recalls = rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      (rs.map(_.getLong(1)).toSet intersect exact(q)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"ss03c mean recall@10 = $mean")
+    assert(mean >= 0.95,
+      s"IVFADC+re-rank mean recall@10 $mean below 0.95 — probe coverage " +
+        "or the exact stage regressed")
+    // the reported l2 IS the exact integer distance, never the ADC one
+    rows.take(50).foreach { r =>
+      assert(r.getLong(2) == l2(q8(r.getLong(0)), q8(r.getLong(1))))
+    }
+    rr.unpersist()
   }
 
   test("ss09 PQ top-k: valid ranking, decent recall vs the exact int8 L2 order") {
