@@ -144,8 +144,12 @@ object Bucketing {
         case graft.IndexStore.Fresh(base) =>
           graft.IndexStore.dataPath(base)
         case graft.IndexStore.Build(base, commit) =>
-          writeTo(graft.IndexStore.dataPath(base))
-          commit()
+          try {
+            writeTo(graft.IndexStore.dataPath(base))
+            commit()
+          } catch { case t: Throwable =>
+            graft.IndexStore.abortBuild(s, base); throw t
+          }
           graft.IndexStore.dataPath(base)
       }
       Some((path, wa, wb, ma, mb))

@@ -78,13 +78,17 @@ object IvfIndex {
             .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
           Index(graft.IndexStore.dataPath(base), cents, cents.size)
         case graft.IndexStore.Build(base, commit) =>
-          val idx = build(s, all, graft.IndexStore.dataPath(base))
-          import s.implicits._
-          idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
-            .toDF("c_id", "c")
-            .write.mode("overwrite").parquet(base + "/centroids")
-          commit()
-          idx
+          try {
+            val idx = build(s, all, graft.IndexStore.dataPath(base))
+            import s.implicits._
+            idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+              .toDF("c_id", "c")
+              .write.mode("overwrite").parquet(base + "/centroids")
+            commit()
+            idx
+          } catch { case t: Throwable =>
+            graft.IndexStore.abortBuild(s, base); throw t
+          }
       }
     })
   }

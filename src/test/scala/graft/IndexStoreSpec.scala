@@ -161,7 +161,12 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.fingerprint(SparkSpec.session.newSession(), d, "documents")
     }
     val orig = fpOf(identity)
-    assert(fpOf(identity) == orig, "same content, different layout path")
+    // fail-loudly bias (round-9 verdict): the fingerprint folds in the
+    // file-level footprint, so even a bit-identical REWRITE reads as a
+    // new corpus — rebuilding an index for an unchanged-but-rewritten
+    // corpus is cheap; serving a stale one for a changed-but-
+    // fingerprint-colliding corpus is not
+    assert(fpOf(identity) != orig, "a rewrite must flip the footprint")
     assert(fpOf(_.filter(col("doc_id") =!= 0)) != orig, "delete")
     assert(fpOf(df => df.union(df.limit(1)
       .withColumn("doc_id",
@@ -177,5 +182,108 @@ class IndexStoreSpec extends SparkSpec {
     assert(fpOf(df => df.withColumn("lang",
       when(col("doc_id") === 101, lit("xx")).otherwise(col("lang")))
     ) != orig, "in-place edit of a non-text column of a sampled row")
+  }
+
+  test("an in-place edit of a NON-sampled row (invisible to the content " +
+    "scan) still flips freshness and fails the load loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot5").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus5").toString
+    val base = SparkSpec.session.read.parquet(sf + "/documents.parquet")
+    base.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+
+    val first = sortedRows(
+      ops.Dedup.queries("dd12_exact_substring")(managed(root), corpus))
+    assert(IndexStore.lastAction.get((corpus, "span_table")).contains("built"))
+    assert(first.nonEmpty)
+
+    // doc_id 102 has 102 % 101 == 1: outside the 1% hash sample. Edit
+    // its text in place — row count and max(doc_id) unchanged, sampled
+    // xor unchanged — the round-9 hole the file footprint closes.
+    base.withColumn("text",
+        when(col("doc_id") === 102, lit("edited in place"))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(corpus + "/documents.parquet")
+
+    val e = intercept[IllegalStateException] {
+      ops.Dedup.queries("dd12_exact_substring")(managed(root), corpus).count()
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
+  test("a corpus mutated in the SAME session is re-fingerprinted on the " +
+    "next resolve — never served against the first-touch fingerprint") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot6").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus6").toString
+    val base = SparkSpec.session.read.parquet(sf + "/documents.parquet")
+    base.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+
+    val s = managed(root)
+    // build an index THROUGH the store in this session
+    val built = IndexStore.dataFrame(s, corpus, "spec_idx", "documents") {
+      s.read.parquet(corpus + "/documents.parquet")
+        .groupBy(col("lang")).count()
+    }
+    assert(built.count() > 0)
+    assert(IndexStore.lastAction.get((corpus, "spec_idx")).contains("built"))
+
+    // mutate the corpus in the SAME session
+    base.limit(1)
+      .withColumn("doc_id", lit(999983L).cast(base.schema("doc_id").dataType))
+      .write.mode("append").parquet(corpus + "/documents.parquet")
+
+    // the next resolve must SEE the mutation (per-resolve footprint
+    // check), not serve "loaded" off the session-cached fingerprint
+    val e = intercept[IllegalStateException] {
+      IndexStore.dataFrame(s, corpus, "spec_idx", "documents") {
+        s.read.parquet(corpus + "/documents.parquet")
+          .groupBy(col("lang")).count()
+      }.count()
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
+  test("two concurrent builders on one index: the second fails loudly " +
+    "on the build lock; commit releases it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot7").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus7").toString
+    SparkSpec.session.read.parquet(sf + "/documents.parquet")
+      .write.mode("overwrite").parquet(corpus + "/documents.parquet")
+
+    val s1 = managed(root)
+    val r1 = IndexStore.resolve(s1, corpus, "lock_idx", "documents")
+    val b1 = r1 match {
+      case b: IndexStore.Build => b
+      case other => fail(s"first builder expected Build, got $other")
+    }
+
+    // a second builder (same root, separate session) must be refused
+    // while the first holds the lock
+    val s2 = managed(root)
+    val e = intercept[IllegalStateException] {
+      IndexStore.resolve(s2, corpus, "lock_idx", "documents")
+    }
+    assert(e.getMessage.contains("BUILT by another"), e.getMessage)
+
+    // first builder finishes: writes data, commits (which releases the
+    // lock and publishes meta atomically) — the second session now LOADS
+    s1.read.parquet(corpus + "/documents.parquet").groupBy(col("lang"))
+      .count().write.mode("overwrite")
+      .parquet(IndexStore.dataPath(b1.base))
+    b1.commit()
+    IndexStore.resolve(s2, corpus, "lock_idx", "documents") match {
+      case IndexStore.Fresh(_) => // loaded, as required
+      case other => fail(s"after commit the index must load, got $other")
+    }
+
+    // and a FAILED build releases the lock too (abortBuild via the
+    // dataFrame wrapper), so the next builder is not locked out forever
+    intercept[RuntimeException] {
+      IndexStore.dataFrame(s2, corpus, "lock_idx3", "documents") {
+        throw new RuntimeException("simulated build failure")
+      }
+    }
+    // lock_idx3's lock must be gone: a fresh resolve yields Build again
+    assert(IndexStore.resolve(s2, corpus, "lock_idx3", "documents")
+      .isInstanceOf[IndexStore.Build])
   }
 }
