@@ -59,6 +59,70 @@ object Dedup {
   private def minhashSig(sh: Column): Column =
     graft.functions.MinHash.minhashSig(sh)
 
+  // The dd03 MinHash+LSH pipeline in its three stages, factored so the
+  // registered query and the 100x stress driver (tools.LshStress) run
+  // the SAME code: signatures → band-bucket candidates → exact-Jaccard
+  // verification. Every hash is md5-derived, so the DuckDB oracle
+  // replays the whole pipeline (dd03's registry comment).
+
+  /** Signature table (doc_id, sh, sig) of a (doc_id, text) corpus.
+    * Shingle sets are carried as 64-bit hashes from a single fused
+    * pass (ShingleHashes: one streaming md5 per 3-gram — no string
+    * building), sorted ONCE per document so pair verification can run
+    * the fused zero-allocation merge (SetOps.jaccardSorted).
+    * Persisted DISK_ONLY (not memory: signatures scale with the
+    * corpus) and materialized BEFORE the plan fans out: four scans
+    * consume this table in one DAG, and first-touch cache fills from
+    * concurrent stages would recompute the signature pipeline up to
+    * four times (measured ~3x cold-run cost). At 100 TB this IS
+    * "write the signature table, then run candidates against it". */
+  private[graft] def lshSignatures(corpus: DataFrame): DataFrame = {
+    val base = corpus
+      .withColumn("sh",
+        sort_array(graft.functions.MinHash.shingleHashes(split(col("text"), " "), 3)))
+      .withColumn("sig", minhashSig(col("sh")))
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    base.count()
+    base
+  }
+
+  /** Band-bucket candidate pairs (a < b, distinct): 32 bands x 2 rows.
+    * Band key = the band's two raw signature values, not a hash of
+    * them — same shuffle (16 bytes vs 8 per band row), zero band-hash
+    * collisions, and trivially engine-portable for the oracle. This
+    * join is the scale story: candidates are pairs sharing a band
+    * BUCKET, never an all-pairs product (LshStress gates the candidate
+    * count at 100x scale). */
+  private[graft] def lshCandidates(base: DataFrame): DataFrame = {
+    val bands = base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(31)),
+          j => array(element_at(col("sig"), j * 2 + 1),
+            element_at(col("sig"), j * 2 + 2)))))
+      .toDF("doc_id", "band_id", "band")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: the reported
+    * jaccard is EXACT set Jaccard over the shingle hashes (a fused
+    * sorted-merge intersect), so the only approximation in the whole
+    * pipeline is the candidate RECALL — which banding theory bounds
+    * and LshStress measures against planted pairs. */
+  private[graft] def lshVerify(base: DataFrame, cand: DataFrame,
+      minJaccard: Double): DataFrame =
+    cand
+      .join(base.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard",
+        graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+
   /** doc_ids of the near-dup test corpus (for pipeline composition). */
   def nearCorpusIds(s: SparkSession, d: String): DataFrame =
     corpusNear(s, d).select(col("doc_id"))
@@ -513,49 +577,8 @@ object Dedup {
     // pipeline, recall accidents included, and certifies the
     // approximation instead of skipping it.
     "dd03_minhash_lsh" -> { (s, d) =>
-      // shingle sets carried as 64-bit hashes from a single fused pass
-      // (ShingleHashes: one streaming md5 per 3-gram — no string
-      // building); Jaccard verification intersects longs
-      // shingle arrays sorted ONCE per document so pair verification can
-      // run the fused zero-allocation merge (SetOps.jaccardSorted) — the
-      // signature is order-insensitive, so sorting costs nothing there
-      val base = corpusNear(s, d)
-        .withColumn("sh",
-          sort_array(graft.functions.MinHash.shingleHashes(split(col("text"), " "), 3)))
-        .withColumn("sig", minhashSig(col("sh")))
-        .select(col("doc_id"), col("sh"), col("sig"))
-        // reused on both sides of the candidate join AND in verification —
-        // persist instead of recomputing 64 hashes/shingle three times.
-        // DISK_ONLY, not memory: signatures scale with the corpus, and
-        // pinning them in executor memory is what breaks at 100 TB.
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      // materialize ONCE before the plan fans out: four scans consume
-      // this table in one DAG, and first-touch cache fills from
-      // concurrent stages would recompute the signature pipeline up to
-      // four times (measured ~3× cold-run cost). At 100 TB this line IS
-      // "write the signature table, then run candidates against it".
-      base.count()
-      // band key = the band's two raw signature values, not a hash of
-      // them: same shuffle (16 bytes vs 8 per band row), zero band-hash
-      // collisions, and trivially engine-portable for the oracle
-      val bands = base.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(31)),
-            j => array(element_at(col("sig"), j * 2 + 1),
-              element_at(col("sig"), j * 2 + 2)))))
-        .toDF("doc_id", "band_id", "band")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band") === col("y.band") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      cand
-        .join(base.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-        .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
-        .withColumn("jaccard",
-          graft.functions.SetOps.jaccardSorted(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= 0.4)
-        .select(col("a"), col("b"), col("jaccard"))
+      val base = lshSignatures(corpusNear(s, d))
+      lshVerify(base, lshCandidates(base), minJaccard = 0.4)
     },
 
     // dd03's verification stage under a full DuckDB oracle: the strong
