@@ -59,6 +59,24 @@ class RegistrySpec extends SparkSpec {
     assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
   }
 
+  test("span_cut through SQL stays a codegen expression in the plan") {
+    // the full dd13 scrub is SQL-expressible; the facade must not cost
+    // the fused SpanFilter its whole-stage-codegen placement
+    val df = GraftSql.sql(spark, sf,
+      """SELECT doc_id, span_cut(split(text, ' '),
+        |  array(named_struct('span_start', CAST(0 AS BIGINT),
+        |                     'span_end', CAST(2 AS BIGINT)))) AS kept
+        |FROM documents""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("spanfilter"),
+      s"SpanFilter vanished from the plan:\n$plan")
+    // "*(n)" prefixes are the WholeStageCodegen markers; the projection
+    // carrying spanfilter must sit inside one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("spanfilter") && l.trim.startsWith("*(")),
+      s"span_cut SQL plan lost whole-stage codegen:\n$plan")
+  }
+
   test("negative and folded-constant bounds are accepted as literals") {
     // -100 parses as UnaryMinus(Literal(100)) and 4 * 256 arrives
     // unfolded — both are compile-time constants and must register
