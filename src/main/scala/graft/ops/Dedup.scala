@@ -226,7 +226,11 @@ object Dedup {
     * pass (functions.SpanFilter, the PqEncode treatment: the previous
     * `filter`+`exists` higher-order lambdas were CodegenFallback,
     * interpreted per token × per span). */
-  private def scrubReport(corpus: DataFrame, spans: DataFrame): DataFrame = {
+  /** The dd13/dd13b/dc03 scrub-audit kernel: cut every (span_start,
+    * span_end) token interval from each doc (SpanFilter handles
+    * unsorted/overlapping spans) and emit the per-doc audit row —
+    * token counts before/after and an md5 of the cleaned text. */
+  private[graft] def scrubReport(corpus: DataFrame, spans: DataFrame): DataFrame = {
     val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))

@@ -259,6 +259,42 @@ object Pipeline {
           (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
     },
 
+    // Contamination SCRUB — dc01 flags contaminated docs; this is the
+    // surgical form production decontamination actually ships (the
+    // GPT-3 appendix-C method): cut ONLY the token spans covered by a
+    // benchmark-overlapping 5-gram and keep the rest of the document,
+    // instead of dropping the whole doc (which throws away the ~99% of
+    // a long page that isn't the quoted benchmark item). Composition
+    // of two existing kernels: dc01's broadcast gram probe finds the
+    // hit POSITIONS (posexplode of the same gram array), each hit
+    // becomes a [pos, pos+5) interval, and dd13's scrub kernel
+    // (scrubReport → the fused SpanFilter codegen expression, which
+    // merges unsorted/overlapping spans itself) cuts them from the
+    // ORIGINAL tokens — lowercasing never changes token boundaries, so
+    // match positions computed on the lowercased stream align with the
+    // raw tokens. Scale shape: benchmark grams broadcast (MBs vs
+    // 100 TB), the corpus side is one map-only explode + the per-doc
+    // span collect — same shuffle budget as dc01 plus one doc_id agg.
+    "dc03_decontaminate_scrub" -> { (s, d) =>
+      val K = 5
+      val docs = Tables.load(s, d, "documents")
+      val withG = docs
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= K)
+        .withColumn("g", graft.ops.TextAnalysis.wordGrams(col("t"), K))
+      val bench = withG.filter(col("doc_id") % 20 === 0)
+        .select(explode_outer(col("g")).as("g")).distinct()
+      val spans = withG.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), posexplode_outer(col("g")).as(Seq("pos", "g")))
+        .join(broadcast(bench), "g")
+        .select(col("doc_id"), col("pos").cast("long").as("span_start"),
+          (col("pos") + K).cast("long").as("span_end"))
+      graft.ops.Dedup.scrubReport(
+        docs.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("text")),
+        spans)
+    },
+
     // Temperature-scaled language resampling (the LLM data-mixture op:
     // flatten the language distribution TOWARD uniform, τ = 0.5 — the
     // multilingual rebalance every multilingual training mix applies).
@@ -531,6 +567,50 @@ object Pipeline {
         |SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
         |  coalesce(h.n, 0) > 0 AS contaminated
         |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // dc03: the hit positions replay dc01's gram probe with an index;
+    // the span cut replays as the NOT EXISTS covering check (the dd13
+    // oracle's pattern — no merge needed, coverage is coverage); docs
+    // with every token cut (or empty text) hash to md5('') on both
+    // sides.
+    "dc03_decontaminate_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS lt,
+        |    string_split(text, ' ') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [array_to_string(lt[i:i+4], ' ') FOR i IN range(1, len(lt) - 3)] AS gs
+        |  FROM t WHERE len(lt) >= 5
+        |), bench AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 20 = 0
+        |), hitpos AS (
+        |  SELECT x.doc_id, x.pos FROM (
+        |    SELECT gg.doc_id, u.i AS pos, gs[u.i + 1] AS g
+        |    FROM g gg, UNNEST(range(0, len(gs))) AS u(i)
+        |    WHERE gg.doc_id % 20 <> 0) x
+        |  JOIN bench b USING (g)
+        |), tok AS (
+        |  SELECT doc_id, u.i AS pos, t[u.i + 1] AS tok
+        |  FROM t, UNNEST(range(0, len(t))) AS u(i)
+        |  WHERE doc_id % 20 <> 0
+        |), kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM hitpos h
+        |    WHERE h.doc_id = k.doc_id
+        |      AND k.pos >= h.pos AND k.pos < h.pos + 5)
+        |), kc AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(d.t) - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_cut,
+        |  COALESCE(kc.clean_md5, md5('')) AS clean_md5
+        |FROM t d LEFT JOIN kc USING (doc_id)
+        |WHERE d.doc_id % 20 <> 0""".stripMargin,
 
     // pp11's uniform is the first 13 md5 hex digits as a 52-bit integer
     // (hex-digit arithmetic, the dd04 technique) over 2^52; the rate is

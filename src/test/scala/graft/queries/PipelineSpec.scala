@@ -39,6 +39,45 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("dc03: scrub agrees with dc01's flags, cuts whole grams, and " +
+    "matches a model scrub on a sample") {
+    val scrub = Pipeline.queries("dc03_decontaminate_scrub")(spark, sf).cache()
+    val flags = Pipeline.queries("dc01_decontaminate")(spark, sf)
+      .select(col("doc_id"), col("contaminated"))
+    // a doc loses tokens iff dc01 flags it, and a contaminated doc
+    // loses at least one full 5-gram
+    val j = scrub.join(flags, "doc_id")
+    assert(j.filter((col("n_cut") > 0) =!= col("contaminated")).count() == 0)
+    assert(j.filter(col("contaminated") && col("n_cut") < 5).count() == 0)
+    assert(scrub.filter(col("n_kept") + col("n_cut") =!= col("n_tokens"))
+      .count() == 0)
+    // model scrub in plain Scala on a sample: cut the union of hit
+    // intervals from the raw tokens, compare the audit hash
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lowTok(t: String) = t.toLowerCase.split(" ", -1).toSeq
+    def grams(t: Seq[String]) =
+      if (t.size >= 5) t.sliding(5).map(_.mkString(" ")).toVector
+      else Vector.empty[String]
+    val bench = docs.collect { case (id, t) if id % 20 == 0 =>
+      grams(lowTok(t)) }.flatten.toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    scrub.orderBy("doc_id").limit(40).collect().foreach { r =>
+      val raw = docs(r.getLong(0)).split(" ", -1).toSeq
+      val covered = grams(lowTok(docs(r.getLong(0)))).zipWithIndex
+        .collect { case (g, p) if bench(g) => p until p + 5 }
+        .flatten.toSet
+      val kept = raw.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t }
+      assert(r.getLong(2) == kept.size.toLong, s"n_kept of doc ${r.getLong(0)}")
+      assert(r.getString(4) == md5hex(kept.mkString(" ")),
+        s"clean_md5 of doc ${r.getLong(0)}")
+    }
+    scrub.unpersist()
+  }
+
   test("pp07: chunk count, index, and length laws hold per document") {
     val out = Pipeline.queries("pp07_chunk_overlap")(spark, sf).cache()
     val lens = spark.read.parquet(s"$sf/documents.parquet")
