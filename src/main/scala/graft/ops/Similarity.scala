@@ -515,6 +515,39 @@ object Similarity {
           col("centroid"), col("n_vecs"))
     },
 
+    // Centroid-distance outliers — the embedding-space QUALITY filter
+    // (the SemDeDup-family pruning primitive: vectors far from their
+    // class prototype are mislabeled/noisy/low-quality candidates, and
+    // a curation pass reviews or drops the per-label tail). Centroids
+    // are emb01's (per-dim mean rounded to 4 decimals so cross-engine
+    // float-summation-order noise cannot flip a digit); the score is
+    // the ss01-validated sequential-fold cosine of the raw vector
+    // against its label centroid, and the 5 LOWEST-cosine vectors per
+    // label are emitted with ranks. Every float op downstream of the
+    // rounded centroid is IEEE correctly-rounded (dot fold, sqrt,
+    // divide), so the ranking is bit-exact and fully oracle-checked.
+    // Scale shape: one labels×dims centroid agg (partial-agged explode,
+    // emb01's), a broadcast of the labels-sized centroid table, one
+    // map-only scoring scan, and the bounded per-label top-k window.
+    "emb04_centroid_outliers" -> { (s, d) =>
+      val e = Tables.load(s, d, "embeddings")
+      val cents = e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 4).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cvec"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cos"), col("vec_id"))
+      e.join(broadcast(cents), "label")
+        .withColumn("cos",
+          graft.functions.VectorOps.cosine(col("embedding"), col("cvec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("label"), col("vec_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
+    },
+
     // Integer-exact distributed k-means (quantized Lloyd): int8-quantize
     // every vector on ss05's grid, seed k=8 centroids from the
     // hash-ordered first 8 vectors (deterministic and engine-portable,
@@ -821,6 +854,30 @@ object Similarity {
         |      ORDER BY n_votes DESC, label) AS vr
         |  FROM votes) t
         |WHERE vr = 1""".stripMargin,
+
+    // emb04: emb01's rounded centroid assembled into a list, then the
+    // ss01-validated cosine (sequential double fold both sides) and a
+    // deterministic (cos, vec_id) bottom-5 window per label.
+    "emb04_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), sums AS (
+        |  SELECT label, u.i AS pos, round(avg(v[u.i + 1]), 4) + 0.0 AS c
+        |  FROM e, UNNEST(range(0, len(v))) AS u(i)
+        |  GROUP BY label, u.i
+        |), cent AS (
+        |  SELECT label, list(c ORDER BY pos) AS cvec FROM sums GROUP BY label
+        |), scored AS (
+        |  SELECT x.label, x.vec_id,
+        |    list_dot_product(x.v, c.cvec) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+        |  FROM e x JOIN cent c USING (label)
+        |)
+        |SELECT label, vec_id, cos, CAST(rn AS INT) AS rank FROM (
+        |  SELECT label, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rn
+        |  FROM scored) z
+        |WHERE rn <= 5""".stripMargin,
 
     "emb01_label_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,

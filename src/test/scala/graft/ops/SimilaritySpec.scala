@@ -107,6 +107,37 @@ class SimilaritySpec extends SparkSpec {
     rr.unpersist()
   }
 
+  test("emb04: 5 ranked outliers per label, and they ARE the label's cosine minima") {
+    val out = Similarity.queries("emb04_centroid_outliers")(spark, sf).cache()
+    val perL = out.groupBy(col("label")).agg(count(lit(1)).as("n"),
+      max(col("rank")).as("mx"), min(col("rank")).as("mn")).collect()
+    assert(perL.nonEmpty && perL.forall(r =>
+      r.getLong(1) == 5 && r.getInt(2) == 5 && r.getInt(3) == 1))
+    assert(out.filter(col("cos") < -1.0 || col("cos") > 1.0).count() == 0)
+    // model recount: per label, the 5 smallest cosines against the
+    // rounded per-dim mean centroid (ties by vec_id)
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLabel = rows.groupBy(_._2)
+    val expect = byLabel.toSeq.flatMap { case (l, vs) =>
+      val dims = vs.head._3.length
+      val cent = (0 until dims).map(j =>
+        BigDecimal(vs.map(_._3(j)).sum / vs.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      vs.map { case (id, _, v) =>
+        (l, id, dot(v, cent) / (math.sqrt(dot(v, v)) * math.sqrt(dot(cent, cent))))
+      }.sortBy { case (_, id, c) => (c, id) }.take(5)
+        .map { case (_, id, _) => (l, id) }.toSeq
+    }.toSet
+    val got = out.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == expect, s"outlier sets diverged: got ${got -- expect} extra, missing ${expect -- got}")
+    out.unpersist()
+  }
+
   test("ss09 PQ top-k: valid ranking, decent recall vs the exact int8 L2 order") {
     val pq = Similarity.queries("ss09_pq_topk")(spark, sf).cache()
     // structure: 10 ranked rows per query, distances non-decreasing
