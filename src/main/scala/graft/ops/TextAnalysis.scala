@@ -402,11 +402,104 @@ object TextAnalysis {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("word"), col("tf"), col("df"),
           col("score"), col("rank").cast("int").as("rank"))
+    },
+
+    // BM25 keyword retrieval (Robertson/Spärck Jones, the Lucene
+    // `k1=1.2, b=0.75` variant): a fixed query workload scored against
+    // the corpus through the inverted-index shape — tf is the one
+    // corpus explode+partial-agg shuffle on (doc, word); df and idf
+    // have VOCABULARY cardinality (AQE decides that join, never a
+    // forced broadcast); the query list and the one-row corpus stats
+    // are the only hint-broadcast sides. Top-10 per query goes through
+    // the bounded TopK aggregator (map-side partial top-k), not a
+    // window sort — the exchange carries k rows per task, the shape
+    // that survives a 100 TB posting stream. Determinism: idf and the
+    // final score round to 4 decimals (ties then break on doc_id, same
+    // comparator in TopK and the oracle's ROW_NUMBER); every other op
+    // is IEEE correctly-rounded with identical association both
+    // engines, so cross-engine noise (~1e-13 absolute at these
+    // magnitudes) is 5 orders below the closest measured boundary
+    // distance (1.1e-8 absolute, sf0.1; idf margins are 1e-2+).
+    "tx16_bm25_topk" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.{Scored, TopK}
+      val qterms = Seq(1 -> "spark", 1 -> "join", 2 -> "dup", 2 -> "stream",
+        3 -> "window", 3 -> "sort", 3 -> "merge")
+      val q = broadcast(qterms.toDF("q_id", "word"))
+      val base = docs(s, d).select(col("doc_id"),
+        toks(lower(col("text"))).as("t"))
+      val tf = base.select(col("doc_id"), explode(col("t")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dl = base.select(col("doc_id"), size(col("t")).as("dl"))
+      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+      val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .crossJoin(stats)
+        .select(col("word"), round(log(
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)), 4).as("idf"))
+      val contrib = tf.join(q, "word").join(idf, "word")
+        .join(dl, "doc_id").crossJoin(stats)
+        .select(col("q_id"), col("doc_id"),
+          (col("idf") * (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl") / col("avgdl"))))).as("c"))
+      val scored = contrib.groupBy(col("q_id"), col("doc_id"))
+        .agg(round(sum(col("c")), 4).as("score"))
+        .select(col("q_id").cast("long").as("qk"),
+          struct(col("doc_id").as("id"), col("score")).as("s"))
+        .as[(Long, Scored)]
+      scored.groupByKey(_._1).mapValues(_._2)
+        .agg(TopK(10).toColumn.name("top"))
+        .toDF("q_id", "top")
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id").cast("int").as("q_id"),
+          col("col.id").as("doc_id"), col("col.score").as("score"),
+          (col("pos") + 1).cast("int").as("rank"))
     }
   )
 
   private def sqlHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  // tx16: every float literal CAST to DOUBLE — DuckDB otherwise runs
+  // them as exact DECIMALs (bigint*DECIMAL '2.2' = exact 6.6 → double
+  // 6.6), while Spark multiplies IEEE doubles (3*2.2 =
+  // 6.6000000000000005); the casts force both engines onto the same
+  // correctly-rounded double sequence.
+  private val bm25Sql: String =
+    """WITH q(q_id, word) AS (VALUES (1,'spark'),(1,'join'),(2,'dup'),
+      |  (2,'stream'),(3,'window'),(3,'sort'),(3,'merge')),
+      |base AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |         FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM (
+      |         SELECT doc_id, unnest(t) AS word FROM base) z
+      |       GROUP BY doc_id, word),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM base),
+      |stats AS (SELECT count(*) AS n_docs,
+      |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |idf AS (
+      |  SELECT word, round(ln(
+      |      (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+      |        + CAST(1.0 AS DOUBLE)), 4) AS idf
+      |  FROM (SELECT word, count(*) AS df FROM tf GROUP BY word) d
+      |  CROSS JOIN stats),
+      |contrib AS (
+      |  SELECT q.q_id, tf.doc_id,
+      |    idf.idf * (tf.tf * CAST(2.2 AS DOUBLE) /
+      |      (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))) AS c
+      |  FROM q JOIN tf USING (word) JOIN idf USING (word)
+      |       JOIN dl USING (doc_id) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT q_id, doc_id, round(sum(c), 4) AS score
+      |  FROM contrib GROUP BY q_id, doc_id)
+      |SELECT q_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+      |  SELECT q_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored) z
+      |WHERE rn <= 10""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "tx01_token_stats" ->
@@ -692,6 +785,8 @@ object TextAnalysis {
         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
         |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC, tf.word) AS rank
         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n) z
-        |WHERE rank <= 3""".stripMargin
+        |WHERE rank <= 3""".stripMargin,
+
+    "tx16_bm25_topk" -> bm25Sql
   )
 }

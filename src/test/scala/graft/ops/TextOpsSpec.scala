@@ -45,4 +45,44 @@ class TextOpsSpec extends SparkSpec {
     assert(inversions == 0)
     df.unpersist()
   }
+
+  test("tx16 BM25: full driver-side model recount (scores, sets, ranks)") {
+    val out = TextAnalysis.queries("tx16_bm25_topk")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(3)), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    // independent BM25 recount (k1=1.2, b=0.75, Lucene idf, 4-dec rounds)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1).toSeq))
+    val n = docs.size
+    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
+    val tf = docs.map { case (id, t) =>
+      (id, t.groupBy(identity).map { case (w, xs) => (w, xs.size) })
+    }.toMap
+    val dfreq = docs.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, xs) => (w, xs.size) }
+    def idf(w: String) = BigDecimal(
+      math.log((n - dfreq(w) + 0.5) / (dfreq(w) + 0.5) + 1.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val queries = Map(1 -> Seq("spark", "join"), 2 -> Seq("dup", "stream"),
+      3 -> Seq("window", "sort", "merge"))
+    val expect = queries.toSeq.flatMap { case (qid, terms) =>
+      docs.flatMap { case (id, t) =>
+        val dl = t.size
+        val s = terms.flatMap { w =>
+          tf(id).get(w).map(f =>
+            idf(w) * (f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+        }.sum
+        if (s > 0) Some((id,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+      }.sortBy { case (id, sc) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((id, sc), i) => ((qid, i + 1), (id, sc)) }
+    }
+    assert(out.size == 30 && expect.size == 30)
+    expect.foreach { case (k, (id, sc)) =>
+      assert(out(k)._1 == id && math.abs(out(k)._2 - sc) < 1e-9,
+        s"rank $k: got ${out(k)}, want ($id, $sc)")
+    }
+  }
 }
