@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join as a native Catalyst extension — the
+  * SURVEY §2.5 custom-operator tier (c): a logical node, a planner
+  * strategy, and a physical merge operator, registered through
+  * `SparkSessionExtensions` (or at runtime via
+  * [[org.apache.spark.sql.graft.PlanBridge.ensureStrategy]]).
+  *
+  * Semantics: every LEFT (probe) row is matched to the single RIGHT
+  * row with equal keys and the greatest time at-or-before the probe's
+  * time — `ASOF LEFT JOIN ... ON l.key = r.key AND l.t >= r.t` in
+  * DuckDB terms. Unmatched probes keep null right columns.
+  *
+  * Why a custom operator and not a DataFrame composition: expressed
+  * relationally this is an inequality join (a per-key cross product +
+  * filter + max — quadratic per key) or the union+last-window trick
+  * ev08 uses (one shuffle + one sort over the union). The native
+  * operator has the union-trick's exchange profile — one hash
+  * exchange and one sort PER SIDE, then a zero-allocation streaming
+  * merge per partition — but never materializes the union, carries no
+  * null-struct side-channel columns through the sort, and preserves
+  * the probe side's partitioning and ordering for downstream
+  * operators (the window trick destroys both by re-keying the union).
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; every other node is
+  * left to the built-in strategies. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` injection point
+  * for sessions built from config; existing sessions use
+  * `PlanBridge.ensureStrategy` (same strategy object, idempotent). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+}

@@ -208,6 +208,30 @@ object Events {
           col("last_v.v_event_id").as("matched_event_id"))
     },
 
+    // ev08's semantics through the NATIVE as-of operator (graft.plans:
+    // AsofJoinPlan → AsofJoinStrategy → AsofJoinExec, the SURVEY §2.5
+    // custom-operator tier (c)): same oracle, same one-exchange-one-
+    // sort-per-side profile, but the merge is a streaming O(1)-state
+    // pass instead of a window over the union, and the purchase side's
+    // partitioning/ordering survive for downstream per-user operators.
+    // Both sides alias their columns apart — the self-join dedup the
+    // analyzer would otherwise do for us.
+    "ev08b_asof_native" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("v_event_id"))
+        .select(col("user_id").as("v_user_id"), col("us").as("v_us"),
+          col("v_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      org.apache.spark.sql.graft.PlanBridge
+        .asofJoin(purchases, views, Seq("user_id" -> "v_user_id"), "us", "v_us")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("v_us").as("matched_us"),
+          col("v_event_id").as("matched_event_id"))
+    },
+
     // Ordered conversion funnel: first view → first click at-or-after
     // it → first purchase at-or-after that, per user; output is the
     // per-stage user counts. Every join and aggregation keys on
@@ -547,6 +571,18 @@ object Events {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "ev08_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id
+        |      FROM ev WHERE event_type = 'view' GROUP BY user_id, us),
+        |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.us,
+        |  v.us AS matched_us, v.v_event_id AS matched_event_id
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.us >= v.us""".stripMargin,
+
+    // ev08b: identical semantics, native operator — same oracle.
+    "ev08b_asof_native" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |            FROM events),
         |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id

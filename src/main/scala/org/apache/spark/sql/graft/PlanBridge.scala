@@ -1,0 +1,59 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, classic}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import graft.plans.{AsofJoinPlan, AsofJoinStrategy}
+
+/** The one `private[sql]`-visibility seam the graft planner extension
+  * needs: constructing a DataFrame from a custom logical node
+  * (`Dataset.ofRows`) and appending the planner strategy to a LIVE
+  * session (`experimental.extraStrategies`). Everything else in
+  * graft.plans uses public Catalyst extension points; this object
+  * exists only because `ofRows` is package-private, the standard
+  * arrangement for Spark extension libraries.
+  */
+object PlanBridge {
+
+  /** Idempotently register the graft strategy on an existing session.
+    * Sessions built from config should prefer
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def ensureStrategy(spark: SparkSession): Unit = synchronized {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** Test seam: the planner strategies a config-injected session would
+    * receive from `ext` (buildPlannerStrategies is package-private). */
+  def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
+  /** As-of join `left` (probe) to `right` (build): for each left row,
+    * the right row with equal keys and the greatest `rightTime` at or
+    * before `leftTime`, or nulls. Column names must be disjoint across
+    * sides (alias before calling — also what keeps a self-join's
+    * expression ids distinct). Time columns must be LongType micros.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val shared = lPlan.output.map(_.name).toSet
+      .intersect(rPlan.output.map(_.name).toSet)
+    require(shared.isEmpty,
+      s"asofJoin sides must have disjoint column names; shared: $shared")
+
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+
+    classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
+      keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime)))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.queries.Events
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+
+/** Gates for the native as-of operator (AsofJoinPlan/Strategy/Exec):
+  * result parity with ev08's union+window form, the promised physical
+  * shape (one exchange per side, partitioning survives the operator),
+  * hand-checked edge semantics, and the SparkSessionExtensions wiring.
+  */
+class AsofPlanSpec extends SparkSpec {
+
+  test("ev08b native as-of == ev08 window form, row for row") {
+    val a = Events.queries("ev08_asof_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1)
+    val b = Events.queries("ev08b_asof_native")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("physical plan: AsofJoinExec present, bounded exchanges, " +
+      "probe partitioning survives a downstream per-key agg") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // materialize so AQE finalizes the plan
+      // AQE's toString prints Final AND Initial plan sections — count
+      // exchanges only in the final one
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("AsofJoin"), s"no AsofJoinExec in:\n$plan")
+      "(?i)exchange".r.findAllIn(plan).size -
+        "(?i)reusedexchange".r.findAllIn(plan).size
+    }
+    // 3 exchanges: purchases→user_id, views agg→(user_id,us), views
+    // re-key→user_id — the same shuffle volume as ev08's union+window
+    // form (views twice, purchases once)
+    val base = exchanges(Events.queries("ev08b_asof_native")(spark, sf))
+    assert(base == 3, s"expected 3 exchanges, got $base")
+    // the groupBy(user_id) on top must reuse the probe side's
+    // partitioning (outputPartitioning contract): still 3, not 4
+    val withAgg = exchanges(Events.queries("ev08b_asof_native")(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")))
+    assert(withAgg == 3, s"agg added an exchange: $withAgg")
+  }
+
+  test("edge semantics: latest-at-or-before, equal-ts match, no-view null, " +
+      "build-only keys ignored") {
+    import spark.implicits._
+    // build (views): (key, time, id)
+    val views = Seq(
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 50L, 200L),
+      (9L, 5L, 900L) // key with no probe rows
+    ).toDF("v_user_id", "v_us", "v_event_id")
+    // probe (purchases): (id, key, time)
+    val purchases = Seq(
+      (1L, 1L, 25L), // between views 20 and 30 -> 101
+      (2L, 1L, 20L), // equal ts -> 101
+      (3L, 1L, 9L),  // before all views -> null
+      (4L, 2L, 99L), // after the only view -> 200
+      (5L, 3L, 7L)   // key with no views at all -> null
+    ).toDF("event_id", "user_id", "us")
+    val out = PlanBridge.asofJoin(purchases, views,
+        Seq("user_id" -> "v_user_id"), "us", "v_us")
+      .select("event_id", "v_us", "v_event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some(20L), Some(101L)),
+      (2L, Some(20L), Some(101L)),
+      (3L, None, None),
+      (4L, Some(50L), Some(200L)),
+      (5L, None, None)))
+  }
+
+  test("disjoint-name and Long-time contracts fail loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 2L)).toDF("k", "t")
+    val r = Seq((1L, 2L)).toDF("k", "t2")
+    intercept[IllegalArgumentException] {
+      PlanBridge.asofJoin(l, r, Seq("k" -> "k"), "t", "t2")
+    }
+    val r2 = Seq((1L, "x")).toDF("k2", "t2")
+    intercept[IllegalArgumentException] {
+      PlanBridge.asofJoin(l, r2, Seq("k" -> "k2"), "t", "t2").collect()
+    }
+  }
+
+  test("GraftExtensions injects AsofJoinStrategy via SparkSessionExtensions") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = PlanBridge.plannerStrategies(ext, spark)
+    assert(strategies.contains(AsofJoinStrategy))
+  }
+}
