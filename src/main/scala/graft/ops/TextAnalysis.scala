@@ -456,11 +456,130 @@ object TextAnalysis {
         .select(col("q_id").cast("int").as("q_id"),
           col("col.id").as("doc_id"), col("col.score").as("score"),
           (col("pos") + 1).cast("int").as("rank"))
+    },
+
+    // BPE merge training (Sennrich et al. 2016 §3.2): learn the first
+    // 10 merge rules from the corpus. The corpus is touched ONCE — the
+    // word-frequency explode+agg — and every iteration after that runs
+    // on the VOCABULARY-sized symbol table (exactly how production BPE
+    // trainers scale: the corpus pass is linear, the merge loop is
+    // vocab-bounded). Per iteration: pair counts are one partial-agged
+    // shuffle of the vocab table; the argmax is a 1-row bounded collect
+    // (the Lloyd class — 10 rows × ~bytes total, each feeding the next
+    // iteration's merge literals); the merge itself is a codegen'd
+    // left-to-right fold (`aggregate`) — the merged symbol can never
+    // re-pair with the following symbol in the same pass, which makes
+    // the simple fold exactly Sennrich's non-overlapping scan (run
+    // "aaaa" + pair (a,a) → [aa, aa]). localCheckpoint per iteration
+    // pins the vocab table and truncates the 10-deep lambda lineage
+    // (the gr03 rule). Ties break on (l, r) — both engines compare
+    // lowercase-ascii strings identically. Everything is integer
+    // counts and string concats: hash-exact against a 10-stage
+    // unrolled DuckDB replay.
+    "tx17_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      val nMerges = 10
+      var words = docs(s, d)
+        .select(explode(toks(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          regexp_extract_all(col("word"), lit("."), lit(0)).as("s"))
+        .localCheckpoint()
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+      var step = 1
+      var go = true
+      while (go && step <= nMerges) {
+        val top = words
+          .select(col("freq"), explode(zip_with(
+            slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
+            slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) go = false
+        else {
+          val x = top(0).getString(0)
+          val y = top(0).getString(1)
+          val cnt = top(0).getLong(2)
+          out += ((step, x, y, x + y, cnt))
+          words = words.select(col("freq"),
+            aggregate(col("s"), array().cast("array<string>"),
+              (acc, c) => when(size(acc) > 0 &&
+                  get(acc, size(acc) - 1) === lit(x) && c === lit(y),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+                .otherwise(concat(acc, array(c)))).as("s"))
+            .localCheckpoint()
+          step += 1
+        }
+      }
+      out.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt")
     }
   )
 
   private def sqlHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  // tx17: the BPE trainer's DuckDB replay, generated as 10 UNROLLED
+  // merge stages (the gr03 unrolled-CTE pattern — DuckDB's recursive
+  // CTEs cannot re-derive a per-iteration global argmax). Stage i:
+  //   p/m  pair counts over w{i-1} + the (cnt DESC, l, r) argmax;
+  //   e/f  symbols with position, pair-match flag pm and next symbol;
+  //   g/h  left-to-right non-overlap via gaps-and-islands: a position
+  //        merges iff pm AND its offset from the current run start is
+  //        even (runs of consecutive pm only occur for l = r);
+  //   k/w  drop the absorbed right symbol, emit the concat, reassemble.
+  // When a stage's pair table is empty its m{i} is empty and every
+  // later stage collapses to empty — matching the Spark loop's break.
+  private val bpeSql: String = {
+    val stages = (1 to 10).map { i =>
+      s"""p$i AS (
+         |  SELECT s[j] AS l, s[j+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM w${i - 1}, unnest(range(1, len(s))) AS u(j)
+         |  GROUP BY s[j], s[j+1]),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |e$i AS (
+         |  SELECT word, freq, CAST(j AS INT) AS j, s[j] AS c
+         |  FROM w${i - 1}, unnest(range(1, len(s) + 1)) AS u(j)),
+         |f$i AS (
+         |  SELECT e.word, e.freq, e.j, e.c,
+         |    coalesce(e.c = m.l AND
+         |      lead(e.c) OVER (PARTITION BY e.word ORDER BY e.j) = m.r,
+         |      false) AS pm,
+         |    lead(e.c) OVER (PARTITION BY e.word ORDER BY e.j) AS nc
+         |  FROM e$i e CROSS JOIN m$i m),
+         |g$i AS (
+         |  SELECT *, CASE WHEN pm AND NOT coalesce(
+         |      lag(pm) OVER (PARTITION BY word ORDER BY j), false)
+         |    THEN j END AS rs
+         |  FROM f$i),
+         |h$i AS (
+         |  SELECT *, pm AND ((j - max(rs) OVER (PARTITION BY word ORDER BY j
+         |    ROWS UNBOUNDED PRECEDING)) % 2 = 0) AS mrg
+         |  FROM g$i),
+         |k$i AS (
+         |  SELECT *, NOT coalesce(
+         |      lag(mrg) OVER (PARTITION BY word ORDER BY j), false) AS keep,
+         |    CASE WHEN mrg THEN c || nc ELSE c END AS sym
+         |  FROM h$i),
+         |w$i AS (
+         |  SELECT word, freq, list(sym ORDER BY j) FILTER (WHERE keep) AS s
+         |  FROM k$i GROUP BY word, freq)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 10).map(i =>
+      s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, len(word) + 1), i -> word[i]) AS s
+       |  FROM (SELECT word, count(*) AS freq FROM (
+       |          SELECT unnest(string_split(lower(text), ' ')) AS word
+       |          FROM documents) t
+       |        GROUP BY word) wf),
+       |$stages
+       |$union""".stripMargin
+  }
 
   // tx16: every float literal CAST to DOUBLE — DuckDB otherwise runs
   // them as exact DECIMALs (bigint*DECIMAL '2.2' = exact 6.6 → double
@@ -787,6 +906,8 @@ object TextAnalysis {
         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n) z
         |WHERE rank <= 3""".stripMargin,
 
-    "tx16_bm25_topk" -> bm25Sql
+    "tx16_bm25_topk" -> bm25Sql,
+
+    "tx17_bpe_train" -> bpeSql
   )
 }

@@ -85,4 +85,70 @@ class TextOpsSpec extends SparkSpec {
         s"rank $k: got ${out(k)}, want ($id, $sc)")
     }
   }
+
+  // reference BPE trainer (Sennrich §3.2): word-freq table, greedy
+  // argmax with (cnt desc, l, r) ties, left-to-right non-overlap merge
+  private def refBpe(texts: Seq[String], n: Int): Seq[(Int, String, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.toLowerCase.split(" ", -1)).groupBy(identity)
+      .map { case (w, xs) => (w.toVector.map(_.toString), xs.size.toLong) }
+    def mergeWord(s: Vector[String], x: String, y: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.size) {
+        if (i + 1 < s.size && s(i) == x && s(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    (1 to n).flatMap { step =>
+      val counts = words.toSeq.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(p => (p, f))
+      }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      if (counts.isEmpty) None
+      else {
+        val ((x, y), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        words = words.toSeq.map { case (s, f) => (mergeWord(s, x, y), f) }
+          .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+        Some((step, x, y, x + y, cnt))
+      }
+    }
+  }
+
+  test("tx17 BPE: matches the reference trainer on the corpus") {
+    val got = TextAnalysis.queries("tx17_bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(got == refBpe(texts, 10))
+  }
+
+  test("tx17 BPE: overlapping-run merges are left-to-right non-overlapping") {
+    // 'oo'-heavy corpus forces an l = r merge; "oooo" must become
+    // [oo][oo] and "ooo" [oo][o] — the Sennrich scan, not a re-merge
+    val d = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    try {
+      import spark.implicits._
+      val texts = Seq("oooo oooo ooo zq", "oooo ooo oo zq", "oooo oooo oo")
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      val got = TextAnalysis.queries("tx17_bpe_train")(spark, d).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      val want = refBpe(texts, 10)
+      assert(got == want, s"got $got\nwant $want")
+      // the winning first merge is (o,o); its count is adjacency
+      // occurrences (3 in "oooo", overlaps included, as in Sennrich's
+      // get_stats) while the APPLIED merge is non-overlapping — the
+      // reference's mergeWord asserts that distinction above
+      assert(got.head._2 == "o" && got.head._3 == "o")
+    } finally {
+      val root = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }
