@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.LongType
   * build side to one row per (key, time), as ev08/ev08b do with
   * `max(event_id)`. Time columns are required to be LongType (unix
   * micros — `unix_micros` upstream), matching the engine-wide event
-  * time convention.
+  * time convention. NULL keys follow the natural ordering, not SQL
+  * equality: they sort first and match EACH OTHER (both the generic
+  * ordering path and the single-Long fast path, spec-pinned) — filter
+  * null keys upstream when SQL join semantics are wanted.
   *
   * Scale: identical exchange count to the ev08 union+window form (one
   * hash exchange + one sort per side) but the probe side's
@@ -79,11 +82,13 @@ case class AsofJoinExec(
     require(lTimeIdx >= 0 && rTimeIdx >= 0, "time attribute not in child output")
     val allOut = output
     val nRight = rOut.size
+    // single-Long-key fast path (the dominant shape: user_id, doc_id):
+    // primitive compares, no per-row key projection or ordering object
+    val fastLongKey = keyTypes == Seq(LongType)
+    val lKeyIdx = if (fastLongKey) lOut.indexWhere(_.exprId == leftKeys.head.exprId) else -1
+    val rKeyIdx = if (fastLongKey) rOut.indexWhere(_.exprId == rightKeys.head.exprId) else -1
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       // bind against the NULLABLE right schema — binding against the
       // child's raw attributes would compile away the null checks and
       // read zeros out of the all-null unmatched row
@@ -92,20 +97,123 @@ case class AsofJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
 
-      new Iterator[InternalRow] {
-        // `head`/`headKey` are defensive copies (sorter iterators reuse
-        // row buffers); `matched`/`matchedKey` alias those copies, so
-        // each build row is copied exactly once.
+      if (fastLongKey && lKeyIdx >= 0 && rKeyIdx >= 0)
+        new Iterator[InternalRow] {
+          // same merge as the generic path below, with the key held as
+          // (isNull, Long) primitives; null keys order first and match
+          // each other, mirroring the natural ordering's null placement
+          private var matched: InternalRow = _
+          private var hasM = false
+          private var mNull = false
+          private var mKey = 0L
+          private val matchedBuf = {
+            val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rOut.size)
+            r.pointTo(new Array[Byte](64), 64); r
+          }
+          private var head: InternalRow = _
+          private var hNull = false
+          private var hKey = 0L
+          advance()
+
+          private def advance(): Unit =
+            if (rIter.hasNext) {
+              head = rIter.next()
+              hNull = head.isNullAt(rKeyIdx)
+              hKey = if (hNull) 0L else head.getLong(rKeyIdx)
+            } else head = null
+
+          private def cmp(an: Boolean, a: Long, bn: Boolean, b: Long): Int =
+            if (an && bn) 0 else if (an) -1 else if (bn) 1
+            else java.lang.Long.compare(a, b)
+
+          private def retain(): Unit = {
+            head match {
+              case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+                matchedBuf.copyFrom(u); matched = matchedBuf
+              case other => matched = other.copy()
+            }
+            mNull = hNull; mKey = hKey; hasM = true
+          }
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            val lNull = l.isNullAt(lKeyIdx)
+            val lKey = if (lNull) 0L else l.getLong(lKeyIdx)
+            val lTime = l.getLong(lTimeIdx)
+            if (hasM && cmp(mNull, mKey, lNull, lKey) != 0) hasM = false
+            var scan = head != null
+            while (scan) {
+              val c = cmp(hNull, hKey, lNull, lKey)
+              if (c < 0) advance()
+              else if (c == 0 && head.getLong(rTimeIdx) <= lTime) {
+                retain(); advance()
+              } else scan = false
+              scan = scan && head != null
+            }
+            resultProj(joined(l, if (hasM) matched else nullRight))
+          }
+        }
+      else asofMergeGeneric(lIter, rIter, resultProj, nullRight, joined)
+    }
+  }
+
+  private def asofMergeGeneric(
+      lIter: Iterator[InternalRow], rIter: Iterator[InternalRow],
+      resultProj: UnsafeProjection, nullRight: GenericInternalRow,
+      joined: JoinedRow): Iterator[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val keyTypes = leftKeys.map(_.dataType)
+    val lTimeIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
+    val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+    val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+    val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+    val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+
+    new Iterator[InternalRow] {
+        // `head` stays UNCOPIED — a sorter row is valid until the next
+        // rIter.next(), and we never advance while still holding it;
+        // `headKey` lives in rKeyProj's buffer, overwritten only by the
+        // next advance(). Build rows are retained ONLY when they become
+        // the match, and retention goes through two REUSED UnsafeRow
+        // buffers (`copyFrom` grows once, then memcpys) — the merge
+        // allocates nothing per row in steady state.
         private var matched: InternalRow = _
         private var matchedKey: InternalRow = _
+        // copyFrom targets must be byte[]-backed; it regrows on demand
+        private val matchedBuf = {
+          val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rOut.size)
+          r.pointTo(new Array[Byte](64), 64); r
+        }
+        private val matchedKeyBuf = {
+          val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rKeyExprs.size)
+          r.pointTo(new Array[Byte](64), 64); r
+        }
         private var head: InternalRow = _
         private var headKey: InternalRow = _
         advance()
 
+        private def retain(): Unit = {
+          head match {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+              matchedBuf.copyFrom(u); matched = matchedBuf
+            case other => matched = other.copy()
+          }
+          headKey match {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+              matchedKeyBuf.copyFrom(u); matchedKey = matchedKeyBuf
+            case other => matchedKey = other.copy()
+          }
+        }
+
         private def advance(): Unit =
           if (rIter.hasNext) {
-            head = rIter.next().copy()
-            headKey = rKeyProj(head).copy()
+            head = rIter.next()
+            headKey = rKeyProj(head)
           } else { head = null; headKey = null }
 
         override def hasNext: Boolean = lIter.hasNext
@@ -122,14 +230,13 @@ case class AsofJoinExec(
             val c = keyOrd.compare(headKey, lKey)
             if (c < 0) advance() // passed key: can never match again
             else if (c == 0 && head.getLong(rTimeIdx) <= lTime) {
-              matched = head; matchedKey = headKey; advance()
+              retain(); advance()
             } else scan = false
             scan = scan && head != null
           }
           resultProj(joined(l, if (matched != null) matched else nullRight))
         }
       }
-    }
   }
 
   override protected def withNewChildrenInternal(

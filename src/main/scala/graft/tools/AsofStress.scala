@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+
+/** Closed-form stress gate for the native as-of operator (AsofJoinExec)
+  * — the Gram/Sketch/Graph/LshStress pattern applied to ev08b's merge.
+  *
+  * Synthetic event stream, generated map-side from spark.range at
+  * ~600x sf0.1's event count (default U=200k users x K=150):
+  *   - views:     (user u, time 10k,     id u*K + k)  for k < K
+  *   - purchases: (user u, time 10k + 5)              for k < K
+  *   - plus one probe per user at time -5: BEFORE every view.
+  * Every regular purchase's as-of match is EXACTLY the same-k view —
+  * matched_us = us - 5 and matched_id = u*K + (us-5)/10 row-for-row —
+  * and the early probe must surface a null. All gates evaluate
+  * DISTRIBUTED (mismatch counts), nothing corpus-sized is collected.
+  *
+  * Also times the ev08-style union+last-window form on the same data
+  * and cross-checks its null census, so the native operator's win is
+  * measured, not asserted. Prints one JSON line. Run:
+  * tools/run.sh graft.tools.AsofStress [users] [viewsPerUser]
+  * Results in docs/ROUND10.md.
+  */
+object AsofStress {
+  def main(args: Array[String]): Unit = {
+    val users = args.headOption.map(_.toLong).getOrElse(200000L)
+    val k = args.drop(1).headOption.map(_.toLong).getOrElse(150L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // map-side generators: one range each, no shuffle before the join
+    val views = spark.range(users * k).select(
+      (col("id") / k).cast("long").as("v_user_id"),
+      (col("id") % k * 10).as("v_us"),
+      col("id").as("v_event_id"))
+    val purchases = spark.range(users * (k + 1)).select(
+      (col("id") / (k + 1)).cast("long").as("user_id"),
+      when(col("id") % (k + 1) === k, lit(-5L))
+        .otherwise(col("id") % (k + 1) * 10 + 5).as("us"),
+      col("id").as("event_id"))
+
+    def runNative() = timed {
+      val out = PlanBridge.asofJoin(purchases, views,
+          Seq("user_id" -> "v_user_id"), "us", "v_us")
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("v_us").isNull, 1L).otherwise(0L)).as("nulls"),
+          sum(when(col("us") =!= -5L &&
+            (col("v_us") =!= col("us") - 5 ||
+             col("v_event_id") =!= col("user_id") * k + (col("us") - 5) / 10),
+            1L).otherwise(0L)).as("bad"),
+          sum(when(col("us") === -5L && col("v_us").isNotNull, 1L)
+            .otherwise(0L)).as("early_matched"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    }
+    // two reps each, min reported: rep 1 pays JIT + codegen warmup
+    val rep1 = runNative(); val rep2 = runNative()
+    val (native, tNative) = (rep2._1, math.min(rep1._2, rep2._2))
+    val (rows, nulls, bad, earlyMatched) = native
+    assert(rows == users * (k + 1), s"rows $rows != ${users * (k + 1)}")
+    assert(nulls == users, s"nulls $nulls != $users")
+    assert(bad == 0, s"$bad wrong matches")
+    assert(earlyMatched == 0, s"$earlyMatched early probes matched")
+
+    // the union+window form (ev08's shape) on identical data
+    def runWindow() = timed {
+      val tagged = views
+        .select(col("v_user_id").as("user_id"), col("v_us").as("us"),
+          lit(0).as("side"),
+          struct(col("v_us").as("m_us"), col("v_event_id").as("m_id")).as("v"))
+        .unionByName(purchases
+          .select(col("user_id"), col("us"), lit(1).as("side"),
+            lit(null).cast("struct<m_us:bigint,m_id:bigint>").as("v")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged.withColumn("last_v", last(col("v"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .agg(sum(when(col("last_v").isNull, 1L).otherwise(0L)))
+        .collect()(0).getLong(0)
+    }
+    val w1 = runWindow(); val w2 = runWindow()
+    val (windowNulls, tWindow) = (w2._1, math.min(w1._2, w2._2))
+    assert(windowNulls == users, s"window form nulls $windowNulls != $users")
+
+    println(s"""{"tool":"AsofStress","users":$users,"views_per_user":$k,""" +
+      s""""n_events":${users * (2 * k + 1)},"nulls":$nulls,"bad":$bad,""" +
+      s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"}}""")
+    spark.stop()
+  }
+}

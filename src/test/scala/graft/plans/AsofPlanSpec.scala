@@ -76,6 +76,21 @@ class AsofPlanSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("null keys group together (natural-ordering semantics, documented)") {
+    import spark.implicits._
+    val views = Seq((Option(1L), 10L, 100L), (Option.empty[Long], 3L, 300L))
+      .toDF("v_user_id", "v_us", "v_event_id")
+    val purchases = Seq(
+      (1L, Option(1L), 25L), (2L, Option.empty[Long], 9L),
+      (3L, Option.empty[Long], 2L))
+      .toDF("event_id", "user_id", "us")
+    val out = PlanBridge.asofJoin(purchases, views,
+        Seq("user_id" -> "v_user_id"), "us", "v_us")
+      .select("event_id", "v_event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some(100L)), (2L, Some(300L)), (3L, None)))
+  }
+
   test("disjoint-name and Long-time contracts fail loudly") {
     import spark.implicits._
     val l = Seq((1L, 2L)).toDF("k", "t")
