@@ -478,45 +478,67 @@ object TextAnalysis {
     // unrolled DuckDB replay.
     "tx17_bpe_train" -> { (s, d) =>
       import s.implicits._
-      val nMerges = 10
-      var words = docs(s, d)
-        .select(explode(toks(lower(col("text")))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(col("freq"),
-          regexp_extract_all(col("word"), lit("."), lit(0)).as("s"))
-        .localCheckpoint()
-      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
-      var step = 1
-      var go = true
-      while (go && step <= nMerges) {
-        val top = words
-          .select(col("freq"), explode(zip_with(
-            slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
-            slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty) go = false
-        else {
-          val x = top(0).getString(0)
-          val y = top(0).getString(1)
-          val cnt = top(0).getLong(2)
-          out += ((step, x, y, x + y, cnt))
-          words = words.select(col("freq"),
-            aggregate(col("s"), array().cast("array<string>"),
-              (acc, c) => when(size(acc) > 0 &&
-                  get(acc, size(acc) - 1) === lit(x) && c === lit(y),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
-                .otherwise(concat(acc, array(c)))).as("s"))
-            .localCheckpoint()
-          step += 1
-        }
-      }
-      out.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt")
+      bpeTrain(s, d, 10)._1.toDF("step", "lhs", "rhs", "merged", "cnt")
+    },
+
+    // BPE ENCODING — the trained vocabulary applied: the corpus subword
+    // histogram after tx17's 10 merges (token -> total occurrences).
+    // Reuses the trainer verbatim, so the encode is definitionally
+    // consistent with the learned merges; the histogram is one
+    // explode+agg of the vocab-sized symbol table. At 100 TB the
+    // per-document encode is the same 10 folds mapped over the corpus
+    // scan — here the vocab table already carries each word's final
+    // segmentation and its corpus frequency, so no second corpus pass
+    // is needed.
+    "tx18_bpe_encode" -> { (s, d) =>
+      bpeTrain(s, d, 10)._2
+        .select(explode(col("s")).as("token"), col("freq"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
     }
   )
+
+  /** The shared BPE trainer: returns the merge list and the final
+    * word-symbol table (freq, s). See tx17's registry comment for the
+    * scale/determinism analysis. */
+  private def bpeTrain(s: SparkSession, d: String, nMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var words = docs(s, d)
+      .select(explode(toks(lower(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        regexp_extract_all(col("word"), lit("."), lit(0)).as("s"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var step = 1
+    var go = true
+    while (go && step <= nMerges) {
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
+          slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) go = false
+      else {
+        val x = top(0).getString(0)
+        val y = top(0).getString(1)
+        val cnt = top(0).getLong(2)
+        out += ((step, x, y, x + y, cnt))
+        words = words.select(col("freq"),
+          aggregate(col("s"), array().cast("array<string>"),
+            (acc, c) => when(size(acc) > 0 &&
+                get(acc, size(acc) - 1) === lit(x) && c === lit(y),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+              .otherwise(concat(acc, array(c)))).as("s"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    (out.toSeq, words)
+  }
 
   private def sqlHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -532,54 +554,61 @@ object TextAnalysis {
   //   k/w  drop the absorbed right symbol, emit the concat, reassemble.
   // When a stage's pair table is empty its m{i} is empty and every
   // later stage collapses to empty — matching the Spark loop's break.
-  private val bpeSql: String = {
+  private val bpeStagesSql: String = {
     val stages = (1 to 10).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT s[j] AS l, s[j+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM w${i - 1}, unnest(range(1, len(s))) AS u(j)
          |  GROUP BY s[j], s[j+1]),
-         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |e$i AS (
+         |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |e$i AS MATERIALIZED (
          |  SELECT word, freq, CAST(j AS INT) AS j, s[j] AS c
          |  FROM w${i - 1}, unnest(range(1, len(s) + 1)) AS u(j)),
-         |f$i AS (
+         |f$i AS MATERIALIZED (
          |  SELECT e.word, e.freq, e.j, e.c,
          |    coalesce(e.c = m.l AND
          |      lead(e.c) OVER (PARTITION BY e.word ORDER BY e.j) = m.r,
          |      false) AS pm,
          |    lead(e.c) OVER (PARTITION BY e.word ORDER BY e.j) AS nc
          |  FROM e$i e CROSS JOIN m$i m),
-         |g$i AS (
+         |g$i AS MATERIALIZED (
          |  SELECT *, CASE WHEN pm AND NOT coalesce(
          |      lag(pm) OVER (PARTITION BY word ORDER BY j), false)
          |    THEN j END AS rs
          |  FROM f$i),
-         |h$i AS (
+         |h$i AS MATERIALIZED (
          |  SELECT *, pm AND ((j - max(rs) OVER (PARTITION BY word ORDER BY j
          |    ROWS UNBOUNDED PRECEDING)) % 2 = 0) AS mrg
          |  FROM g$i),
-         |k$i AS (
+         |k$i AS MATERIALIZED (
          |  SELECT *, NOT coalesce(
          |      lag(mrg) OVER (PARTITION BY word ORDER BY j), false) AS keep,
          |    CASE WHEN mrg THEN c || nc ELSE c END AS sym
          |  FROM h$i),
-         |w$i AS (
+         |w$i AS MATERIALIZED (
          |  SELECT word, freq, list(sym ORDER BY j) FILTER (WHERE keep) AS s
-         |  FROM k$i GROUP BY word, freq)""".stripMargin
+         |  FROM k$i GROUP BY word, freq
+         |  UNION ALL
+         |  SELECT word, freq, s FROM w${i - 1}
+         |  WHERE NOT EXISTS (SELECT 1 FROM m$i))""".stripMargin
     }.mkString(",\n")
-    val union = (1 to 10).map(i =>
-      s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt FROM m$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    // the w-fallback keeps the word table alive when a stage's pair
+    // set is exhausted (m empty), matching the Spark loop's break —
+    // without it tx18's histogram would read an empty w10 on corpora
+    // that converge before 10 merges
+    s"""WITH w0 AS MATERIALIZED (
        |  SELECT word, freq,
        |    list_transform(range(1, len(word) + 1), i -> word[i]) AS s
        |  FROM (SELECT word, count(*) AS freq FROM (
        |          SELECT unnest(string_split(lower(text), ' ')) AS word
        |          FROM documents) t
        |        GROUP BY word) wf),
-       |$stages
-       |$union""".stripMargin
+       |$stages""".stripMargin
   }
+
+  private val bpeTrainFinal: String = (1 to 10).map(i =>
+    s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt FROM m$i")
+    .mkString("\nUNION ALL ")
 
   // tx16: every float literal CAST to DOUBLE — DuckDB otherwise runs
   // them as exact DECIMALs (bigint*DECIMAL '2.2' = exact 6.6 → double
@@ -908,6 +937,11 @@ object TextAnalysis {
 
     "tx16_bm25_topk" -> bm25Sql,
 
-    "tx17_bpe_train" -> bpeSql
+    "tx17_bpe_train" -> s"$bpeStagesSql\n$bpeTrainFinal",
+
+    "tx18_bpe_encode" ->
+      s"""$bpeStagesSql
+         |SELECT u.sym AS token, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM w10, unnest(s) AS u(sym) GROUP BY u.sym""".stripMargin
   )
 }

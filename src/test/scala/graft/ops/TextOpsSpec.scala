@@ -88,7 +88,11 @@ class TextOpsSpec extends SparkSpec {
 
   // reference BPE trainer (Sennrich §3.2): word-freq table, greedy
   // argmax with (cnt desc, l, r) ties, left-to-right non-overlap merge
-  private def refBpe(texts: Seq[String], n: Int): Seq[(Int, String, String, String, Long)] = {
+  private def refBpe(texts: Seq[String], n: Int): Seq[(Int, String, String, String, Long)] =
+    refBpeFull(texts, n)._1
+
+  private def refBpeFull(texts: Seq[String], n: Int)
+      : (Seq[(Int, String, String, String, Long)], Map[Vector[String], Long]) = {
     var words: Map[Vector[String], Long] = texts
       .flatMap(_.toLowerCase.split(" ", -1)).groupBy(identity)
       .map { case (w, xs) => (w.toVector.map(_.toString), xs.size.toLong) }
@@ -102,7 +106,7 @@ class TextOpsSpec extends SparkSpec {
       }
       out.result()
     }
-    (1 to n).flatMap { step =>
+    val merges = (1 to n).flatMap { step =>
       val counts = words.toSeq.flatMap { case (s, f) =>
         s.zip(s.drop(1)).map(p => (p, f))
       }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
@@ -114,6 +118,7 @@ class TextOpsSpec extends SparkSpec {
         Some((step, x, y, x + y, cnt))
       }
     }
+    (merges, words)
   }
 
   test("tx17 BPE: matches the reference trainer on the corpus") {
@@ -123,6 +128,21 @@ class TextOpsSpec extends SparkSpec {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect().map(_.getString(0)).toSeq
     assert(got == refBpe(texts, 10))
+  }
+
+  test("tx18 BPE encode: histogram equals the reference segmentation") {
+    val got = TextAnalysis.queries("tx18_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val words = refBpeFull(texts, 10)._2
+    val expect = words.toSeq.flatMap { case (s, f) => s.map(t => (t, f)) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sum) }
+    assert(got == expect, s"histograms diverge: ${got.toSet -- expect.toSet} " +
+      s"vs missing ${expect.toSet -- got.toSet}")
+    // conservation: token occurrences weighted by length = corpus letters
+    val letters = texts.map(t => t.toLowerCase.count(_ != ' ')).map(_.toLong).sum
+    assert(got.map { case (t, c) => t.length * c }.sum == letters)
   }
 
   test("tx17 BPE: overlapping-run merges are left-to-right non-overlapping") {
