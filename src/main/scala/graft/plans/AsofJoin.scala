@@ -33,7 +33,11 @@ case class AsofJoinPlan(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    hint: String = "auto") extends BinaryNode {
+
+  require(AsofJoinPlan.hints(hint), s"asof hint must be one of " +
+    s"${AsofJoinPlan.hints.mkString("/")}, got '$hint'")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -43,12 +47,29 @@ case class AsofJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]; every other node is
-  * left to the built-in strategies. */
+object AsofJoinPlan {
+  val hints: Set[String] = Set("auto", "merge", "broadcast")
+}
+
+/** Plans [[AsofJoinPlan]] into [[BroadcastAsofJoinExec]] when the
+  * build side is small (hint `broadcast`, or `auto` + statistics under
+  * `spark.sql.autoBroadcastJoinThreshold` — the same cost decision
+  * Spark's own JoinSelection makes) and the sorted-merge
+  * [[AsofJoinExec]] otherwise. Every other node is left to the
+  * built-in strategies. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, hint) =>
+      val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = hint match {
+        case "broadcast" => true
+        case "merge" => false
+        case _ => thresh > 0 && r.stats.sizeInBytes <= thresh
+      }
+      if (broadcast)
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      else
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
 }

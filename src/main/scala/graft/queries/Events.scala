@@ -226,7 +226,32 @@ object Events {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("us"), col("event_id"))
       org.apache.spark.sql.graft.PlanBridge
-        .asofJoin(purchases, views, Seq("user_id" -> "v_user_id"), "us", "v_us")
+        .asofJoin(purchases, views, Seq("user_id" -> "v_user_id"), "us", "v_us",
+          hint = "merge")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("v_us").as("matched_us"),
+          col("v_event_id").as("matched_event_id"))
+    },
+
+    // The BROADCAST as-of variant (BroadcastAsofJoinExec): the small
+    // view table ships to executors and the purchase stream is joined
+    // WITHOUT being shuffled or sorted — zero exchanges on the probe
+    // side (plan-pinned in AsofPlanSpec). The 100 TB shape for as-of
+    // against a small dimension (exchange rates, config history);
+    // `hint = "auto"` would pick this automatically whenever the build
+    // side's stats fall under autoBroadcastJoinThreshold.
+    "ev08c_asof_broadcast" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("v_event_id"))
+        .select(col("user_id").as("v_user_id"), col("us").as("v_us"),
+          col("v_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      org.apache.spark.sql.graft.PlanBridge
+        .asofJoin(purchases, views, Seq("user_id" -> "v_user_id"), "us", "v_us",
+          hint = "broadcast")
         .select(col("event_id"), col("user_id"), col("us"),
           col("v_us").as("matched_us"),
           col("v_event_id").as("matched_event_id"))
@@ -571,6 +596,18 @@ object Events {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "ev08_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id
+        |      FROM ev WHERE event_type = 'view' GROUP BY user_id, us),
+        |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.us,
+        |  v.us AS matched_us, v.v_event_id AS matched_event_id
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.us >= v.us""".stripMargin,
+
+    // ev08c: identical semantics, broadcast operator — same oracle.
+    "ev08c_asof_broadcast" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |            FROM events),
         |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id

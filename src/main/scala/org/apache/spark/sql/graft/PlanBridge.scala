@@ -35,9 +35,13 @@ object PlanBridge {
     * before `leftTime`, or nulls. Column names must be disjoint across
     * sides (alias before calling — also what keeps a self-join's
     * expression ids distinct). Time columns must be LongType micros.
+    * `hint`: "merge" forces the sorted-merge operator, "broadcast" the
+    * broadcast operator (probe side untouched), "auto" (default) picks
+    * by the build side's statistics vs autoBroadcastJoinThreshold.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
-      keys: Seq[(String, String)], leftTime: String, rightTime: String): DataFrame = {
+      keys: Seq[(String, String)], leftTime: String, rightTime: String,
+      hint: String = "auto"): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -54,6 +58,6 @@ object PlanBridge {
 
     classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
       keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime)))
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime), hint))
   }
 }

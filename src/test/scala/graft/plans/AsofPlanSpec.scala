@@ -76,6 +76,68 @@ class AsofPlanSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("ev08c broadcast as-of == ev08, and its probe side never shuffles") {
+    val a = Events.queries("ev08_asof_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1)
+    val df = Events.queries("ev08c_asof_broadcast")(spark, sf)
+    val b = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastAsofJoin"), s"wrong operator:\n$plan")
+    // the ONLY hash exchange is the view-side (user_id, us) pre-agg;
+    // the purchase stream reaches the join straight from its scan
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"probe side shuffled ($hashEx hash exchanges):\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).nonEmpty)
+  }
+
+  test("auto hint picks broadcast under the threshold, merge when disabled") {
+    import spark.implicits._
+    val views = Seq((1L, 10L, 100L)).toDF("v_user_id", "v_us", "v_event_id")
+    val purchases = Seq((1L, 1L, 25L)).toDF("event_id", "user_id", "us")
+    def planOf(hint: String): String = {
+      val df = PlanBridge.asofJoin(purchases, views,
+        Seq("user_id" -> "v_user_id"), "us", "v_us", hint)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    assert(planOf("auto").contains("BroadcastAsofJoin")) // tiny build side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!planOf("auto").contains("BroadcastAsofJoin")) // disabled -> merge
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    intercept[IllegalArgumentException] {
+      PlanBridge.asofJoin(purchases, views,
+        Seq("user_id" -> "v_user_id"), "us", "v_us", "bogus")
+    }
+  }
+
+  test("broadcast path edge semantics match the merge path") {
+    import spark.implicits._
+    val views = Seq(
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 50L, 200L), (9L, 5L, 900L)
+    ).toDF("v_user_id", "v_us", "v_event_id")
+    val purchases = Seq(
+      (1L, 1L, 25L), (2L, 1L, 20L), (3L, 1L, 9L), (4L, 2L, 99L), (5L, 3L, 7L)
+    ).toDF("event_id", "user_id", "us")
+    val out = PlanBridge.asofJoin(purchases, views,
+        Seq("user_id" -> "v_user_id"), "us", "v_us", "broadcast")
+      .select("event_id", "v_us", "v_event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some(20L), Some(101L)),
+      (2L, Some(20L), Some(101L)),
+      (3L, None, None),
+      (4L, Some(50L), Some(200L)),
+      (5L, None, None)))
+  }
+
   test("null keys group together (natural-ordering semantics, documented)") {
     import spark.implicits._
     val views = Seq((Option(1L), 10L, 100L), (Option.empty[Long], 3L, 300L))
