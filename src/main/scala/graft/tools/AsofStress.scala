@@ -96,9 +96,45 @@ object AsofStress {
     val (windowNulls, tWindow) = (w2._1, math.min(w1._2, w2._2))
     assert(windowNulls == users, s"window form nulls $windowNulls != $users")
 
+    // ---- small-dimension scenario: where the broadcast variant lives ----
+    // 1000 keys x 100 dimension rows (times 0,100..9900) probed by the
+    // same 60M-row stream (key = id % 1000, t = id % 10000): every
+    // probe's match is exactly (k*100 + t/100) — closed form, verified
+    // distributed. Broadcast never shuffles the probe; merge pays a
+    // full probe exchange + sort for a 100k-row build side.
+    val dimKeys = 1000L
+    val dim = spark.range(dimKeys * 100).select(
+      (col("id") / 100).cast("long").as("d_key"),
+      (col("id") % 100 * 100).as("d_us"),
+      col("id").as("d_id"))
+    val probes = spark.range(users * (2 * k + 1)).select(
+      (col("id") % dimKeys).as("p_key"),
+      (col("id") % 10000).as("p_us"),
+      col("id").as("p_id"))
+    def dimGates(hint: String) = timed {
+      val out = PlanBridge.asofJoin(probes, dim,
+          Seq("p_key" -> "d_key"), "p_us", "d_us", hint)
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("d_id") =!=
+            col("p_key") * 100 + (col("p_us") / 100).cast("long"), 1L)
+            .otherwise(0L)).as("bad"),
+          sum(when(col("d_us").isNull, 1L).otherwise(0L)).as("nulls"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1), out.getLong(2))
+    }
+    val b1 = dimGates("broadcast"); val b2 = dimGates("broadcast")
+    val m1 = dimGates("merge"); val m2 = dimGates("merge")
+    val (bRows, bBad, bNulls) = b2._1
+    assert(bRows == users * (2 * k + 1) && bBad == 0 && bNulls == 0,
+      s"broadcast dim gates: rows $bRows bad $bBad nulls $bNulls")
+    assert(m2._1 == b2._1, "merge and broadcast disagree on the dim scenario")
+    val tB = math.min(b1._2, b2._2)
+    val tM = math.min(m1._2, m2._2)
+
     println(s"""{"tool":"AsofStress","users":$users,"views_per_user":$k,""" +
       s""""n_events":${users * (2 * k + 1)},"nulls":$nulls,"bad":$bad,""" +
-      s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"}}""")
+      s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"},""" +
+      s""""dim_broadcast_sec":${f"$tB%.1f"},"dim_merge_sec":${f"$tM%.1f"}}""")
     spark.stop()
   }
 }
