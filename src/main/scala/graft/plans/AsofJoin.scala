@@ -34,10 +34,13 @@ case class AsofJoinPlan(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    hint: String = "auto") extends BinaryNode {
+    hint: String = "auto",
+    direction: String = "backward") extends BinaryNode {
 
   require(AsofJoinPlan.hints(hint), s"asof hint must be one of " +
     s"${AsofJoinPlan.hints.mkString("/")}, got '$hint'")
+  require(AsofJoinPlan.directions(direction), s"asof direction must be one " +
+    s"of ${AsofJoinPlan.directions.mkString("/")}, got '$direction'")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,6 +52,7 @@ case class AsofJoinPlan(
 
 object AsofJoinPlan {
   val hints: Set[String] = Set("auto", "merge", "broadcast")
+  val directions: Set[String] = Set("backward", "forward")
 }
 
 /** Plans [[AsofJoinPlan]] into [[BroadcastAsofJoinExec]] when the
@@ -59,7 +63,7 @@ object AsofJoinPlan {
   * built-in strategies. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, hint) =>
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, hint, dir) =>
       val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val broadcast = hint match {
         case "broadcast" => true
@@ -67,9 +71,9 @@ object AsofJoinStrategy extends SparkStrategy {
         case _ => thresh > 0 && r.stats.sizeInBytes <= thresh
       }
       if (broadcast)
-        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
       else
-        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
     case _ => Nil
   }
 }

@@ -48,7 +48,8 @@ case class AsofJoinExec(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightTime: Attribute) extends SparkPlan with BinaryExecNode {
+    rightTime: Attribute,
+    direction: String = "backward") extends SparkPlan with BinaryExecNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "asof join needs matching non-empty key lists")
@@ -56,6 +57,8 @@ case class AsofJoinExec(
     s"asof key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "asof time columns must be LongType (unix micros)")
+  require(direction == "backward" || direction == "forward",
+    s"asof direction must be backward|forward, got '$direction'")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -82,6 +85,7 @@ case class AsofJoinExec(
     require(lTimeIdx >= 0 && rTimeIdx >= 0, "time attribute not in child output")
     val allOut = output
     val nRight = rOut.size
+    val fwd = direction == "forward"
     // single-Long-key fast path (the dominant shape: user_id, doc_id):
     // primitive compares, no per-row key projection or ordering object
     val fastLongKey = keyTypes == Seq(LongType)
@@ -142,17 +146,33 @@ case class AsofJoinExec(
             val lNull = l.isNullAt(lKeyIdx)
             val lKey = if (lNull) 0L else l.getLong(lKeyIdx)
             val lTime = l.getLong(lTimeIdx)
-            if (hasM && cmp(mNull, mKey, lNull, lKey) != 0) hasM = false
-            var scan = head != null
-            while (scan) {
-              val c = cmp(hNull, hKey, lNull, lKey)
-              if (c < 0) advance()
-              else if (c == 0 && head.getLong(rTimeIdx) <= lTime) {
-                retain(); advance()
-              } else scan = false
-              scan = scan && head != null
+            if (fwd) {
+              // forward: drop passed keys and same-key rows strictly
+              // before lTime (later probes' times only grow), match =
+              // the head itself — NO retention, zero copies ever
+              var c = 1
+              var scan = head != null
+              while (scan) {
+                c = cmp(hNull, hKey, lNull, lKey)
+                if (c < 0 || (c == 0 && head.getLong(rTimeIdx) < lTime)) {
+                  advance(); scan = head != null
+                } else scan = false
+              }
+              resultProj(joined(l,
+                if (head != null && c == 0) head else nullRight))
+            } else {
+              if (hasM && cmp(mNull, mKey, lNull, lKey) != 0) hasM = false
+              var scan = head != null
+              while (scan) {
+                val c = cmp(hNull, hKey, lNull, lKey)
+                if (c < 0) advance()
+                else if (c == 0 && head.getLong(rTimeIdx) <= lTime) {
+                  retain(); advance()
+                } else scan = false
+                scan = scan && head != null
+              }
+              resultProj(joined(l, if (hasM) matched else nullRight))
             }
-            resultProj(joined(l, if (hasM) matched else nullRight))
           }
         }
       else asofMergeGeneric(lIter, rIter, resultProj, nullRight, joined)
@@ -222,19 +242,32 @@ case class AsofJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l) // transient: compared before next proj call
           val lTime = l.getLong(lTimeIdx)
-          if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
-            matched = null; matchedKey = null
+          if (direction == "forward") {
+            var c = 1
+            var scan = head != null
+            while (scan) {
+              c = keyOrd.compare(headKey, lKey)
+              if (c < 0 || (c == 0 && head.getLong(rTimeIdx) < lTime)) {
+                advance(); scan = head != null
+              } else scan = false
+            }
+            resultProj(joined(l,
+              if (head != null && c == 0) head else nullRight))
+          } else {
+            if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
+              matched = null; matchedKey = null
+            }
+            var scan = head != null
+            while (scan) {
+              val c = keyOrd.compare(headKey, lKey)
+              if (c < 0) advance() // passed key: can never match again
+              else if (c == 0 && head.getLong(rTimeIdx) <= lTime) {
+                retain(); advance()
+              } else scan = false
+              scan = scan && head != null
+            }
+            resultProj(joined(l, if (matched != null) matched else nullRight))
           }
-          var scan = head != null
-          while (scan) {
-            val c = keyOrd.compare(headKey, lKey)
-            if (c < 0) advance() // passed key: can never match again
-            else if (c == 0 && head.getLong(rTimeIdx) <= lTime) {
-              retain(); advance()
-            } else scan = false
-            scan = scan && head != null
-          }
-          resultProj(joined(l, if (matched != null) matched else nullRight))
         }
       }
   }

@@ -33,7 +33,8 @@ case class BroadcastAsofJoinExec(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightTime: Attribute) extends SparkPlan with BinaryExecNode {
+    rightTime: Attribute,
+    direction: String = "backward") extends SparkPlan with BinaryExecNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "asof join needs matching non-empty key lists")
@@ -41,6 +42,8 @@ case class BroadcastAsofJoinExec(
     s"asof key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "asof time columns must be LongType (unix micros)")
+  require(direction == "backward" || direction == "forward",
+    s"asof direction must be backward|forward, got '$direction'")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -92,21 +95,27 @@ case class BroadcastAsofJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
 
+      val fwd = direction == "forward"
       lIter.map { l =>
         val entry = index.get(lKeyProj(l)) // UnsafeRow equals is by bytes
         val r =
           if (entry == null) nullRight
           else {
             val (times, rows) = entry
-            // rightmost index with times(i) <= lTime
+            // backward: rightmost index with times(i) <= lTime;
+            // forward: leftmost index with times(i) >= lTime
             val lTime = l.getLong(lTimeIdx)
             var lo = 0
             var hi = times.length - 1
             var found = -1
             while (lo <= hi) {
               val mid = (lo + hi) >>> 1
-              if (times(mid) <= lTime) { found = mid; lo = mid + 1 }
-              else hi = mid - 1
+              if (if (fwd) times(mid) >= lTime else times(mid) <= lTime) {
+                found = mid
+                if (fwd) hi = mid - 1 else lo = mid + 1
+              } else {
+                if (fwd) lo = mid + 1 else hi = mid - 1
+              }
             }
             if (found < 0) nullRight else rows(found)
           }

@@ -233,6 +233,30 @@ object Events {
           col("v_event_id").as("matched_event_id"))
     },
 
+    // FORWARD as-of (pandas merge_asof direction="forward"): each
+    // purchase matched to the user's NEXT view at-or-after it — the
+    // "what did they do right after buying" query. The forward merge
+    // is even lighter than backward: the candidate IS the build
+    // iterator's head, so the pass retains nothing and copies nothing.
+    // Oracle: DuckDB ASOF with the inequality flipped (c.us <= v.us
+    // picks the smallest v.us at-or-after).
+    "ev08d_asof_forward" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("v_event_id"))
+        .select(col("user_id").as("v_user_id"), col("us").as("v_us"),
+          col("v_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      org.apache.spark.sql.graft.PlanBridge
+        .asofJoin(purchases, views, Seq("user_id" -> "v_user_id"), "us", "v_us",
+          hint = "merge", direction = "forward")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("v_us").as("next_us"),
+          col("v_event_id").as("next_event_id"))
+    },
+
     // The BROADCAST as-of variant (BroadcastAsofJoinExec): the small
     // view table ships to executors and the purchase stream is joined
     // WITHOUT being shuffled or sorted — zero exchanges on the probe
@@ -605,6 +629,18 @@ object Events {
         |  v.us AS matched_us, v.v_event_id AS matched_event_id
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND c.us >= v.us""".stripMargin,
+
+    // ev08d: forward direction — the ASOF inequality flipped.
+    "ev08d_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id
+        |      FROM ev WHERE event_type = 'view' GROUP BY user_id, us),
+        |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.us,
+        |  v.us AS next_us, v.v_event_id AS next_event_id
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.us <= v.us""".stripMargin,
 
     // ev08c: identical semantics, broadcast operator — same oracle.
     "ev08c_asof_broadcast" ->

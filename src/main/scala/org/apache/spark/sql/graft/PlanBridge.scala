@@ -38,10 +38,13 @@ object PlanBridge {
     * `hint`: "merge" forces the sorted-merge operator, "broadcast" the
     * broadcast operator (probe side untouched), "auto" (default) picks
     * by the build side's statistics vs autoBroadcastJoinThreshold.
+    * `direction`: "backward" (default, greatest rightTime <= leftTime)
+    * or "forward" (smallest rightTime >= leftTime), pandas
+    * merge_asof-style.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)], leftTime: String, rightTime: String,
-      hint: String = "auto"): DataFrame = {
+      hint: String = "auto", direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -58,6 +61,6 @@ object PlanBridge {
 
     classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
       keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime), hint))
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime), hint, direction))
   }
 }

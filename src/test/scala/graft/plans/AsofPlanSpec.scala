@@ -138,6 +138,68 @@ class AsofPlanSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("forward direction: next-at-or-after in both merge and broadcast paths") {
+    import spark.implicits._
+    val views = Seq(
+      (1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 50L, 200L), (9L, 5L, 900L)
+    ).toDF("v_user_id", "v_us", "v_event_id")
+    val purchases = Seq(
+      (1L, 1L, 25L), // between 20 and 30 -> next is 30/102
+      (2L, 1L, 20L), // equal ts -> 20/101
+      (3L, 1L, 31L), // after all views -> null
+      (4L, 2L, 7L),  // before the only view -> 50/200
+      (5L, 3L, 7L)   // key with no views -> null
+    ).toDF("event_id", "user_id", "us")
+    val want = Seq(
+      (1L, Some(30L), Some(102L)),
+      (2L, Some(20L), Some(101L)),
+      (3L, None, None),
+      (4L, Some(50L), Some(200L)),
+      (5L, None, None))
+    for (hint <- Seq("merge", "broadcast")) {
+      val out = PlanBridge.asofJoin(purchases, views,
+          Seq("user_id" -> "v_user_id"), "us", "v_us", hint, "forward")
+        .select("event_id", "v_us", "v_event_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+      assert(out.toSeq == want, s"$hint path diverged: ${out.toSeq}")
+    }
+    intercept[IllegalArgumentException] {
+      PlanBridge.asofJoin(purchases, views,
+        Seq("user_id" -> "v_user_id"), "us", "v_us", "merge", "sideways")
+    }
+  }
+
+  test("ev08d forward == a window-computed reference on real events") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.load(spark, sf, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("event_id")).as("v_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id"))
+    // reference: union + FOLLOWING-window first non-null view struct
+    val tagged = views.select(col("user_id"), col("us"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        struct(col("us").as("v_us"), col("v_event_id")).as("v"))
+      .unionByName(purchases.select(col("user_id"), col("us"), lit(1).as("side"),
+        col("event_id"),
+        lit(null).cast("struct<v_us:bigint,v_event_id:bigint>").as("v")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("side").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val expect = tagged
+      .withColumn("nxt", first(col("v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("nxt.v_us"), col("nxt.v_event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1)
+    val got = Events.queries("ev08d_asof_forward")(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).sortBy(_._1)
+    assert(got.nonEmpty && got.sameElements(expect))
+  }
+
   test("null keys group together (natural-ordering semantics, documented)") {
     import spark.implicits._
     val views = Seq((Option(1L), 10L, 100L), (Option.empty[Long], 3L, 300L))
