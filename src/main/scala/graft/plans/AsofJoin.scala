@@ -35,7 +35,8 @@ case class AsofJoinPlan(
     leftTime: Attribute,
     rightTime: Attribute,
     hint: String = "auto",
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward",
+    toleranceUs: Long = -1L) extends BinaryNode {
 
   require(AsofJoinPlan.hints(hint), s"asof hint must be one of " +
     s"${AsofJoinPlan.hints.mkString("/")}, got '$hint'")
@@ -63,7 +64,7 @@ object AsofJoinPlan {
   * built-in strategies. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, hint, dir) =>
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, hint, dir, tol) =>
       val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val broadcast = hint match {
         case "broadcast" => true
@@ -71,9 +72,9 @@ object AsofJoinStrategy extends SparkStrategy {
         case _ => thresh > 0 && r.stats.sizeInBytes <= thresh
       }
       if (broadcast)
-        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
       else
-        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }

@@ -49,7 +49,8 @@ case class AsofJoinExec(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    direction: String = "backward") extends SparkPlan with BinaryExecNode {
+    direction: String = "backward",
+    toleranceUs: Long = -1L) extends SparkPlan with BinaryExecNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "asof join needs matching non-empty key lists")
@@ -86,6 +87,7 @@ case class AsofJoinExec(
     val allOut = output
     val nRight = rOut.size
     val fwd = direction == "forward"
+    val tol = toleranceUs
     // single-Long-key fast path (the dominant shape: user_id, doc_id):
     // primitive compares, no per-row key projection or ordering object
     val fastLongKey = keyTypes == Seq(LongType)
@@ -110,6 +112,7 @@ case class AsofJoinExec(
           private var hasM = false
           private var mNull = false
           private var mKey = 0L
+          private var mTime = 0L
           private val matchedBuf = {
             val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rOut.size)
             r.pointTo(new Array[Byte](64), 64); r
@@ -136,7 +139,8 @@ case class AsofJoinExec(
                 matchedBuf.copyFrom(u); matched = matchedBuf
               case other => matched = other.copy()
             }
-            mNull = hNull; mKey = hKey; hasM = true
+            mNull = hNull; mKey = hKey; mTime = matched.getLong(rTimeIdx)
+            hasM = true
           }
 
           override def hasNext: Boolean = lIter.hasNext
@@ -158,8 +162,9 @@ case class AsofJoinExec(
                   advance(); scan = head != null
                 } else scan = false
               }
-              resultProj(joined(l,
-                if (head != null && c == 0) head else nullRight))
+              val ok = head != null && c == 0 &&
+                (tol < 0 || head.getLong(rTimeIdx) - lTime <= tol)
+              resultProj(joined(l, if (ok) head else nullRight))
             } else {
               if (hasM && cmp(mNull, mKey, lNull, lKey) != 0) hasM = false
               var scan = head != null
@@ -171,7 +176,8 @@ case class AsofJoinExec(
                 } else scan = false
                 scan = scan && head != null
               }
-              resultProj(joined(l, if (hasM) matched else nullRight))
+              val ok = hasM && (tol < 0 || lTime - mTime <= tol)
+              resultProj(joined(l, if (ok) matched else nullRight))
             }
           }
         }
@@ -204,6 +210,7 @@ case class AsofJoinExec(
         // allocates nothing per row in steady state.
         private var matched: InternalRow = _
         private var matchedKey: InternalRow = _
+        private var matchedTime = 0L
         // copyFrom targets must be byte[]-backed; it regrows on demand
         private val matchedBuf = {
           val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rOut.size)
@@ -228,6 +235,7 @@ case class AsofJoinExec(
               matchedKeyBuf.copyFrom(u); matchedKey = matchedKeyBuf
             case other => matchedKey = other.copy()
           }
+          matchedTime = matched.getLong(rTimeIdx)
         }
 
         private def advance(): Unit =
@@ -251,8 +259,9 @@ case class AsofJoinExec(
                 advance(); scan = head != null
               } else scan = false
             }
-            resultProj(joined(l,
-              if (head != null && c == 0) head else nullRight))
+            val ok = head != null && c == 0 &&
+              (toleranceUs < 0 || head.getLong(rTimeIdx) - lTime <= toleranceUs)
+            resultProj(joined(l, if (ok) head else nullRight))
           } else {
             if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
               matched = null; matchedKey = null
@@ -266,7 +275,9 @@ case class AsofJoinExec(
               } else scan = false
               scan = scan && head != null
             }
-            resultProj(joined(l, if (matched != null) matched else nullRight))
+            val ok = matched != null &&
+              (toleranceUs < 0 || lTime - matchedTime <= toleranceUs)
+            resultProj(joined(l, if (ok) matched else nullRight))
           }
         }
       }

@@ -34,7 +34,8 @@ case class BroadcastAsofJoinExec(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    direction: String = "backward") extends SparkPlan with BinaryExecNode {
+    direction: String = "backward",
+    toleranceUs: Long = -1L) extends SparkPlan with BinaryExecNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "asof join needs matching non-empty key lists")
@@ -96,6 +97,7 @@ case class BroadcastAsofJoinExec(
       val joined = new JoinedRow
 
       val fwd = direction == "forward"
+      val tol = toleranceUs
       lIter.map { l =>
         val entry = index.get(lKeyProj(l)) // UnsafeRow equals is by bytes
         val r =
@@ -117,7 +119,9 @@ case class BroadcastAsofJoinExec(
                 if (fwd) lo = mid + 1 else hi = mid - 1
               }
             }
-            if (found < 0) nullRight else rows(found)
+            if (found < 0 || (tol >= 0 &&
+                math.abs(times(found) - lTime) > tol)) nullRight
+            else rows(found)
           }
         resultProj(joined(l, r))
       }

@@ -257,6 +257,29 @@ object Events {
           col("v_event_id").as("next_event_id"))
     },
 
+    // TOLERANCE as-of (pandas merge_asof tolerance): most recent view
+    // at-or-before each purchase, nulled when it is older than 30
+    // minutes — attribution windows in one operator instead of an
+    // inequality join. hint=auto exercises the JoinSelection-style
+    // cost call inside a gated query (broadcast at these SFs; merge
+    // beyond the threshold). Oracle: ASOF + CASE on the gap.
+    "ev08e_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("v_event_id"))
+        .select(col("user_id").as("v_user_id"), col("us").as("v_us"),
+          col("v_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      org.apache.spark.sql.graft.PlanBridge
+        .asofJoin(purchases, views, Seq("user_id" -> "v_user_id"), "us", "v_us",
+          hint = "auto", toleranceUs = 1800L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("v_us").as("matched_us"),
+          col("v_event_id").as("matched_event_id"))
+    },
+
     // The BROADCAST as-of variant (BroadcastAsofJoinExec): the small
     // view table ships to executors and the purchase stream is joined
     // WITHOUT being shuffled or sorted — zero exchanges on the probe
@@ -627,6 +650,20 @@ object Events {
         |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase')
         |SELECT c.event_id, c.user_id, c.us,
         |  v.us AS matched_us, v.v_event_id AS matched_event_id
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.us >= v.us""".stripMargin,
+
+    // ev08e: tolerance — ASOF match nulled beyond the 30-minute gap.
+    "ev08e_asof_tolerance" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id
+        |      FROM ev WHERE event_type = 'view' GROUP BY user_id, us),
+        |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.us,
+        |  CASE WHEN c.us - v.us <= 1800000000 THEN v.us END AS matched_us,
+        |  CASE WHEN c.us - v.us <= 1800000000 THEN v.v_event_id END
+        |    AS matched_event_id
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND c.us >= v.us""".stripMargin,
 

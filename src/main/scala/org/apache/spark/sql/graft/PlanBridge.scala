@@ -40,11 +40,14 @@ object PlanBridge {
     * by the build side's statistics vs autoBroadcastJoinThreshold.
     * `direction`: "backward" (default, greatest rightTime <= leftTime)
     * or "forward" (smallest rightTime >= leftTime), pandas
-    * merge_asof-style.
+    * merge_asof-style. `toleranceUs >= 0` nulls out a directional
+    * match farther than that many micros from the probe time (pandas
+    * tolerance); negative disables.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)], leftTime: String, rightTime: String,
-      hint: String = "auto", direction: String = "backward"): DataFrame = {
+      hint: String = "auto", direction: String = "backward",
+      toleranceUs: Long = -1L): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -61,6 +64,7 @@ object PlanBridge {
 
     classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
       keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime), hint, direction))
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime), hint, direction,
+      toleranceUs))
   }
 }

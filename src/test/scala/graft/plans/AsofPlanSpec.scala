@@ -200,6 +200,27 @@ class AsofPlanSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(expect))
   }
 
+  test("tolerance nulls matches beyond the gap in both paths and directions") {
+    import spark.implicits._
+    val views = Seq((1L, 100L, 500L), (1L, 200L, 501L))
+      .toDF("v_user_id", "v_us", "v_event_id")
+    val purchases = Seq(
+      (1L, 1L, 110L), // backward gap 10 (ok @ tol 50), forward gap 90 (too far)
+      (2L, 1L, 195L), // backward gap 95 (too far), forward gap 5 (ok)
+      (3L, 1L, 200L)  // exact hit both directions
+    ).toDF("event_id", "user_id", "us")
+    for (hint <- Seq("merge", "broadcast")) {
+      def run(dir: String) = PlanBridge.asofJoin(purchases, views,
+          Seq("user_id" -> "v_user_id"), "us", "v_us", hint, dir, 50L)
+        .select("event_id", "v_event_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+      assert(run("backward") == Seq((1L, Some(500L)), (2L, None), (3L, Some(501L))),
+        s"$hint backward")
+      assert(run("forward") == Seq((1L, None), (2L, Some(501L)), (3L, Some(501L))),
+        s"$hint forward")
+    }
+  }
+
   test("null keys group together (natural-ordering semantics, documented)") {
     import spark.implicits._
     val views = Seq((Option(1L), 10L, 100L), (Option.empty[Long], 3L, 300L))
