@@ -131,6 +131,24 @@ object AsofStress {
     val tB = math.min(b1._2, b2._2)
     val tM = math.min(m1._2, m2._2)
 
+    // forward direction on the same dim scenario, closed form: match =
+    // smallest d_us >= t, i.e. d_id = k*100 + ceil(t/100); null iff
+    // t > 9900 (no dim row at 10000). Gates fully distributed.
+    val fRow = PlanBridge.asofJoin(probes, dim,
+        Seq("p_key" -> "d_key"), "p_us", "d_us", "broadcast", "forward")
+      .agg(
+        sum(when(col("d_us").isNull && col("p_us") <= 9900, 1L)
+          .otherwise(0L)).as("missed"),
+        sum(when(col("d_us").isNotNull && col("p_us") > 9900, 1L)
+          .otherwise(0L)).as("phantom"),
+        sum(when(col("d_us").isNotNull && col("d_id") =!=
+          expr("p_key * 100 + (p_us + 99) div 100"), 1L)
+          .otherwise(0L)).as("bad"))
+      .collect()(0)
+    assert(fRow.getLong(0) == 0 && fRow.getLong(1) == 0 && fRow.getLong(2) == 0,
+      s"forward gates: missed ${fRow.getLong(0)} phantom ${fRow.getLong(1)} " +
+        s"bad ${fRow.getLong(2)}")
+
     println(s"""{"tool":"AsofStress","users":$users,"views_per_user":$k,""" +
       s""""n_events":${users * (2 * k + 1)},"nulls":$nulls,"bad":$bad,""" +
       s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"},""" +
