@@ -527,6 +527,12 @@ object TextAnalysis {
         val y = top(0).getString(1)
         val cnt = top(0).getLong(2)
         out += ((step, x, y, x + y, cnt))
+        // per-iteration localCheckpoint MEASURED as the right call:
+        // without it the argmax at step i re-analyzes an i-deep nested
+        // aggregate-lambda chain and tx17 goes 1.35s -> 2.0s+ at sf0.1
+        // (Catalyst lambda analysis, not execution, dominates); with
+        // it every iteration plans one flat fold over the pinned
+        // vocab-sized table, and the corpus is still scanned once.
         words = words.select(col("freq"),
           aggregate(col("s"), array().cast("array<string>"),
             (acc, c) => when(size(acc) > 0 &&
