@@ -221,6 +221,35 @@ class AsofPlanSpec extends SparkSpec {
     }
   }
 
+  test("string keys exercise the GENERIC merge path (both directions + broadcast)") {
+    import spark.implicits._
+    // non-Long keys bypass the single-Long fast path: this pins the
+    // UnsafeProjection + natural-ordering iterator, which no Long-keyed
+    // spec touches
+    val views = Seq(
+      ("a", 10L, 100L), ("a", 20L, 101L), ("b", 50L, 200L), ("z", 5L, 900L)
+    ).toDF("v_user", "v_us", "v_event_id")
+    val purchases = Seq(
+      (1L, "a", 25L), (2L, "a", 15L), (3L, "a", 5L),
+      (4L, "b", 99L), (5L, "c", 7L)
+    ).toDF("event_id", "user", "us")
+    def run(hint: String, dir: String) = PlanBridge.asofJoin(purchases, views,
+        Seq("user" -> "v_user"), "us", "v_us", hint, dir)
+      .select("event_id", "v_event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    for (hint <- Seq("merge", "broadcast")) {
+      assert(run(hint, "backward") == Seq((1L, Some(101L)), (2L, Some(100L)),
+        (3L, None), (4L, Some(200L)), (5L, None)), s"$hint backward")
+      assert(run(hint, "forward") == Seq((1L, None), (2L, Some(101L)),
+        (3L, Some(100L)), (4L, None), (5L, None)), s"$hint forward")
+    }
+    // and the merge plan really is the generic AsofJoinExec
+    val plan = PlanBridge.asofJoin(purchases, views,
+        Seq("user" -> "v_user"), "us", "v_us", "merge")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"))
+  }
+
   test("null keys group together (natural-ordering semantics, documented)") {
     import spark.implicits._
     val views = Seq((Option(1L), 10L, 100L), (Option.empty[Long], 3L, 300L))
