@@ -497,10 +497,29 @@ object TextAnalysis {
     }
   )
 
+  // train once, encode many: tx17 and tx18 share one training pass per
+  // (session, corpus, n) — the memo holds the merge list plus the
+  // final localCheckpointed vocab-sized symbol table (11 tiny pinned
+  // tables per corpus). Same immutable-corpus assumption as every
+  // other (session, dir) memo (Tables.dfCache); evicted with the
+  // session per the SessionCaches contract.
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int),
+      (Seq[(Int, String, String, String, Long)], DataFrame)]
+  graft.SessionCaches.registerEvictor(s =>
+    bpeCache.keys.filter(_._1 eq s).foreach(bpeCache.remove))
+
   /** The shared BPE trainer: returns the merge list and the final
     * word-symbol table (freq, s). See tx17's registry comment for the
     * scale/determinism analysis. */
   private def bpeTrain(s: SparkSession, d: String, nMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate((s, d, nMerges), {
+      graft.SessionCaches.track(s)
+      bpeTrainUncached(s, d, nMerges)
+    })
+
+  private def bpeTrainUncached(s: SparkSession, d: String, nMerges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var words = docs(s, d)
       .select(explode(toks(lower(col("text")))).as("word"))
