@@ -494,6 +494,26 @@ object TextAnalysis {
       bpeTrain(s, d, 10)._2
         .select(explode(col("s")).as("token"), col("freq"))
         .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
+    },
+
+    // Per-document TRAINED-subword token counts — the tokenizer-cost
+    // input a packing/budgeting pass (pp05/pp06) actually needs, where
+    // tx01's n_tokens_bpe was the pre-tokenizer proxy. The trained
+    // vocab table already maps every corpus word to its final
+    // segmentation length, so the encode is one corpus explode+agg on
+    // (doc, word) joined to the VOCABULARY-sized length map (AQE's
+    // choice, like tx09's df join) — no per-document fold chain, no
+    // second training pass (memoized trainer).
+    "tx19_bpe_doc_tokens" -> { (s, d) =>
+      val vocab = bpeTrain(s, d, 10)._2
+        .select(col("word"), size(col("s")).as("n_sub"))
+      docs(s, d)
+        .select(col("doc_id"), explode(toks(lower(col("text")))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+        .join(vocab, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n") * col("n_sub")).as("n_bpe_tokens"),
+          sum(col("n")).as("n_words"))
     }
   )
 
@@ -524,7 +544,7 @@ object TextAnalysis {
     var words = docs(s, d)
       .select(explode(toks(lower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         regexp_extract_all(col("word"), lit("."), lit(0)).as("s"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
@@ -552,7 +572,7 @@ object TextAnalysis {
         // (Catalyst lambda analysis, not execution, dominates); with
         // it every iteration plans one flat fold over the pinned
         // vocab-sized table, and the corpus is still scanned once.
-        words = words.select(col("freq"),
+        words = words.select(col("word"), col("freq"),
           aggregate(col("s"), array().cast("array<string>"),
             (acc, c) => when(size(acc) > 0 &&
                 get(acc, size(acc) - 1) === lit(x) && c === lit(y),
@@ -967,6 +987,19 @@ object TextAnalysis {
     "tx18_bpe_encode" ->
       s"""$bpeStagesSql
          |SELECT u.sym AS token, CAST(sum(freq) AS BIGINT) AS cnt
-         |FROM w10, unnest(s) AS u(sym) GROUP BY u.sym""".stripMargin
+         |FROM w10, unnest(s) AS u(sym) GROUP BY u.sym""".stripMargin,
+
+    "tx19_bpe_doc_tokens" ->
+      s"""$bpeStagesSql,
+         |dw AS (
+         |  SELECT doc_id, word, count(*) AS n FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |    FROM documents) t
+         |  GROUP BY doc_id, word)
+         |SELECT dw.doc_id,
+         |  CAST(sum(dw.n * len(w10.s)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(dw.n) AS BIGINT) AS n_words
+         |FROM dw JOIN w10 USING (word)
+         |GROUP BY dw.doc_id""".stripMargin
   )
 }

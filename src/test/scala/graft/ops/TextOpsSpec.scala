@@ -145,6 +145,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map { case (t, c) => t.length * c }.sum == letters)
   }
 
+  test("tx19 doc token counts: conservation against tx18's histogram") {
+    val t19 = TextAnalysis.queries("tx19_bpe_doc_tokens")(spark, sf)
+      .agg(sum(col("n_bpe_tokens")), sum(col("n_words"))).collect()(0)
+    val t18 = TextAnalysis.queries("tx18_bpe_encode")(spark, sf)
+      .agg(sum(col("cnt"))).collect()(0)
+    // total subword occurrences across docs == the corpus histogram mass
+    assert(t19.getLong(0) == t18.getLong(0))
+    // every word is at least one subword
+    assert(t19.getLong(0) >= t19.getLong(1) && t19.getLong(1) > 0)
+  }
+
   test("tx17 BPE: overlapping-run merges are left-to-right non-overlapping") {
     // 'oo'-heavy corpus forces an l = r merge; "oooo" must become
     // [oo][oo] and "ooo" [oo][o] — the Sennrich scan, not a re-merge
