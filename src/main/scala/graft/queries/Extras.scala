@@ -339,6 +339,35 @@ object Extras {
         .unionByName(inserts)
     },
 
+    // q32: SCD-2 HISTORY BUILD — the other half of warehouse change
+    // tracking: where q30 overwrites in place (SCD type 1), type 2
+    // keeps every version with a validity interval. The per-customer
+    // order-status stream is collapsed into versioned rows: each
+    // status CHANGE (in (o_orderdate, o_orderkey) event order — the
+    // orderkey tiebreak makes same-date histories deterministic)
+    // opens a version valid from its event time until the next
+    // change; the last version per customer is open-ended
+    // (valid_to null, is_current true). Two stacked window passes
+    // over ONE partitioning — lag to drop no-op repeats, then
+    // lead/row_number for intervals and version numbers — so the
+    // whole build is a single shuffle on the history key and bounded
+    // per-key state, the shape that holds when the change feed is a
+    // 100 TB event log (no self-join, no global sort).
+    "q32_scd2_history" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("prev_status").isNull ||
+          col("prev_status") =!= col("o_orderstatus"))
+        .withColumn("version", row_number().over(w).cast("int"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey").as("custkey"), col("version"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    },
+
     // q31: OLS TREND — least-squares slope/intercept of monthly
     // revenue over time, the closed-form regression every analytics
     // engine ships (and the honest version of q06's "forecast"
@@ -591,6 +620,30 @@ object Extras {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  'inserted' AS src
         |FROM orders WHERE o_orderkey % 10 = 9""".stripMargin,
+
+    // q32: the change-detect lag runs in an inner scope, the
+    // interval/version windows over the surviving change rows —
+    // the same two-pass structure as the Spark plan.
+    "q32_scd2_history" ->
+      """WITH changes AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM (
+        |    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |      LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS prev_status
+        |    FROM orders) t
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+        |)
+        |SELECT o_custkey AS custkey,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INT) AS version,
+        |  o_orderstatus AS status,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM changes""".stripMargin,
 
     // q31: identical integer sufficient statistics (exact cents,
     // centered month index), identical literal float expressions.

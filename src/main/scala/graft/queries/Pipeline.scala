@@ -326,6 +326,38 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("keep_rate"))
     },
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    // "Weighted random sampling with a reservoir"): where pp08/pp11
+    // subsample by per-GROUP rates, this selects individual docs with
+    // probability proportional to a per-DOC weight — the
+    // importance-weighted data-selection op (quality-score or
+    // length-weighted training mixes). Each doc draws the E-S key
+    // ln(u)/w (u a dyadic md5 uniform in (0,1], w = n_chars); the
+    // top-10 keys per source ARE a weighted sample without
+    // replacement — one window shuffle on the bounded stratum key,
+    // WindowGroupLimit stops each group at k at scan time, and
+    // because u is derived from doc_id, the draw is reproducible
+    // byte-for-byte across runs and engines (the pp11 auditable-freeze
+    // argument). u ∈ (0,1] (numerator h+1 ≤ 2^52, denominator 2^52+1,
+    // both exactly representable) so ln never sees 0; weight is
+    // clamped ≥ 1 so a degenerate zero-length doc cannot put 0/0 NaN
+    // ordering in the window. At 10⁹ docs per source the window form
+    // swaps for the ss04 bounded-TopK aggregator, same semantics.
+    "pp14_weighted_sample" -> { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("key").desc, col("doc_id"))
+      Tables.load(s, d, "documents")
+        .withColumn("u",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long") + 1).cast("double") / lit(4503599627370497.0))
+        .withColumn("key",
+          log(col("u")) / greatest(coalesce(col("n_chars"), lit(1L)), lit(1L))
+            .cast("double"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+    },
+
     // Decontamination at web scale: dc01's broadcast of the benchmark
     // GRAM STRINGS caps out when the benchmark suite grows (the same
     // unbounded-broadcast class as the tx09 vocabulary hint). Here the
@@ -635,6 +667,35 @@ object Pipeline {
          |SELECT u.doc_id, u.lang, r.keep_rate
          |FROM u JOIN rate r USING (lang)
          |WHERE CAST(h AS DOUBLE) / 4503599627370496.0 < r.keep_rate""".stripMargin
+    },
+
+    // pp14: the same 13-hex-digit dyadic uniform decomposition as
+    // pp11, shifted to (0,1] via (h+1)/(2^52+1) (both sides of the
+    // division exactly representable), then the E-S key ln(u)/w and
+    // the per-source top-10 window. ln is the one non-correctly-
+    // rounded op in the chain; it matters only if two keys straddle
+    // the rank-10 boundary within an ulp (the tx16 boundary-distance
+    // argument), and the hash gate at both SFs certifies they don't.
+    "pp14_weighted_sample" -> {
+      val hexw13 = (0 until 13).map(i => BigInt(16).pow(12 - i)).mkString("[", ",", "]")
+      s"""WITH u AS (
+         |  SELECT doc_id, source, n_chars,
+         |    list_sum([ CAST(strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |      * ($hexw13)[i] FOR i IN range(1, 14) ]) AS h
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ln(CAST(h + 1 AS DOUBLE) / 4503599627370497.0)
+         |      / CAST(greatest(coalesce(n_chars, 1), 1) AS DOUBLE) AS key
+         |  FROM u
+         |)
+         |SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY key DESC, doc_id) AS rank
+         |  FROM k) t
+         |WHERE rank <= 10""".stripMargin
     },
 
     // dc02's bloom prefilter is exact after the confirm join, so the

@@ -132,4 +132,55 @@ class ExtrasSpec extends SparkSpec {
     assert(!plan.contains("FullOuter"), s"merge degenerated to full outer:\n$plan")
     merged.unpersist()
   }
+
+  test("q32 SCD-2: contiguous versions, one open interval, chained " +
+    "validity, no no-op versions, point-in-time lookups replay the log") {
+    import java.time.LocalDateTime
+    val hist = Extras.queries("q32_scd2_history")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getAs[LocalDateTime](3),
+        if (r.isNullAt(4)) null else r.getAs[LocalDateTime](4),
+        r.getBoolean(5)))
+      .groupBy(_._1).map { case (c, vs) => c -> vs.sortBy(_._2).toSeq }
+
+    hist.foreach { case (c, vs) =>
+      // versions are 1..n with exactly one open (current) interval,
+      // and it is the last one
+      assert(vs.map(_._2).toSeq == (1 to vs.length), s"customer $c versions")
+      assert(vs.count(_._5 == null) == 1 && vs.last._5 == null, s"customer $c open")
+      assert(vs.count(_._6) == 1 && vs.last._6, s"customer $c is_current")
+      // intervals chain: v.valid_to == (v+1).valid_from, never reordered
+      vs.sliding(2).filter(_.length == 2).foreach { case Seq(a, b) =>
+        assert(a._5 == b._4, s"customer $c: gap between v${a._2} and v${b._2}")
+        assert(!a._4.isAfter(b._4), s"customer $c: time went backwards")
+        // SCD-2 stores CHANGES: consecutive versions never repeat a status
+        assert(a._3 != b._3, s"customer $c: no-op version v${b._2}")
+      }
+    }
+
+    // point-in-time reconstruction: for every customer, the version
+    // covering time t must carry the status of the last change event
+    // <= t in the raw log's (date, orderkey) order — replayed here
+    // with an independent driver-side scan of orders
+    val log = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus")).collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1).map { case (c, es) =>
+        c -> es.sortBy(e =>
+          (java.sql.Timestamp.valueOf(e._2).getTime, e._3)).toSeq
+      }
+    val t = LocalDateTime.parse("1998-06-15T00:00:00")
+    log.foreach { case (c, es) =>
+      val expected = es.takeWhile(!_._2.isAfter(t)).foldLeft(null: String) {
+        case (st, e) => if (e._4 != st) e._4 else st
+      }
+      val covering = hist(c).find(v =>
+        !v._4.isAfter(t) && (v._5 == null || v._5.isAfter(t)))
+      assert(covering.map(_._3).orNull == expected,
+        s"customer $c at $t: ${covering.map(_._3)} vs $expected")
+    }
+  }
 }

@@ -117,6 +117,52 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pp14 weighted sample: per-source top-k laws, independent E-S " +
+    "replay, and the weighting actually biases toward heavy docs") {
+    val out = Pipeline.queries("pp14_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // per source: exactly min(10, |source|) rows, ranks contiguous
+    val bySrc = out.groupBy(_._2)
+    val srcSizes = docs.groupBy(_._2).map { case (s0, d) => s0 -> d.length }
+    srcSizes.foreach { case (s0, n) =>
+      val got = bySrc.getOrElse(s0, Array.empty)
+      assert(got.length == math.min(10, n), s"$s0: ${got.length} of $n")
+      assert(got.map(_._4).sorted.toSeq == (1 to got.length), s"$s0 ranks")
+    }
+
+    // independent replay: recompute the E-S keys with java's own md5
+    // and ln, take the top-10 per source — must select the same docs
+    // with the same ranks (certifies the whole key chain, not just
+    // the row count)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def esKey(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370497.0
+      math.log(u) / math.max(w, 1L).toDouble
+    }
+    val expected = docs.groupBy(_._2).map { case (s0, d) =>
+      s0 -> d.map(x => (x._1, esKey(x._1, x._3)))
+        .sortBy { case (id, k) => (-k, id) }.take(10).map(_._1).toSeq
+    }
+    bySrc.foreach { case (s0, got) =>
+      assert(got.sortBy(_._4).map(_._1).toSeq == expected(s0),
+        s"$s0: selection diverged from the driver replay")
+    }
+
+    // the point of weighting: long docs are overrepresented — the
+    // sample's mean length exceeds the corpus mean (deterministic
+    // given the fixed md5 draws; a uniform sample would not be biased)
+    val sampleMean = out.map(_._3).sum.toDouble / out.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample not length-biased: $sampleMean vs $corpusMean")
+  }
+
   test("mm03 resize: constant output size, correct kept-byte accounting") {
     val df = graft.ops.Multimodal.queries("mm03_resize_payload")(spark, sf).cache()
     assert(df.filter(col("resized_bytes") =!= 1024).count() == 0)
