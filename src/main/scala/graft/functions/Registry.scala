@@ -64,5 +64,7 @@ object Registry {
     reg("hist_sketch", es => HistAggregate(es(0),
       litLong(es(1), "hist_sketch"), litLong(es(2), "hist_sketch"),
       litInt(es(3), "hist_sketch")))
+    reg("scatter_matrix", es => ScatterAggregate(es(0),
+      litInt(es(1), "scatter_matrix")))
   }
 }

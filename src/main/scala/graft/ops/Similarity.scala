@@ -605,6 +605,85 @@ object Similarity {
       }
     },
 
+    // emb05: PCA projection — the dimensionality-reduction primitive
+    // the embedding family was missing (corpus visualization, variance
+    // triage, cheap pre-filters before exact ANN). Fully replayable
+    // cross-engine, which float PCA never is, by the emb03 recipe
+    // "keep everything that touches the corpus in integers and make
+    // every float step IEEE-identical":
+    //   1. int8-quantize (ss05's shared grid);
+    //   2. center by the truncating integer mean per dim (exact);
+    //   3. scatter matrix Σ c·cᵀ via ScatterAggregate — ONE constant-
+    //      size buffer per map partition crosses the exchange (the
+    //      CMS argument: no |corpus|·d² exploded aggregation);
+    //   4. 12 rounds of driver-side power iteration on the collected
+    //      d×d matrix (the Lloyd class of transfer: d² cells, never
+    //      corpus-sized) — every step a sequential ascending fold /
+    //      sqrt / divide, each IEEE correctly-rounded and replayed
+    //      ORDER-IDENTICAL by DuckDB's sequential list_dot_product
+    //      (verified in SimilaritySpec against an independent fold);
+    //      a zero matrix (degenerate corpus) keeps v unchanged rather
+    //      than dividing 0/0;
+    //   5. sign-canonicalize (Σv ≥ 0), scale to 6-decimal integers
+    //      with half-away-from-zero rounding (both engines' round);
+    //   6. project: pc1 = ⟨c, v_scaled⟩ — pure BIGINT arithmetic, so
+    //      the per-vector output is hash-exact, and the hash gate
+    //      transitively pins the whole eigensolve.
+    "emb05_pca_project" -> { (s, d) =>
+      val q8 = quantized(s, d)
+      val dim = 64
+      val sc = sum(col("col").cast("long"))
+      val meanRows = q8.select(posexplode(col("q")))
+        .groupBy(col("pos"))
+        .agg(((sc - (sc % count(lit(1)))) / count(lit(1))).cast("int").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      if (meanRows.isEmpty)
+        q8.select(col("vec_id"), lit(0L).as("pc1")).limit(0)
+      else {
+        val m = (0 until dim).map(meanRows)
+        val centered = q8.withColumn("c",
+          expr(s"zip_with(q, array(${m.mkString(",")}), (a, b) -> a - b)"))
+        val scat = centered
+          .agg(graft.functions.Scatter.scatterMatrix(col("c"), dim).as("s"))
+          .head.getSeq[scala.collection.Seq[Long]](0)
+          .map(_.map(_.toDouble).toArray).toArray
+        // power iteration: ascending-index folds ONLY (the order the
+        // oracle's list_dot_product replays); v0 = 1/√dim = 0.125 is
+        // exactly representable at dim = 64
+        var v = Array.fill(dim)(0.125)
+        for (_ <- 1 to 12) {
+          val w = Array.tabulate(dim) { i =>
+            var acc = 0.0
+            var j = 0
+            while (j < dim) { acc += scat(i)(j) * v(j); j += 1 }
+            acc
+          }
+          var n2 = 0.0
+          var i = 0
+          while (i < dim) { n2 += w(i) * w(i); i += 1 }
+          val nrm = math.sqrt(n2)
+          if (nrm != 0.0) v = w.map(_ / nrm)
+        }
+        var vs = 0.0
+        v.foreach(x => vs += x * 1.0)
+        if (vs < 0.0) v = v.map(-_)
+        // half-away-from-zero at exactly .5, floor/ceil elsewhere —
+        // the semantics BOTH engines' round() applies to doubles
+        def rhalf(x: Double): Long = {
+          val f = math.floor(x)
+          val frac = x - f
+          if (frac > 0.5) f.toLong + 1
+          else if (frac < 0.5) f.toLong
+          else if (x >= 0) f.toLong + 1 else f.toLong
+        }
+        val scaled = v.map(x => rhalf(x * 1000000.0))
+        centered.select(col("vec_id"),
+          expr(s"aggregate(zip_with(c, array(${scaled.mkString("L,")}L), " +
+            "(a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
+            .as("pc1"))
+      }
+    },
+
     // Product-quantization ANN (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search") — the memory-bounded
     // ANN tier: the 64-dim int8 vector is split into M=32 subspaces of
@@ -854,6 +933,80 @@ object Similarity {
         |      ORDER BY n_votes DESC, label) AS vr
         |  FROM votes) t
         |WHERE vr = 1""".stripMargin,
+
+    // emb05: the ENTIRE chain replayed — ss05 quantization, truncating
+    // integer means, the full d×d integer scatter (the explode form
+    // here; the Spark side's ScatterAggregate emits identical cells),
+    // then 12 power-iteration rounds as a recursive CTE whose matvec /
+    // norm / divide are sequential list folds of the same doubles in
+    // the same order (list_dot_product ≡ the Scala ascending loop —
+    // pinned by SimilaritySpec), sign fix, 6-decimal scaling, and the
+    // BIGINT projection. The CAST(0.125 AS DOUBLE) anchor matters: a
+    // bare 0.125 literal is DECIMAL(4,3) and would quantize the whole
+    // recursion to 3 decimals. The nrm = 0 CASE mirrors the Scala
+    // degenerate-corpus guard (zero scatter keeps v, never 0/0).
+    "emb05_pca_project" ->
+      """WITH RECURSIVE q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(
+        |      CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+        |    ) AS INT)) AS q
+        |  FROM embeddings
+        |), mean_cells AS (
+        |  SELECT u.i AS pos, CAST((s - (s % n)) // n AS INT) AS m
+        |  FROM (
+        |    SELECT u.i, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
+        |      CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM q8, UNNEST(range(0, len(q))) AS u(i)
+        |    GROUP BY u.i) u(i, s, n)
+        |), mlist AS (
+        |  SELECT list(m ORDER BY pos) AS m FROM mean_cells
+        |), cent AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(q) + 1), i -> q[i] - ml.m[i]) AS c
+        |  FROM q8, mlist ml
+        |), scat_cells AS (
+        |  SELECT u.i AS i, v.j AS j,
+        |    CAST(SUM(c[u.i + 1] * c[v.j + 1]) AS BIGINT) AS s
+        |  FROM cent, UNNEST(range(0, len(c))) AS u(i),
+        |    UNNEST(range(0, len(c))) AS v(j)
+        |  GROUP BY u.i, v.j
+        |), srows AS (
+        |  SELECT i, list(CAST(s AS DOUBLE) ORDER BY j) AS r
+        |  FROM scat_cells GROUP BY i
+        |), smat AS (
+        |  SELECT list(r ORDER BY i) AS S FROM srows
+        |), it AS (
+        |  SELECT 0 AS k,
+        |    list_transform(range(1, len(m.S) + 1), i -> CAST(0.125 AS DOUBLE)) AS v
+        |  FROM smat m
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    CASE WHEN sqrt(list_dot_product(
+        |        list_transform(m.S, r -> list_dot_product(r, it.v)),
+        |        list_transform(m.S, r -> list_dot_product(r, it.v)))) = 0.0
+        |      THEN it.v
+        |      ELSE list_transform(
+        |        list_transform(m.S, r -> list_dot_product(r, it.v)),
+        |        x -> x / sqrt(list_dot_product(
+        |          list_transform(m.S, r -> list_dot_product(r, it.v)),
+        |          list_transform(m.S, r -> list_dot_product(r, it.v)))))
+        |    END
+        |  FROM it, smat m WHERE k < 12
+        |), vfin AS (
+        |  SELECT v FROM it WHERE k = 12
+        |), vsig AS (
+        |  SELECT CASE WHEN list_dot_product(v,
+        |      list_transform(range(1, len(v) + 1), i -> CAST(1.0 AS DOUBLE))) < 0.0
+        |    THEN list_transform(v, x -> -x) ELSE v END AS v
+        |  FROM vfin
+        |), scaled AS (
+        |  SELECT list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sc
+        |  FROM vsig
+        |)
+        |SELECT c.vec_id, CAST(list_dot_product(c.c, s.sc) AS BIGINT) AS pc1
+        |FROM cent c, scaled s""".stripMargin,
 
     // emb04: emb01's rounded centroid assembled into a list, then the
     // ss01-validated cosine (sequential double fold both sides) and a

@@ -251,4 +251,53 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("emb05 PCA: recovers a planted dominant direction (|corr| > 0.99), " +
+    "deterministic across runs") {
+    import spark.implicits._
+    // synthetic corpus with a KNOWN principal axis: vec = t·u + small
+    // deterministic noise, t = ±200 (CONSTANT magnitude, because the
+    // chain starts from ss05's per-vector quantization, which is
+    // scale-invariant — only the direction survives, so the planted
+    // signal must live in direction, not length). The planted ±u
+    // split dwarfs the ±3-per-dim noise, so the true top eigenvector
+    // is ~u and pc1 must separate the two planted sides — gating
+    // SEMANTICS (the eigensolve finds the dominant axis), where the
+    // DuckDB oracle gates the bit-exact replay.
+    val dim = 64
+    val u = Array.tabulate(dim)(j => if (j % 3 == 0) 3.0 else if (j % 3 == 1) -2.0 else 1.0)
+    val rows = (0 until 400).map { i =>
+      val t = if (i % 2 == 0) 200.0 else -200.0
+      val emb = Array.tabulate(dim)(j =>
+        (t * u(j) + ((i * 31 + j * 17) % 7 - 3)).toFloat)
+      (i.toLong, emb, 0)
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    try {
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      val out = Similarity.queries("emb05_pca_project")(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size == 400)
+      val ts = rows.map(r => if (r._1 % 2 == 0) 200.0 else -200.0)
+      val ps = rows.map(r => out(r._1).toDouble)
+      def corr(a: Seq[Double], b: Seq[Double]): Double = {
+        val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+        val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+        val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum,
+          b.map(x => (x - mb) * (x - mb)).sum)
+        cov / math.sqrt(va * vb)
+      }
+      val c = corr(ts, ps)
+      assert(math.abs(c) > 0.99, s"pc1 lost the planted axis: corr $c")
+      // reproducibility: the projection is a pure function of the corpus
+      val again = Similarity.queries("emb05_pca_project")(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == out, "emb05 not deterministic across invocations")
+    } finally {
+      val root = java.nio.file.Paths.get(d)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }
