@@ -224,6 +224,36 @@ object Graph {
       nodes.join(dist, Seq("node"), "left_anti").withColumn("dist", lit(-1)))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    * time algorithm to detect community structures in large-scale
+    * networks"), made DETERMINISTIC so it can be oracle'd: labels start
+    * as node ids; each round every node adopts the most frequent label
+    * among its neighbors, ties broken toward the SMALLEST label (the
+    * paper breaks ties uniformly at random — the one change, and the
+    * standard one for reproducible pipelines). Fixed `iters` rounds,
+    * synchronous updates (all nodes flip together off the previous
+    * round's labels).
+    *
+    * Scale shape = pagerank's: the memoized pre-partitioned adjacency
+    * never moves; each round shuffles only (node, label) state — one
+    * partial-agged (dst, label) count and one per-dst integer argmax
+    * (max of (cnt, −label) structs, so the tie rule is inside the
+    * aggregate, not a window). Everything is integer, so the DuckDB
+    * oracle replays the rounds as unrolled CTEs exactly like gr01/gr03. */
+  def labelProp(edges: DataFrame, iters: Int): DataFrame = {
+    val (adj, nodes) = adjNodes(edges) // deg column unused here
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = adj.join(labels, adj("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+    }
+    labels
+  }
+
   /** Triangle count over an undirected edge list (a, b) with a < b,
     * using the degree-ordered orientation: each edge points from its
     * lower-(degree, id) endpoint to the higher, so every out-degree is
@@ -321,6 +351,17 @@ object Graph {
       bfsHops(tradeEdges(s, d),
           col("node") % 2 === 0 && col("node") < 20, iters = 4)
         .groupBy(col("dist"), kind(col("node")).as("kind"))
+        .agg(count(lit(1)).as("n_nodes"))
+    },
+
+    // Community census of the trade graph after 3 deterministic LPA
+    // rounds: communities are label-keyed, and the (label, kind) split
+    // shows each community's customer/supplier composition (communities
+    // straddle the bipartition — that is what makes them communities
+    // and not the trivial two-sided split).
+    "gr04_label_prop" -> { (s, d) =>
+      labelProp(tradeEdges(s, d), iters = 3)
+        .groupBy(col("label"), kind(col("node")).as("kind"))
         .agg(count(lit(1)).as("n_nodes"))
     }
   )
@@ -444,10 +485,44 @@ object Graph {
        |FROM final GROUP BY 1, 2""".stripMargin
   }
 
+  // LPA unrolled: each round is a neighbor-label count plus a
+  // ROW_NUMBER argmax with the same (cnt DESC, label ASC) tie rule the
+  // Spark side encodes as max(struct(cnt, -label)). Integer-exact.
+  private def labelPropSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+         |  FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |  GROUP BY e.dst, l.label),
+         |l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$i) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds
+       |SELECT label,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  COUNT(*) AS n_nodes
+       |FROM l$iters GROUP BY 1, 2""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "gr01_pagerank" -> pagerankSql,
 
     "gr03_bfs_hops" -> bfsSql(4),
+
+    "gr04_label_prop" -> labelPropSql(3),
 
     // Same orientation rule, same single-apex counting argument; the
     // closure test is EXISTS against the canonical a < b edge list.

@@ -187,4 +187,55 @@ class GraphSpec extends SparkSpec {
       (col("node_id") % 2 === 0 && col("kind") =!= "customer") ||
         (col("node_id") % 2 === 1 && col("kind") =!= "supplier")).count() == 0)
   }
+
+  /** Independent reference LPA: the same deterministic recurrence
+    * (most frequent neighbor label, ties to the smallest) in plain
+    * Scala collections. */
+  private def refLabelProp(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = out.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = out.map { case (n, nbrs) =>
+        val counts = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelProp finds two planted cliques across a bridge, and matches " +
+    "the reference recurrence on a deterministic random graph") {
+    import spark.implicits._
+    // two K10 cliques {0..9} and {100..109}, one bridge edge 9—100:
+    // after 3 synchronous rounds every node in clique A carries label 0
+    // and every node in clique B carries label 100 (hand-derivable:
+    // round 1 is min-neighbor-id, rounds 2-3 flood the clique minima)
+    val cliqueA = for (i <- 0L to 9L; j <- 0L to 9L if i != j) yield (i, j)
+    val cliqueB = for (i <- 100L to 109L; j <- 100L to 109L if i != j) yield (i, j)
+    val planted = cliqueA ++ cliqueB ++ Seq((9L, 100L), (100L, 9L))
+    val got = Graph.labelProp(planted.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(got(_) == 0L), s"clique A: $got")
+    assert((100L to 109L).forall(got(_) == 100L), s"clique B: $got")
+    assert(got == refLabelProp(planted, 3))
+
+    // deterministic pseudo-random graph: the distributed argmax (incl.
+    // tie-breaks) must equal the driver recurrence node-for-node
+    val rnd = new scala.util.Random(13)
+    val raw = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val got2 = Graph.labelProp(sym.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == refLabelProp(sym, 3))
+  }
+
+  test("gr04 communities are nontrivial: fewer labels than nodes, both kinds present") {
+    val census = Graph.queries("gr04_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nodes = census.map(_._3).sum
+    val labels = census.map(_._1).distinct.length
+    assert(labels < nodes, s"LPA degenerated: $labels labels over $nodes nodes")
+    assert(census.map(_._2).distinct.sorted.toSeq == Seq("customer", "supplier"))
+  }
 }
