@@ -42,26 +42,13 @@ case class ScatterAggregate(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](dim * (dim + 1) / 2)
 
-  // triangle offset of row i (cells (i,i)..(i,dim-1) are contiguous)
-  @inline private def rowBase(i: Int): Int = i * dim - i * (i - 1) / 2 - i
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       require(a.numElements() == dim,
         s"scatter_matrix: expected $dim components, got ${a.numElements()}")
-      var i = 0
-      while (i < dim) {
-        val ci = a.getInt(i).toLong
-        val base = rowBase(i)
-        var j = i
-        while (j < dim) {
-          buf(base + j) += ci * a.getInt(j)
-          j += 1
-        }
-        i += 1
-      }
+      Scatter.accumulate(buf, a.getInt, dim)
     }
     buf
   }
@@ -79,7 +66,8 @@ case class ScatterAggregate(
       val r = new Array[Long](dim)
       var j = 0
       while (j < dim) {
-        r(j) = if (j >= i) buf(rowBase(i) + j) else buf(rowBase(j) + i)
+        r(j) = if (j >= i) buf(Scatter.rowBase(i, dim) + j)
+          else buf(Scatter.rowBase(j, dim) + i)
         j += 1
       }
       rows(i) = new GenericArrayData(r)
@@ -118,4 +106,28 @@ object Scatter {
   def scatterMatrix(c: Column, dim: Int): Column =
     GraftBridge.toColumn(ScatterAggregate(
       GraftBridge.toExpression(c), dim).toAggregateExpression())
+
+  /** Triangle offset of row i: cells (i,i)..(i,dim−1) live at
+    * rowBase(i,dim)+i .. rowBase(i,dim)+dim−1. */
+  @inline private[graft] def rowBase(i: Int, dim: Int): Int =
+    i * dim - i * (i - 1) / 2 - i
+
+  /** Fold one vector's outer product into the triangle buffer — the
+    * ONE accumulation kernel, shared by the batch aggregate and the
+    * streaming twin (SketchStream.scatterCells) so their cells cannot
+    * drift. */
+  private[graft] def accumulate(buf: Array[Long], get: Int => Int,
+      dim: Int): Unit = {
+    var i = 0
+    while (i < dim) {
+      val ci = get(i).toLong
+      val base = rowBase(i, dim)
+      var j = i
+      while (j < dim) {
+        buf(base + j) += ci * get(j)
+        j += 1
+      }
+      i += 1
+    }
+  }
 }

@@ -88,6 +88,60 @@ object SketchStream {
       }
   }
 
+  final case class SCell(i: Int, j: Int, s: Long, seq: Long)
+
+  /** Incremental scatter matrix over a stream of int vectors (column
+    * `c`, array<int> of fixed `dim`) — the streaming twin of emb05's
+    * ScatterAggregate: PCA/covariance sufficient statistics maintained
+    * as embedding batches land, so a principal-axis refresh reads the
+    * standing triangle instead of re-scanning every vector ever seen.
+    * State = the d(d+1)/2 Long triangle (~16 KB at d=64) plus a
+    * trigger counter, regardless of rows; the fold is the SAME kernel
+    * as the batch aggregate (Scatter.accumulate), so the cells cannot
+    * drift from emb05's. Additive like the CMS/Hist (NOT idempotent):
+    * exactly-once source semantics required — the three-sketch
+    * delivery-contrast note applies.
+    *
+    * Unlike CMS counts, scatter cells are NOT monotone (products can
+    * be negative), so "latest emission wins" cannot be expressed as a
+    * max over cell values; every emission therefore carries the
+    * trigger sequence number and the FULL triangle (d(d+1)/2 rows —
+    * constant-sized, like the state), and a consumer keeps the
+    * max-seq row per cell. */
+  def scatterCells(spark: SparkSession, vecs: DataFrame,
+      dim: Int): Dataset[SCell] = {
+    import spark.implicits._
+    val tri = dim * (dim + 1) / 2
+    vecs.select(col("c")).filter(col("c").isNotNull)
+      .as[Seq[Int]]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Array[Long], SCell](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          // slot `tri` holds the trigger counter
+          val buf = state.getOption.getOrElse(new Array[Long](tri + 1))
+          rows.foreach { c =>
+            require(c.length == dim,
+              s"scatter stream: expected $dim components, got ${c.length}")
+            graft.functions.Scatter.accumulate(buf, c(_), dim)
+          }
+          buf(tri) += 1L
+          state.update(buf)
+          val out = Seq.newBuilder[SCell]
+          var i = 0
+          while (i < dim) {
+            val base = graft.functions.Scatter.rowBase(i, dim)
+            var j = i
+            while (j < dim) {
+              out += SCell(i, j, buf(base + j), buf(tri))
+              j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+      }
+  }
+
   final case class Register(bucket: Int, m: Int)
 
   final case class KeyedRegister(k: String, bucket: Int, m: Int)

@@ -174,4 +174,44 @@ class SketchStreamSpec extends SparkSpec {
       assert(streamed == batch, "a replayed file drifted the registers")
     } finally q.stop()
   }
+
+  test("streamed scatter cells equal the batch ScatterAggregate across " +
+    "triggers (latest-seq emission per cell)") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    // signed components so the non-monotone-cell path (the reason for
+    // the seq column) is actually exercised
+    val vecs = Seq.fill(300)(Array.fill(dim)(rnd.nextInt(101) - 50))
+    val (first, second) = vecs.splitAt(150)
+    val dir = java.nio.file.Files.createTempDirectory("scatter_stream")
+    first.map(Tuple1(_)).toDF("c").coalesce(1)
+      .write.parquet(dir.resolve("in").toString)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("c ARRAY<INT>"))
+      .parquet(dir.resolve("in").toString)
+    val q = SketchStream.scatterCells(spark, src, dim)
+      .writeStream.format("memory").queryName("scatter_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      second.map(Tuple1(_)).toDF("c").coalesce(1)
+        .write.mode("append").parquet(dir.resolve("in").toString)
+      q.processAllAvailable()
+      val maxSeq = spark.table("scatter_stream")
+        .agg(max(col("seq"))).head.getLong(0)
+      val streamed = spark.table("scatter_stream")
+        .filter(col("seq") === maxSeq)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batch = vecs.map(Tuple1(_)).toDF("c")
+        .agg(graft.functions.Scatter.scatterMatrix(col("c"), dim)).head
+        .getSeq[scala.collection.Seq[Long]](0)
+      val batchUpper = (for {
+        i <- 0 until dim
+        j <- i until dim
+      } yield (i, j) -> batch(i)(j)).toMap
+      assert(streamed == batchUpper,
+        "streamed scatter cells diverged from the batch aggregate")
+    } finally q.stop()
+  }
 }
