@@ -79,4 +79,20 @@ object Num {
 
   /** Re-aggregate exact decimal partials to the final double. */
   def finishDouble(partial: Column): Column = sum(partial).cast(DoubleType)
+
+  /** Driver-side scale-0 rounding with the semantics BOTH engines'
+    * `round()` applies to a DOUBLE — half AWAY from zero at an exact
+    * binary .5, floor/ceil elsewhere (java.lang.Math.round differs:
+    * it is floor(x+0.5), which rounds −2.5 UP to −2 and mis-rounds
+    * doubles one ulp below a half). Used where an eigensolve/statistic
+    * computed on the driver re-enters the plan as an integer literal
+    * that a DuckDB `CAST(round(x) AS BIGINT)` must reproduce
+    * (emb05/emb06). */
+  def rhalf(x: Double): Long = {
+    val f = math.floor(x)
+    val frac = x - f
+    if (frac > 0.5) f.toLong + 1
+    else if (frac < 0.5) f.toLong
+    else if (x >= 0) f.toLong + 1 else f.toLong
+  }
 }

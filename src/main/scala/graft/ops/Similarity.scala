@@ -38,15 +38,87 @@ object Similarity {
   // previously re-persisted per ss09/emb03 INVOCATION (each bench rep
   // leaked another DISK_ONLY copy for the session lifetime). One
   // memoized persist per (session, dir), like the codebooks.
-  // emb05's driver-side eigensolve — (truncating integer means, scaled
-  // eigenvector literals) per (session, dir): the corpus scans behind
-  // them (mean agg + scatter agg) run once per session, not per
+  /** emb05/emb06's driver-side eigensolve outputs: truncating integer
+    * means, scaled eigenvector literals, vector count, integer trace,
+    * and the raw Rayleigh eigenvalue estimate. */
+  private final case class PcaSolve(m: Seq[Int], scaled: Array[Long],
+      nVecs: Long, trace: Long, lamRaw: Double)
+
+  // memoized per (session, dir): the corpus scans behind the solve
+  // (mean agg + scatter agg) run once per session, not per
   // invocation/bench rep. Pure values (no persisted DataFrames), so
   // eviction is just map cleanup.
   private val pcaCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Option[(Seq[Int], Array[Long])]]
+    .empty[(SparkSession, String), PcaSolve]
   graft.SessionCaches.registerEvictor(s =>
     pcaCache.keySet.toSeq.filter(_._1 eq s).foreach(pcaCache.remove))
+
+  private val PcaDim = 64
+
+  /** The shared eigensolve: two corpus aggregations (truncating
+    * integer means; ScatterAggregate triangle) + 12 ascending-fold
+    * power-iteration rounds on the collected d×d matrix, sign fix,
+    * 6-decimal integer scaling, plus the Rayleigh quotient λ = vᵀSv
+    * for emb06 — every float step order-pinned to DuckDB's sequential
+    * list_dot_product. None on an empty corpus (deliberately NOT
+    * cached — the ivfInt8Centroids rule). */
+  private def pcaSolve(s: SparkSession, d: String): Option[PcaSolve] = {
+    graft.SessionCaches.track(s)
+    pcaCache.get((s, d)).orElse {
+      val dim = PcaDim
+      val q8 = quantized(s, d)
+      val sc = sum(col("col").cast("long"))
+      val meanRows = q8.select(posexplode(col("q")))
+        .groupBy(col("pos"))
+        .agg(((sc - (sc % count(lit(1)))) / count(lit(1))).cast("int").as("m"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap
+      if (meanRows.isEmpty) None
+      else {
+        val m = (0 until dim).map(i => meanRows(i)._1)
+        val nVecs = meanRows(0)._2
+        val scatL = q8.withColumn("c",
+            expr(s"zip_with(q, array(${m.mkString(",")}), (a, b) -> a - b)"))
+          .agg(graft.functions.Scatter.scatterMatrix(col("c"), dim).as("s"))
+          .head.getSeq[scala.collection.Seq[Long]](0)
+        val trace = (0 until dim).map(i => scatL(i)(i)).sum
+        val scat = scatL.map(_.map(_.toDouble).toArray).toArray
+        // power iteration: ascending-index folds ONLY (the order the
+        // oracle's list_dot_product replays); v0 = 1/√dim = 0.125 is
+        // exactly representable at dim = 64
+        var v = Array.fill(dim)(0.125)
+        def matvec(x: Array[Double]): Array[Double] =
+          Array.tabulate(dim) { i =>
+            var acc = 0.0
+            var j = 0
+            while (j < dim) { acc += scat(i)(j) * x(j); j += 1 }
+            acc
+          }
+        for (_ <- 1 to 12) {
+          val w = matvec(v)
+          var n2 = 0.0
+          var i = 0
+          while (i < dim) { n2 += w(i) * w(i); i += 1 }
+          val nrm = math.sqrt(n2)
+          if (nrm != 0.0) v = w.map(_ / nrm)
+        }
+        var vs = 0.0
+        v.foreach(x => vs += x * 1.0)
+        if (vs < 0.0) v = v.map(-_)
+        // Rayleigh quotient on the sign-fixed unit vector: the λ₁
+        // estimate emb06 reports (ascending folds, like everything)
+        val w = matvec(v)
+        var lam = 0.0
+        var i = 0
+        while (i < dim) { lam += v(i) * w(i); i += 1 }
+        val r = PcaSolve(m,
+          v.map(x => graft.functions.Num.rhalf(x * 1000000.0)),
+          nVecs, trace, lam)
+        pcaCache.put((s, d), r)
+        Some(r)
+      }
+    }
+  }
 
   private val q8Cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -641,71 +713,44 @@ object Similarity {
     //      transitively pins the whole eigensolve.
     "emb05_pca_project" -> { (s, d) =>
       val q8 = quantized(s, d)
-      val dim = 64
-      // means + scatter + eigensolve memoized per (session, dir): two
-      // corpus aggs and the d² driver solve run once per session, and
-      // every later invocation is the single map-only projection scan.
-      // The empty-corpus verdict is deliberately NOT cached (the
-      // ivfInt8Centroids rule).
-      graft.SessionCaches.track(s)
-      val solved = pcaCache.get((s, d)).getOrElse {
-        val sc = sum(col("col").cast("long"))
-        val meanRows = q8.select(posexplode(col("q")))
-          .groupBy(col("pos"))
-          .agg(((sc - (sc % count(lit(1)))) / count(lit(1))).cast("int").as("m"))
-          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-        if (meanRows.isEmpty) None
-        else {
-          val m = (0 until dim).map(meanRows)
-          val scat = q8.withColumn("c",
-              expr(s"zip_with(q, array(${m.mkString(",")}), (a, b) -> a - b)"))
-            .agg(graft.functions.Scatter.scatterMatrix(col("c"), dim).as("s"))
-            .head.getSeq[scala.collection.Seq[Long]](0)
-            .map(_.map(_.toDouble).toArray).toArray
-          // power iteration: ascending-index folds ONLY (the order the
-          // oracle's list_dot_product replays); v0 = 1/√dim = 0.125 is
-          // exactly representable at dim = 64
-          var v = Array.fill(dim)(0.125)
-          for (_ <- 1 to 12) {
-            val w = Array.tabulate(dim) { i =>
-              var acc = 0.0
-              var j = 0
-              while (j < dim) { acc += scat(i)(j) * v(j); j += 1 }
-              acc
-            }
-            var n2 = 0.0
-            var i = 0
-            while (i < dim) { n2 += w(i) * w(i); i += 1 }
-            val nrm = math.sqrt(n2)
-            if (nrm != 0.0) v = w.map(_ / nrm)
-          }
-          var vs = 0.0
-          v.foreach(x => vs += x * 1.0)
-          if (vs < 0.0) v = v.map(-_)
-          // half-away-from-zero at exactly .5, floor/ceil elsewhere —
-          // the semantics BOTH engines' round() applies to doubles
-          def rhalf(x: Double): Long = {
-            val f = math.floor(x)
-            val frac = x - f
-            if (frac > 0.5) f.toLong + 1
-            else if (frac < 0.5) f.toLong
-            else if (x >= 0) f.toLong + 1 else f.toLong
-          }
-          val r = Some((m, v.map(x => rhalf(x * 1000000.0))))
-          pcaCache.put((s, d), r)
-          r
-        }
-      }
-      solved match {
+      pcaSolve(s, d) match {
         case None =>
           q8.select(col("vec_id"), lit(0L).as("pc1")).limit(0)
-        case Some((m, scaled)) =>
+        case Some(p) =>
           q8.withColumn("c",
-              expr(s"zip_with(q, array(${m.mkString(",")}), (a, b) -> a - b)"))
+              expr(s"zip_with(q, array(${p.m.mkString(",")}), (a, b) -> a - b)"))
             .select(col("vec_id"),
-              expr(s"aggregate(zip_with(c, array(${scaled.mkString("L,")}L), " +
+              expr(s"aggregate(zip_with(c, array(${p.scaled.mkString("L,")}L), " +
                 "(a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
                 .as("pc1"))
+      }
+    },
+
+    // emb06: how much structure did pc1 capture — the variance-explained
+    // summary a curation pass reads before trusting emb05's axis (a low
+    // ratio says the corpus is isotropic and 1-D projection discards
+    // nearly everything). One row: vector count, the exact integer
+    // trace of the scatter (total centered variance·n, a pure BIGINT),
+    // the Rayleigh eigenvalue estimate λ₁ = vᵀSv of the converged
+    // vector, and λ₁/trace — the two floats re-entering as
+    // scale-rounded integers (×10⁴ / ×10⁶, Num.rhalf) so the output
+    // row is all-BIGINT and the oracle replays it with scale-0 rounds
+    // only (the validated cross-engine semantics). Costs nothing
+    // beyond emb05's memoized solve.
+    "emb06_pca_variance" -> { (s, d) =>
+      import s.implicits._
+      pcaSolve(s, d) match {
+        case None =>
+          Seq.empty[(Long, Long, Long, Long)]
+            .toDF("n_vecs", "trace", "lambda1_e4", "var_ratio_e6")
+        case Some(p) =>
+          val lamE4 = graft.functions.Num.rhalf(p.lamRaw * 10000.0)
+          val ratioE6 =
+            if (p.trace == 0L) 0L
+            else graft.functions.Num.rhalf(
+              p.lamRaw / p.trace.toDouble * 1000000.0)
+          Seq((p.nVecs, p.trace, lamE4, ratioE6))
+            .toDF("n_vecs", "trace", "lambda1_e4", "var_ratio_e6")
       }
     },
 
@@ -1032,6 +1077,83 @@ object Similarity {
         |)
         |SELECT c.vec_id, CAST(list_dot_product(c.c, s.sc) AS BIGINT) AS pc1
         |FROM cent c, scaled s""".stripMargin,
+
+    // emb06: emb05's chain with the Rayleigh tail instead of the
+    // projection — λ₁ = vᵀ(S·v) on the sign-fixed vector (both dots
+    // sequential ascending, matching the Scala folds), the exact
+    // BIGINT trace from the diagonal cells, and the two floats emitted
+    // as scale-0-rounded integers (the validated round semantics).
+    "emb06_pca_variance" ->
+      """WITH RECURSIVE q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(
+        |      CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+        |    ) AS INT)) AS q
+        |  FROM embeddings
+        |), mean_cells AS (
+        |  SELECT u.i AS pos, CAST((s - (s % n)) // n AS INT) AS m
+        |  FROM (
+        |    SELECT u.i, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
+        |      CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM q8, UNNEST(range(0, len(q))) AS u(i)
+        |    GROUP BY u.i) u(i, s, n)
+        |), mlist AS (
+        |  SELECT list(m ORDER BY pos) AS m FROM mean_cells
+        |), cent AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(q) + 1), i -> q[i] - ml.m[i]) AS c
+        |  FROM q8, mlist ml
+        |), scat_cells AS (
+        |  SELECT u.i AS i, v.j AS j,
+        |    CAST(SUM(c[u.i + 1] * c[v.j + 1]) AS BIGINT) AS s
+        |  FROM cent, UNNEST(range(0, len(c))) AS u(i),
+        |    UNNEST(range(0, len(c))) AS v(j)
+        |  GROUP BY u.i, v.j
+        |), srows AS (
+        |  SELECT i, list(CAST(s AS DOUBLE) ORDER BY j) AS r
+        |  FROM scat_cells GROUP BY i
+        |), smat AS (
+        |  SELECT list(r ORDER BY i) AS S FROM srows
+        |), it AS (
+        |  SELECT 0 AS k,
+        |    list_transform(range(1, len(m.S) + 1), i -> CAST(0.125 AS DOUBLE)) AS v
+        |  FROM smat m
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    CASE WHEN sqrt(list_dot_product(
+        |        list_transform(m.S, r -> list_dot_product(r, it.v)),
+        |        list_transform(m.S, r -> list_dot_product(r, it.v)))) = 0.0
+        |      THEN it.v
+        |      ELSE list_transform(
+        |        list_transform(m.S, r -> list_dot_product(r, it.v)),
+        |        x -> x / sqrt(list_dot_product(
+        |          list_transform(m.S, r -> list_dot_product(r, it.v)),
+        |          list_transform(m.S, r -> list_dot_product(r, it.v)))))
+        |    END
+        |  FROM it, smat m WHERE k < 12
+        |), vfin AS (
+        |  SELECT v FROM it WHERE k = 12
+        |), vsig AS (
+        |  SELECT CASE WHEN list_dot_product(v,
+        |      list_transform(range(1, len(v) + 1), i -> CAST(1.0 AS DOUBLE))) < 0.0
+        |    THEN list_transform(v, x -> -x) ELSE v END AS v
+        |  FROM vfin
+        |), ray AS (
+        |  SELECT list_dot_product(vs.v,
+        |    list_transform(m.S, r -> list_dot_product(r, vs.v))) AS lam
+        |  FROM vsig vs, smat m
+        |), tr AS (
+        |  SELECT CAST(SUM(s) AS BIGINT) AS trace FROM scat_cells WHERE i = j
+        |), nv AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM q8
+        |)
+        |SELECT n_vecs, trace,
+        |  CAST(round(lam * 10000.0) AS BIGINT) AS lambda1_e4,
+        |  CASE WHEN trace = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(round(lam / CAST(trace AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  END AS var_ratio_e6
+        |FROM nv, tr, ray""".stripMargin,
 
     // emb04: emb01's rounded centroid assembled into a list, then the
     // ss01-validated cosine (sequential double fold both sides) and a

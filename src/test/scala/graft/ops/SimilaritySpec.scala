@@ -294,6 +294,17 @@ class SimilaritySpec extends SparkSpec {
       val again = Similarity.queries("emb05_pca_project")(spark, d).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(again == out, "emb05 not deterministic across invocations")
+
+      // emb06 on the same corpus: a planted 1-D structure means pc1
+      // captures nearly all the variance (λ₁/trace ≈ 1), and λ₁ can
+      // never exceed the trace of a PSD scatter
+      val v6 = Similarity.queries("emb06_pca_variance")(spark, d).head
+      assert(v6.getLong(0) == 400)
+      val (trace, lamE4, ratioE6) = (v6.getLong(1), v6.getLong(2), v6.getLong(3))
+      assert(trace > 0)
+      assert(lamE4 <= trace * 10000L, s"lambda $lamE4 exceeds trace $trace")
+      assert(ratioE6 > 900000L,
+        s"planted 1-D corpus but pc1 explains only $ratioE6 / 1e6 of variance")
     } finally {
       val root = java.nio.file.Paths.get(d)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
