@@ -241,7 +241,16 @@ object IndexStore {
           s"ts=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
       finally out.close()
     } catch {
-      case _: java.io.IOException =>
+      // Only an actually-present lock file means "another builder".
+      // Some FileSystems signal create-no-overwrite with the typed
+      // FileAlreadyExistsException, others with a generic IOException —
+      // so on a generic one, confirm the lock exists before diagnosing
+      // concurrency; a transient FS error (permissions, network)
+      // propagates as itself instead of masquerading as a build race.
+      case e: java.io.IOException
+          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+            (try f.exists(p) catch { case _: java.io.IOException => false }) =>
         val age =
           try System.currentTimeMillis() -
             f.getFileStatus(p).getModificationTime

@@ -34,6 +34,29 @@ case class ScatterAggregate(
 
   require(dim > 0, s"scatter_matrix: dim must be positive, got $dim")
 
+  // SQL-reachable (GraftSql registers scatter_matrix), so reject wrong
+  // input types at analysis time: array<bigint> would otherwise be read
+  // via getInt on 8-byte elements and silently produce garbage, and a
+  // null element would silently count as 0.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      // containsNull=true is accepted (higher-order functions mark their
+      // results nullable even when no element is) — update() then
+      // rejects an ACTUAL null element loudly instead of counting it 0.
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "scatter_matrix requires an ARRAY<INT> argument, got " +
+            s"${other.sql} (cast components to INT first)")
+    }
+  }
+
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType =
@@ -48,6 +71,15 @@ case class ScatterAggregate(
       val a = v.asInstanceOf[ArrayData]
       require(a.numElements() == dim,
         s"scatter_matrix: expected $dim components, got ${a.numElements()}")
+      if (elementsNullable) {
+        var i = 0
+        while (i < dim) {
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            s"scatter_matrix: null component at index $i — " +
+              "filter(a, e -> e IS NOT NULL) or impute before aggregating")
+          i += 1
+        }
+      }
       Scatter.accumulate(buf, a.getInt, dim)
     }
     buf

@@ -68,8 +68,15 @@ case class BroadcastAsofJoinExec(
     val nRight = rOut.size
     val bcast = right.executeBroadcast[Array[InternalRow]]()
 
+    // The memo key must capture everything the built index depends on:
+    // ReuseExchange can share one IdentityBroadcastMode exchange between
+    // two as-of joins over the same build subplan but with different key
+    // or time bindings, and a bare broadcast-id key would then serve the
+    // first operator's index to the second.
+    val memoKey = (bcast.id, rKeyExprs.map(_.exprId.id), rTimeIdx)
+
     left.execute().mapPartitions { lIter =>
-      val index = BroadcastAsofJoinExec.indexFor(bcast.id, {
+      val index = BroadcastAsofJoinExec.indexFor(memoKey, {
         val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
         val grouped = new java.util.HashMap[InternalRow,
           scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
@@ -134,17 +141,21 @@ case class BroadcastAsofJoinExec(
 }
 
 object BroadcastAsofJoinExec {
-  // per-JVM memo of built indexes, keyed by broadcast id: every task of
-  // a stage shares one build. Bounded LRU (8) so repeated executions in
-  // a long session can't accumulate executor memory — the entry is
-  // small by the broadcast threshold's own definition.
-  private val indexes = new java.util.LinkedHashMap[Long, AnyRef](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Long, AnyRef]): Boolean =
+  // Per-JVM memo of built indexes: every task of a stage shares one
+  // build. Keyed by (broadcast id, right-key exprIds, time ordinal) —
+  // not broadcast id alone — because ReuseExchange may share one
+  // exchange across differently-bound as-of operators. Bounded LRU (8)
+  // so repeated executions in a long session can't accumulate executor
+  // memory — each entry is small by the broadcast threshold's own
+  // definition.
+  private type MemoKey = (Long, Seq[Long], Int)
+  private val indexes = new java.util.LinkedHashMap[MemoKey, AnyRef](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[MemoKey, AnyRef]): Boolean =
       size() > 8
   }
 
   private[plans] def indexFor(
-      id: Long,
+      id: MemoKey,
       build: => java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])])
       : java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])] =
     indexes.synchronized {
