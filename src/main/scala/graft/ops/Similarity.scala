@@ -62,9 +62,19 @@ object Similarity {
     * for emb06 — every float step order-pinned to DuckDB's sequential
     * list_dot_product. None on an empty corpus (deliberately NOT
     * cached — the ivfInt8Centroids rule). */
-  private def pcaSolve(s: SparkSession, d: String): Option[PcaSolve] = {
+  /** The corpus side of every eigensolve, shared by emb05/emb06/emb07:
+    * truncating integer means + the integer scatter triangle — exactly
+    * two corpus aggregations, memoized per (session, dir) so the three
+    * queries cost ONE pass between them. */
+  private val scatterCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Option[(Seq[Int], Long, Seq[Seq[Long]])]]
+  graft.SessionCaches.registerEvictor(s =>
+    scatterCache.keySet.toSeq.filter(_._1 eq s).foreach(scatterCache.remove))
+
+  private def scatterSolve(s: SparkSession, d: String)
+      : Option[(Seq[Int], Long, Seq[Seq[Long]])] = {
     graft.SessionCaches.track(s)
-    pcaCache.get((s, d)).orElse {
+    scatterCache.getOrElseUpdate((s, d), {
       val dim = PcaDim
       val q8 = quantized(s, d)
       val sc = sum(col("col").cast("long"))
@@ -81,6 +91,16 @@ object Similarity {
             expr(s"zip_with(q, array(${m.mkString(",")}), (a, b) -> a - b)"))
           .agg(graft.functions.Scatter.scatterMatrix(col("c"), dim).as("s"))
           .head.getSeq[scala.collection.Seq[Long]](0)
+        Some((m, nVecs, scatL.map(_.toSeq).toSeq))
+      }
+    })
+  }
+
+  private def pcaSolve(s: SparkSession, d: String): Option[PcaSolve] = {
+    graft.SessionCaches.track(s)
+    pcaCache.get((s, d)).orElse {
+      val dim = PcaDim
+      scatterSolve(s, d).map { case (m, nVecs, scatL) =>
         val trace = (0 until dim).map(i => scatL(i)(i)).sum
         val scat = scatL.map(_.map(_.toDouble).toArray).toArray
         // power iteration: ascending-index folds ONLY (the order the
@@ -115,7 +135,81 @@ object Similarity {
           v.map(x => graft.functions.Num.rhalf(x * 1000000.0)),
           nVecs, trace, lam)
         pcaCache.put((s, d), r)
-        Some(r)
+        r
+      }
+    }
+  }
+
+  /** Top-k eigensolve by HOTELLING DEFLATION on the shared scatter
+    * matrix — emb07's driver work, same Lloyd-class d² transfer as
+    * pcaSolve: after each converged component, S ← S − λ·vvᵀ (λ the
+    * Rayleigh quotient of the RAW converged vector; vvᵀ is
+    * sign-invariant, so deflation needs no canonicalization) and the
+    * 12-round power iteration restarts from the 0.125 vector. Every
+    * float step — matvec, norm, divide, λ, the deflation cell update
+    * S[i][j] − λ·v[i]·v[j] (left-associated) — is a sequential
+    * ascending fold replayed order-identical by emb07's recursive-CTE
+    * oracle, so the BIGINT projections are hash-exact and transitively
+    * pin the whole k-component chain. Components are returned
+    * sign-canonicalized (Σv ≥ 0) and 6-decimal integer scaled, with
+    * their λ estimates descending by construction. */
+  private[ops] final case class PcaSolveK(m: Seq[Int],
+      comps: Seq[Array[Long]], lams: Seq[Double], nVecs: Long)
+
+  private val pcaKCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), PcaSolveK]
+  graft.SessionCaches.registerEvictor(s =>
+    pcaKCache.keySet.toSeq.filter(_._1 eq s).foreach(pcaKCache.remove))
+
+  private[ops] def pcaSolveK(s: SparkSession, d: String, k: Int)
+      : Option[PcaSolveK] = {
+    graft.SessionCaches.track(s)
+    pcaKCache.get((s, d, k)).orElse {
+      val dim = PcaDim
+      scatterSolve(s, d).map { case (m, nVecs, scatL) =>
+        val scat = scatL.map(_.map(_.toDouble).toArray).toArray
+        def matvec(x: Array[Double]): Array[Double] =
+          Array.tabulate(dim) { i =>
+            var acc = 0.0
+            var j = 0
+            while (j < dim) { acc += scat(i)(j) * x(j); j += 1 }
+            acc
+          }
+        val comps = Seq.newBuilder[Array[Long]]
+        val lams = Seq.newBuilder[Double]
+        for (_ <- 1 to k) {
+          var v = Array.fill(dim)(0.125)
+          for (_ <- 1 to 12) {
+            val w = matvec(v)
+            var n2 = 0.0
+            var i = 0
+            while (i < dim) { n2 += w(i) * w(i); i += 1 }
+            val nrm = math.sqrt(n2)
+            if (nrm != 0.0) v = w.map(_ / nrm)
+          }
+          val w = matvec(v)
+          var lam = 0.0
+          var i = 0
+          while (i < dim) { lam += v(i) * w(i); i += 1 }
+          lams += lam
+          // sign-fix a COPY for output; deflate with the raw v
+          var vs = 0.0
+          v.foreach(x => vs += x * 1.0)
+          val vOut = if (vs < 0.0) v.map(-_) else v
+          comps += vOut.map(x => graft.functions.Num.rhalf(x * 1000000.0))
+          i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) {
+              scat(i)(j) = scat(i)(j) - lam * v(i) * v(j)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        val r = PcaSolveK(m, comps.result(), lams.result(), nVecs)
+        pcaKCache.put((s, d, k), r)
+        r
       }
     }
   }
@@ -754,6 +848,35 @@ object Similarity {
       }
     },
 
+    // emb07: TOP-K PCA — emb05 extended from pc1 to an 8-component
+    // basis (SemDeDup-style semantic dedup, whitening, and cheap
+    // visualization all want a top-k subspace, not one axis). The
+    // scatter matrix already holds everything; the added work is
+    // driver-side Hotelling deflation (pcaSolveK: S ← S − λvvᵀ after
+    // each converged component, power iteration restarting from the
+    // 0.125 vector) — still the Lloyd class of transfer, d² cells per
+    // component, never corpus-sized. Deflation is sign-invariant
+    // (vvᵀ), λ is the raw-vector Rayleigh quotient, and every float
+    // step is the same ascending fold the recursive-CTE oracle
+    // replays, so the eight BIGINT projections per vector are
+    // hash-exact and transitively pin the whole deflation chain.
+    "emb07_pca_topk" -> { (s, d) =>
+      val q8 = quantized(s, d)
+      pcaSolveK(s, d, 8) match {
+        case None =>
+          q8.select(col("vec_id") +:
+            (1 to 8).map(j => lit(0L).as(s"pc$j")): _*).limit(0)
+        case Some(p) =>
+          q8.withColumn("c",
+              expr(s"zip_with(q, array(${p.m.mkString(",")}), (a, b) -> a - b)"))
+            .select(col("vec_id") +: (1 to 8).map { j =>
+              expr(s"aggregate(zip_with(c, array(${p.comps(j - 1).mkString("L,")}L), " +
+                "(a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
+                .as(s"pc$j")
+            }: _*)
+      }
+    },
+
     // Product-quantization ANN (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search") — the memory-bounded
     // ANN tier: the 64-dim int8 vector is split into M=32 subspaces of
@@ -924,9 +1047,100 @@ object Similarity {
       element_at(col("codes"), m + 1) + 1))
     .reduce(_ + _)
 
+  // emb07: the deflation recursion. One recursive CTE carries
+  // (comp, k, v, S): 12 power steps per component, then at k = 12 the
+  // S itself deflates by λvvᵀ (λ recomputed inline — pure expression,
+  // same doubles every evaluation) and the iteration restarts at the
+  // 0.125 vector for the next component. Every float matches the
+  // Scala loop op-for-op: matvec/norm/divide are ascending
+  // list_dot_product folds, λ uses the RAW converged v (sign-invariant
+  // bitwise — matvec(−v) = −matvec(v) exactly), and the deflation cell
+  // is the left-associated S[i][j] − λ·v[i]·v[j].
+  private def pcaPowerStepSql(S: String, v: String): String =
+    s"""CASE WHEN sqrt(list_dot_product(
+       |    list_transform($S, r -> list_dot_product(r, $v)),
+       |    list_transform($S, r -> list_dot_product(r, $v)))) = 0.0
+       |  THEN $v
+       |  ELSE list_transform(
+       |    list_transform($S, r -> list_dot_product(r, $v)),
+       |    x -> x / sqrt(list_dot_product(
+       |      list_transform($S, r -> list_dot_product(r, $v)),
+       |      list_transform($S, r -> list_dot_product(r, $v)))))
+       |END""".stripMargin
+
+  private val emb07Sql: String = {
+    val lam = "list_dot_product(it.v, list_transform(it.S, r -> list_dot_product(r, it.v)))"
+    s"""WITH RECURSIVE q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(
+       |      CAST(x AS DOUBLE) /
+       |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+       |    ) AS INT)) AS q
+       |  FROM embeddings
+       |), mean_cells AS (
+       |  SELECT u.i AS pos, CAST((s - (s % n)) // n AS INT) AS m
+       |  FROM (
+       |    SELECT u.i, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
+       |      CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM q8, UNNEST(range(0, len(q))) AS u(i)
+       |    GROUP BY u.i) u(i, s, n)
+       |), mlist AS (
+       |  SELECT list(m ORDER BY pos) AS m FROM mean_cells
+       |), cent AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(q) + 1), i -> q[i] - ml.m[i]) AS c
+       |  FROM q8, mlist ml
+       |), scat_cells AS (
+       |  SELECT u.i AS i, v.j AS j,
+       |    CAST(SUM(c[u.i + 1] * c[v.j + 1]) AS BIGINT) AS s
+       |  FROM cent, UNNEST(range(0, len(c))) AS u(i),
+       |    UNNEST(range(0, len(c))) AS v(j)
+       |  GROUP BY u.i, v.j
+       |), srows AS (
+       |  SELECT i, list(CAST(s AS DOUBLE) ORDER BY j) AS r
+       |  FROM scat_cells GROUP BY i
+       |), smat AS (
+       |  SELECT list(r ORDER BY i) AS S FROM srows
+       |), it AS (
+       |  SELECT 1 AS comp, 0 AS k,
+       |    list_transform(range(1, len(m.S) + 1), i -> CAST(0.125 AS DOUBLE)) AS v,
+       |    m.S AS S
+       |  FROM smat m
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN it.k < 12 THEN it.comp ELSE it.comp + 1 END,
+       |    CASE WHEN it.k < 12 THEN it.k + 1 ELSE 0 END,
+       |    CASE WHEN it.k < 12 THEN ${pcaPowerStepSql("it.S", "it.v")}
+       |      ELSE list_transform(range(1, len(it.S) + 1), i -> CAST(0.125 AS DOUBLE))
+       |    END,
+       |    CASE WHEN it.k < 12 THEN it.S
+       |      ELSE list_transform(range(1, len(it.S) + 1), i ->
+       |        list_transform(range(1, len(it.S) + 1), j ->
+       |          it.S[i][j] - $lam * it.v[i] * it.v[j]))
+       |    END
+       |  FROM it WHERE it.k < 12 OR it.comp < 8
+       |), vconv AS (
+       |  SELECT comp, v FROM it WHERE k = 12
+       |), vsig AS (
+       |  SELECT comp, CASE WHEN list_dot_product(v,
+       |      list_transform(range(1, len(v) + 1), i -> CAST(1.0 AS DOUBLE))) < 0.0
+       |    THEN list_transform(v, x -> -x) ELSE v END AS v
+       |  FROM vconv
+       |), scaled AS (
+       |  SELECT comp, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sc
+       |  FROM vsig
+       |)
+       |SELECT c.vec_id,
+       |${(1 to 8).map(j =>
+            s"  CAST(list_dot_product(c.c, (SELECT sc FROM scaled WHERE comp = $j)) AS BIGINT) AS pc$j")
+            .mkString(",\n")}
+       |FROM cent c""".stripMargin
+  }
+
   // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
   // the sequential double fold of VecDot (validated empirically).
   def oracle: Map[String, String] = Map(
+    "emb07_pca_topk" -> emb07Sql,
     "ss04_topk_aggregated" -> ss01Sql,
     "ss01_topk_bruteforce" -> ss01Sql,
     "ss07_range_search" ->

@@ -539,51 +539,299 @@ object TextAnalysis {
       bpeTrainUncached(s, d, nMerges)
     })
 
-  private def bpeTrainUncached(s: SparkSession, d: String, nMerges: Int)
-      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    var words = docs(s, d)
+  /** The initial word-symbol table: corpus-wide word frequencies with
+    * each word exploded into its character symbols. The ONE corpus
+    * scan of BPE training; every later iteration is vocab-sized. */
+  private def bpeInitialWords(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(explode(toks(lower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         regexp_extract_all(col("word"), lit("."), lit(0)).as("s"))
       .localCheckpoint()
+
+  /** Adjacent-pair counts over the current word-symbol table, sorted by
+    * the merge-selection order (cnt DESC, l, r). */
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode(zip_with(
+        slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
+        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+
+  /** Apply a batch of pairwise NON-INTERACTING merges in ONE
+    * left-to-right fold over the symbol table. Non-interaction (see
+    * [[bpeSelectBatch]]) guarantees a symbol participates in at most
+    * one batch pair and no merged spelling re-enters another batch
+    * pair, so a single pass with a merge-map lookup is EXACTLY the
+    * sequence of per-merge passes. The map key joins (last, next) on a
+    * space — symbols come from space-SPLIT tokens, so no symbol can
+    * contain one and the key can never alias (bpeSelectBatch still
+    * drops to batch size 1 on a space-bearing symbol, defensively). */
+  private def bpeApplyMerges(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val m = typedlit(merges.map { case (l, r) =>
+      (l + " " + r, l + r) }.toMap)
+    // per-iteration localCheckpoint MEASURED as the right call:
+    // without it the argmax at step i re-analyzes an i-deep nested
+    // aggregate-lambda chain and tx17 goes 1.35s -> 2.0s+ at sf0.1
+    // (Catalyst lambda analysis, not execution, dominates); with
+    // it every iteration plans one flat fold over the pinned
+    // vocab-sized table, and the corpus is still scanned once.
+    words.select(col("word"), col("freq"),
+      aggregate(col("s"), array().cast("array<string>"),
+        (acc, c) => {
+          // try_element_at: a miss is the common case, and ANSI-mode
+          // element_at throws on missing map keys
+          val hit = try_element_at(m,
+            concat(get(acc, size(acc) - 1), lit(" "), c))
+          when(size(acc) > 0 && hit.isNotNull,
+            concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+            .otherwise(concat(acc, array(c)))
+        }).as("s"))
+      .localCheckpoint()
+  }
+
+  /** Select the longest batch of merges, from the (cnt DESC, l, r)
+    * sorted candidate slice, that is PROVABLY equivalent to applying
+    * them one sequential argmax at a time — the trick that turns a
+    * 50k-merge training run from 50k driver round-trips into
+    * ~50k/batch rounds. The interaction analysis is the heart of it.
+    * Merging p = (l, r) → lr changes the count of another snapshot
+    * pair q ONLY in these cases:
+    *
+    *   - q.r == p.l   ("z l r" → "z lr" destroys an occurrence of
+    *                   (z, l));
+    *   - q.l == p.r   ("l r z" → "lr z" destroys (r, z));
+    *   - a symbol spelled p.l+p.r already exists in the alphabet
+    *     (then the merge MINTS more tokens of an existing spelling,
+    *     and pairs touching that spelling gain occurrences — the one
+    *     case where a count can INCREASE, and also the one case where
+    *     the one-pass fold could cascade a fresh merge result into
+    *     another batch rule).
+    *
+    * Crucially, q sharing p's LEFT as its left (q.l == p.l, e.g.
+    * (e,r) and (e,n)) or p's right as its right is provably
+    * count-neutral — an "e" followed by "n" is not followed by "r",
+    * so the (e,r) merge cannot touch it. Natural-language top pairs
+    * share lefts constantly; admitting them is what makes batches
+    * deep. Four rules then make the batch exact, not approximate:
+    *
+    *  1. PREFIX, not skip-and-continue: stop at the first candidate
+    *     that interacts with an accepted one. (Skipping it and taking
+    *     later candidates is wrong: the skipped pair's count may NOT
+    *     actually decrease — e.g. (z,l) when no "z l r" exists — so
+    *     it can outrank everything after it in the sequential run.)
+    *  2. TRIGRAM-VERIFIED admission: the q.r==p.l / q.l==p.r overlaps
+    *     above are only POTENTIAL interactions — (z,l) loses exactly
+    *     cnt3(z,l,r) occurrences to the (l,r) merge, so if the trigram
+    *     "z l r" does not occur AT ALL, (z,l) is certifiably
+    *     count-neutral and can join the batch. The walk runs twice:
+    *     optimistically, gathering every conditional trigram, then
+    *     definitively after `probeNonzero` answers which exist (one
+    *     vocab-sized Spark job; absence in the probe result certifies
+    *     zero). The same certificates kill fold-chaining ("z l" and
+    *     "l r" both rules needs a "z l r" instance — count 0 means
+    *     none) and zero out the created pairs those admissions would
+    *     otherwise mint ((z,lr) arises cnt3(z,l,r) = 0 times). For a
+    *     self-pair (a,a) the trigram count OVERSTATES the loss (the
+    *     parity fold may spare an occurrence), but never understates
+    *     it — a zero certificate is still exact, a nonzero one is
+    *     merely conservative.
+    *  3. Reject a candidate whose merged spelling is ALREADY IN THE
+    *     ALPHABET (initial symbols + every accepted merge from all
+    *     rounds). This kills the count-increase case above AND the
+    *     cascade case of a fresh token re-matching another batch rule,
+    *     so old-pair counts only ever decrease and one fold pass ==
+    *     the sequence of per-merge passes. Within a batch, two pairs
+    *     merging to the SAME new spelling (e.g. (a,bc) and (ab,c) →
+    *     "abc") are fine: they consume disjoint token pairs and mint
+    *     a symbol no batch rule mentions.
+    *  4. STRICT-COUNT truncation: drop accepted candidates whose cnt
+    *     equals the first non-accepted candidate's cnt (effStop). Any
+    *     pair CREATED by a batch merge ("z l r" → pair (z, lr)) has
+    *     count ≤ cnt3(z,l,r) ≤ the snapshot count of (z, l) — which
+    *     is either an accepted pair whose certificate makes that
+    *     trigram count 0, or an unaccepted pair the prefix rule keeps
+    *     at-or-after the stop point — so every created pair's count is
+    *     0 or ≤ effStop < every kept member's cnt: created pairs can
+    *     never outrank the rest of the batch, even on ties (where
+    *     lexicographic order would otherwise let a new spelling like
+    *     "az" < "m" jump the queue). The same bound applies when the
+    *     batch cap or the collected slice cuts the walk short —
+    *     effStop is "the first candidate not accepted, for any
+    *     reason".
+    *
+    * Interacting old pairs only lose occurrences (≤ effStop), and
+    * certified-neutral and non-overlapping old pairs keep their exact
+    * counts and their after-the-prefix rank, so after applying
+    * accepted merges 1..i-1 the sequential argmax is exactly member i
+    * — with the exact snapshot count the sequential trainer would
+    * record. Falls back to the plain argmax (batch of 1 —
+    * definitionally sequential, whatever the alphabet) when truncation
+    * empties the batch or a symbol contains the space the apply-map
+    * keys join on.
+    *
+    * `probeNonzero` defaults to "every trigram exists" — the
+    * conservative answer that is exact with no probe job; callers with
+    * corpus access (bpeTrainBatched) pass the real certificate job. */
+  private[ops] def bpeSelectBatch(
+      cands: Seq[(String, String, Long)], maxBatch: Int,
+      sliceCoversAll: Boolean,
+      alphabet: String => Boolean,
+      probeNonzero: Seq[(String, String, String)] =>
+        Set[(String, String, String)] = ts => ts.toSet)
+      : Seq[(String, String, Long)] = {
+    if (cands.isEmpty) return Nil
+
+    // one prefix walk; `reject` answers whether a conditional trigram
+    // is (assumed or certified) nonzero
+    def walk(reject: ((String, String, String)) => Boolean,
+        gather: ((String, String, String)) => Unit)
+        : (Seq[(String, String, Long)], Long) = {
+      val byLeft = scala.collection.mutable.HashMap
+        .empty[String, List[(String, String)]]
+      val byRight = scala.collection.mutable.HashMap
+        .empty[String, List[(String, String)]]
+      val spells = scala.collection.mutable.HashSet.empty[String]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var effStop = if (sliceCoversAll) Long.MinValue else cands.last._3
+      var i = 0
+      var open = true
+      while (open && i < cands.length) {
+        val c @ (l, r, _) = cands(i)
+        var bad = acc.size >= maxBatch ||
+          spells(l) || spells(r) ||          // symbol minted this batch
+          alphabet(l + r)                    // spelling already exists
+        if (!bad) {
+          // conditional interactions vs every accepted pair, each
+          // certifiable by one trigram count
+          val probes =
+            byLeft.getOrElse(r, Nil).map(p => (l, r, p._2)) ++
+            byRight.getOrElse(l, Nil).map(p => (p._1, l, r))
+          probes.foreach(gather)
+          bad = probes.exists(reject)
+        }
+        if (bad) { effStop = c._3; open = false }
+        else {
+          acc += c
+          byLeft(l) = (l, r) :: byLeft.getOrElse(l, Nil)
+          byRight(r) = (l, r) :: byRight.getOrElse(r, Nil)
+          spells += (l + r)
+          i += 1
+        }
+      }
+      (acc.toSeq, effStop)
+    }
+
+    val gathered = scala.collection.mutable
+      .LinkedHashSet.empty[(String, String, String)]
+    walk(_ => false, gathered += _)
+    val nz = if (gathered.isEmpty) Set.empty[(String, String, String)]
+      else probeNonzero(gathered.toSeq)
+    val (acc, effStop) = walk(nz, _ => ())
+
+    val kept = acc.takeWhile(_._3 > effStop)
+    if (kept.isEmpty || kept.exists(p => p._1.contains(' ') ||
+        p._2.contains(' '))) cands.take(1)
+    else kept
+  }
+
+  /** Batched trainer — the production path. Each round: one pair-count
+    * job + one fold job, emitting up to `batchCap` merges, vs the
+    * sequential trainer's two jobs PER MERGE; at a real 32k-vocab this
+    * is the difference between 64k driver round-trips and a few
+    * hundred. Proven merge-for-merge identical to
+    * [[bpeTrainSequential]] (see bpeSelectBatch for why, BpeBatchedSpec
+    * for the corpus + adversarial-tie evidence). */
+  private[graft] def bpeTrainBatched(s: SparkSession, d: String, nMerges: Int,
+      batchCap: Int = 100, onRound: Int => Unit = _ => (),
+      onProbe: Int => Unit = _ => ())
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var words = bpeInitialWords(s, d)
+    // the live alphabet (initial symbols + every minted spelling),
+    // maintained driver-side so the selector can reject
+    // spelling-collision merges — the one case where an old pair's
+    // count could INCREASE. Bounded by |charset| + nMerges.
+    val alphabet = scala.collection.mutable.HashSet.empty[String]
+    words.select(explode(col("s")).as("c")).distinct().collect()
+      .foreach(r => alphabet += r.getString(0))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var go = true
+    while (go && out.size < nMerges) {
+      onRound(out.size)
+      val cap = math.min(batchCap, nMerges - out.size)
+      // the slice must reach past the batch to its stop point; 3×cap+1
+      // is generous, and an under-full slice proves it covered the
+      // whole pair table (sliceCoversAll → no truncation bound needed)
+      val sliceN = 3 * cap + 1
+      val cands = bpePairCounts(words).limit(sliceN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (cands.isEmpty) go = false
+      else {
+        // the neutrality-certificate job: which of these trigrams
+        // occur at all? (symbols are space-free, so the space-joined
+        // key is unambiguous; returning only EXISTING keys lets
+        // absence certify a zero count)
+        val wordsNow = words
+        def probe(ts: Seq[(String, String, String)])
+            : Set[(String, String, String)] = {
+          onProbe(ts.size)
+          val want = ts.map { case (a, b, c) => a + " " + b + " " + c }
+          val back = ts.map(t =>
+            (t._1 + " " + t._2 + " " + t._3) -> t).toMap
+          val n = size(col("s"))
+          val len = greatest(n - 2, lit(0))
+          wordsNow.select(explode(zip_with(
+              zip_with(slice(col("s"), lit(1), len), slice(col("s"), lit(2), len),
+                (a, b) => concat(a, lit(" "), b)),
+              slice(col("s"), lit(3), len),
+              (ab, c) => concat(ab, lit(" "), c))).as("t"))
+            .filter(col("t").isin(want.map(x => x: Any): _*))
+            .select(col("t")).distinct().collect()
+            .map(r => back(r.getString(0))).toSet
+        }
+        val batch = bpeSelectBatch(cands, cap, cands.length < sliceN,
+          alphabet, probe)
+        batch.foreach { case (l, r, cnt) =>
+          out += ((out.size + 1, l, r, l + r, cnt))
+          alphabet += (l + r)
+        }
+        words = bpeApplyMerges(words, batch.map(p => (p._1, p._2)))
+      }
+    }
+    (out.toSeq, words)
+  }
+
+  /** The one-argmax-per-round-trip reference trainer, kept as the
+    * equivalence baseline for BpeBatchedSpec. */
+  private[graft] def bpeTrainSequential(s: SparkSession, d: String, nMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var words = bpeInitialWords(s, d)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var step = 1
     var go = true
     while (go && step <= nMerges) {
-      val top = words
-        .select(col("freq"), explode(zip_with(
-          slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
-          slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
+      val top = bpePairCounts(words).limit(1).collect()
       if (top.isEmpty) go = false
       else {
         val x = top(0).getString(0)
         val y = top(0).getString(1)
         val cnt = top(0).getLong(2)
         out += ((step, x, y, x + y, cnt))
-        // per-iteration localCheckpoint MEASURED as the right call:
-        // without it the argmax at step i re-analyzes an i-deep nested
-        // aggregate-lambda chain and tx17 goes 1.35s -> 2.0s+ at sf0.1
-        // (Catalyst lambda analysis, not execution, dominates); with
-        // it every iteration plans one flat fold over the pinned
-        // vocab-sized table, and the corpus is still scanned once.
-        words = words.select(col("word"), col("freq"),
-          aggregate(col("s"), array().cast("array<string>"),
-            (acc, c) => when(size(acc) > 0 &&
-                get(acc, size(acc) - 1) === lit(x) && c === lit(y),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
-              .otherwise(concat(acc, array(c)))).as("s"))
-          .localCheckpoint()
+        words = bpeApplyMerges(words, Seq((x, y)))
         step += 1
       }
     }
     (out.toSeq, words)
   }
+
+  private def bpeTrainUncached(s: SparkSession, d: String, nMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeTrainBatched(s, d, nMerges)
 
   private def sqlHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
