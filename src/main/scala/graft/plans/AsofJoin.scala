@@ -81,8 +81,14 @@ object AsofJoinStrategy extends SparkStrategy {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` injection point
   * for sessions built from config; existing sessions use
-  * `PlanBridge.ensureStrategy` (same strategy object, idempotent). */
+  * `PlanBridge.ensureStrategy` (same strategy object, idempotent).
+  * Injects the full as-of tier: the `ASOF JOIN` SQL syntax
+  * ([[AsofSqlParser]]), the analyzer lowering ([[ResolveAsofJoin]]),
+  * and the planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new AsofSqlParser(delegate))
+    ext.injectResolutionRule(_ => ResolveAsofJoin)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }

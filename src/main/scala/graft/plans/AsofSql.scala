@@ -1,0 +1,269 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThanOrEqual, IsNotNull, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedFunction}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Join,
+  LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** `ASOF JOIN` SQL syntax for the as-of operator family — the
+  * `injectParser` tier that makes [[AsofJoinPlan]] reachable from pure
+  * SQL, completing the extension surface (DuckDB, the oracle engine,
+  * has the clause natively):
+  *
+  * {{{
+  *   SELECT ... FROM probe p
+  *   ASOF [LEFT] [MERGE|BROADCAST] JOIN build b
+  *     ON p.key = b.key AND p.t >= b.t [TOLERANCE <micros>]
+  * }}}
+  *
+  *  - `p.t >= b.t` selects the backward direction (latest build row
+  *    at-or-before the probe), `p.t <= b.t` forward; either operand
+  *    order is accepted and normalized.
+  *  - `MERGE`/`BROADCAST` force the physical operator; unadorned
+  *    `ASOF JOIN` uses the statistics-based auto choice.
+  *  - `TOLERANCE n` (micros, literal) nulls out matches farther than
+  *    n from the probe time.
+  *  - `ASOF JOIN` alone is the DuckDB inner variant (unmatched probes
+  *    dropped); `ASOF LEFT JOIN` keeps them with null build columns.
+  *  - Key/time operands must be bare columns; time columns BIGINT
+  *    micros (the [[PlanBridge.asofJoin]] contract).
+  *
+  * Mechanics — the standard delegating-parser arrangement: the clause
+  * is rewritten to a stock `LEFT JOIN` whose ON condition leads with a
+  * `graft_asof('<hint>','<left|inner>')` marker (plus
+  * `graft_asof_tol(n)` folded in from a TOLERANCE suffix), the
+  * delegate parses the rewritten text, and the marked [[Join]] is
+  * immediately rewrapped as [[UnresolvedAsofJoin]]. Attribute SIDES
+  * are unknowable at parse time, so [[ResolveAsofJoin]] (an injected
+  * resolution rule) finishes the lowering once both children are
+  * resolved: it resolves the condition against the child outputs,
+  * classifies conjuncts into equi-keys and the single time
+  * inequality, and emits [[AsofJoinPlan]] (wrapped in a null-filter
+  * for the inner variant).
+  */
+class AsofSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (AsofSqlRewrite.applicable(sqlText)) {
+      val plan = delegate.parsePlan(AsofSqlRewrite.rewrite(sqlText))
+      plan.transformUp {
+        case j @ Join(l, r, LeftOuter, Some(cond), _)
+            if AsofSqlRewrite.marked(cond) =>
+          AsofSqlRewrite.toUnresolved(l, r, cond)
+      }
+    } else delegate.parsePlan(sqlText)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String)
+      : org.apache.spark.sql.catalyst.TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String)
+      : org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    parsePlan(sqlText)
+  override def parseRoutineParam(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object AsofSqlRewrite {
+  private val Marker = "graft_asof"
+  private val TolMarker = "graft_asof_tol"
+  private val AsofRe =
+    "(?i)\\bASOF\\s+(LEFT\\s+)?((?:MERGE|BROADCAST)\\s+)?JOIN\\b".r
+  private val TolRe = "(?i)\\bTOLERANCE\\s+(\\d+)\\b".r
+
+  def applicable(sql: String): Boolean = AsofRe.findFirstIn(sql).isDefined
+
+  /** Index just past the `ON` keyword that belongs to the join clause
+    * starting at `from` — the first `ON` token at parenthesis depth 0
+    * outside quotes (subqueries between JOIN and ON may contain their
+    * own ON at depth > 0). */
+  private def onEnd(sql: String, from: Int): Int = {
+    var i = from
+    var depth = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'o' | 'O' if depth == 0 && i + 2 <= sql.length &&
+            (sql.charAt(i + 1) == 'n' || sql.charAt(i + 1) == 'N') &&
+            (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+            (i + 2 == sql.length ||
+              !Character.isLetterOrDigit(sql.charAt(i + 2))) =>
+          return i + 2
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"ASOF JOIN clause has no ON condition: ...${sql.substring(from).take(80)}")
+  }
+
+  /** Rewrite every ASOF join clause to a stock LEFT JOIN whose ON
+    * condition leads with the marker function; fold `TOLERANCE n`
+    * suffixes into `AND graft_asof_tol(n)` conjuncts first. */
+  def rewrite(sql: String): String = {
+    val tol = TolRe.replaceAllIn(sql, m => s"AND $TolMarker(${m.group(1)})")
+    val out = new StringBuilder
+    var pos = 0
+    AsofRe.findAllMatchIn(tol).foreach { m =>
+      if (m.start >= pos) {
+        out.append(tol.substring(pos, m.start))
+        val outer = if (m.group(1) != null) "left" else "inner"
+        val hint = Option(m.group(2)).map(_.trim.toLowerCase)
+          .getOrElse("auto")
+        val on = onEnd(tol, m.end)
+        out.append("LEFT JOIN").append(tol.substring(m.end, on))
+        out.append(s" $Marker('$hint', '$outer') AND ")
+        pos = on
+      }
+    }
+    out.append(tol.substring(pos))
+    out.toString
+  }
+
+  private[plans] def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjunctsOf(a) ++ conjunctsOf(b)
+    case other => Seq(other)
+  }
+  private def conjuncts(e: Expression): Seq[Expression] = conjunctsOf(e)
+
+  def marked(cond: Expression): Boolean = cond.exists {
+    case f: UnresolvedFunction => f.nameParts == Seq(Marker)
+    case _ => false
+  }
+
+  def toUnresolved(l: LogicalPlan, r: LogicalPlan,
+      cond: Expression): UnresolvedAsofJoin = {
+    var hint = "auto"
+    var outer = "left"
+    var tolUs = -1L
+    val rest = conjuncts(cond).filter {
+      case f: UnresolvedFunction if f.nameParts == Seq(Marker) =>
+        hint = f.arguments(0).asInstanceOf[Literal].value.toString
+        outer = f.arguments(1).asInstanceOf[Literal].value.toString
+        false
+      case f: UnresolvedFunction if f.nameParts == Seq(TolMarker) =>
+        tolUs = f.arguments(0).asInstanceOf[Literal].value.toString.toLong
+        false
+      case _ => true
+    }
+    require(rest.nonEmpty, "ASOF JOIN needs an ON condition with " +
+      "key equalities and a time inequality")
+    UnresolvedAsofJoin(l, r,
+      rest.reduce(And(_, _)), hint, outer == "left", tolUs)
+  }
+}
+
+/** Placeholder between parse and resolution: children may be anything,
+  * the condition is unresolved, sides are unknown. Never survives
+  * analysis — [[ResolveAsofJoin]] replaces it or errors. */
+case class UnresolvedAsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    condition: Expression,
+    hint: String,
+    keepUnmatched: Boolean,
+    toleranceUs: Long) extends BinaryNode {
+
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    if (childrenResolved)
+      left.output ++ right.output.map(_.withNullability(true))
+    else Nil
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Lowers [[UnresolvedAsofJoin]] to [[AsofJoinPlan]] once both
+  * children are resolved: resolves the ON attributes against the child
+  * outputs, classifies each conjunct as a cross-side key equality or
+  * THE time inequality (>= backward, <= forward, either operand
+  * order), and emits the plan — filtered on a non-null build time for
+  * the inner variant. */
+object ResolveAsofJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case u: UnresolvedAsofJoin if u.childrenResolved =>
+      val resolver = conf.resolver
+      val cond = u.condition.transformUp {
+        case ua: UnresolvedAttribute =>
+          u.left.resolve(ua.nameParts, resolver)
+            .orElse(u.right.resolve(ua.nameParts, resolver))
+            .getOrElse(throw new IllegalArgumentException(
+              s"ASOF JOIN: cannot resolve '${ua.name}' against either side"))
+      }
+      def side(e: Expression): Option[(Attribute, Boolean)] = e match {
+        case a: Attribute if u.left.outputSet.contains(a) => Some((a, true))
+        case a: Attribute if u.right.outputSet.contains(a) => Some((a, false))
+        case _ => None
+      }
+      var lKeys = Vector.empty[Attribute]
+      var rKeys = Vector.empty[Attribute]
+      var time: Option[(Attribute, Attribute, String)] = None
+      def addTime(lt: Attribute, rt: Attribute, dir: String): Unit = {
+        require(time.isEmpty,
+          "ASOF JOIN: exactly one time inequality allowed in ON")
+        time = Some((lt, rt, dir))
+      }
+      AsofSqlRewrite.conjunctsOf(cond).foreach {
+        case EqualTo(a, b) =>
+          (side(a), side(b)) match {
+            case (Some((x, true)), Some((y, false))) =>
+              lKeys :+= x; rKeys :+= y
+            case (Some((x, false)), Some((y, true))) =>
+              lKeys :+= y; rKeys :+= x
+            case _ => throw new IllegalArgumentException(
+              s"ASOF JOIN: key equality must be probe.col = build.col, got $a = $b")
+          }
+        case GreaterThanOrEqual(a, b) =>
+          (side(a), side(b)) match {
+            case (Some((x, true)), Some((y, false))) => addTime(x, y, "backward")
+            case (Some((x, false)), Some((y, true))) => addTime(y, x, "forward")
+            case _ => throw new IllegalArgumentException(
+              s"ASOF JOIN: time inequality must span sides, got $a >= $b")
+          }
+        case LessThanOrEqual(a, b) =>
+          (side(a), side(b)) match {
+            case (Some((x, true)), Some((y, false))) => addTime(x, y, "forward")
+            case (Some((x, false)), Some((y, true))) => addTime(y, x, "backward")
+            case _ => throw new IllegalArgumentException(
+              s"ASOF JOIN: time inequality must span sides, got $a <= $b")
+          }
+        case other => throw new IllegalArgumentException(
+          s"ASOF JOIN: unsupported ON conjunct $other (key equalities " +
+            "and one >=/<= time comparison only)")
+      }
+      val (lt, rt, dir) = time.getOrElse(throw new IllegalArgumentException(
+        "ASOF JOIN: ON must contain a time inequality (>= or <=)"))
+      require(lKeys.nonEmpty,
+        "ASOF JOIN: ON must contain at least one key equality")
+      val asof = AsofJoinPlan(u.left, u.right, lKeys, rKeys, lt, rt,
+        u.hint, dir, u.toleranceUs)
+      if (u.keepUnmatched) asof
+      else Filter(IsNotNull(
+        asof.output(u.left.output.size +
+          u.right.output.indexWhere(_.exprId == rt.exprId))), asof)
+  }
+}

@@ -24,6 +24,28 @@ object PlanBridge {
       exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
   }
 
+  /** A NEW session on `base`'s context with `f`'s extensions applied —
+    * how specs exercise the config-injected surface (parser, analyzer
+    * rule, strategy) without rebuilding the shared test session. The
+    * 6-arg constructor is the same one Builder.getOrCreate uses; it is
+    * private[sql], which is this object's whole reason to exist. */
+  def sessionWithExtensions(base: SparkSession,
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit): SparkSession = {
+    val b = base.asInstanceOf[classic.SparkSession]
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    // the 6-arg constructor Builder.getOrCreate uses is fully private;
+    // reflection is confined to this one test seam
+    val ctor = classOf[classic.SparkSession].getDeclaredConstructors
+      .find(_.getParameterCount == 6)
+      .getOrElse(throw new IllegalStateException(
+        "classic.SparkSession 6-arg constructor not found"))
+    ctor.setAccessible(true)
+    ctor.newInstance(b.sparkContext, Some(b.sharedState), None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+      .asInstanceOf[SparkSession]
+  }
+
   /** Test seam: the planner strategies a config-injected session would
     * receive from `ext` (buildPlannerStrategies is package-private). */
   def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,

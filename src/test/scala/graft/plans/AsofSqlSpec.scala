@@ -1,0 +1,134 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+
+/** The `ASOF JOIN` SQL surface: every variant the Column API exposes
+  * ({backward, forward} × {merge, broadcast, auto} × tolerance ×
+  * {left, inner}) must be reachable from SQL and produce results
+  * identical to the PlanBridge.asofJoin form, through a session built
+  * the way external users build one — GraftExtensions via the
+  * extension injection points. */
+class AsofSqlSpec extends SparkSpec {
+
+  private lazy val sql = {
+    val s = PlanBridge.sessionWithExtensions(spark,
+      new GraftExtensions()(_))
+    import s.implicits._
+    Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 50L, 200L), (9L, 5L, 900L))
+      .toDF("v_user_id", "v_us", "v_event_id")
+      .createOrReplaceTempView("views")
+    Seq((1L, 1L, 25L), (2L, 1L, 20L), (3L, 1L, 9L),
+      (4L, 2L, 99L), (5L, 3L, 7L))
+      .toDF("event_id", "user_id", "us")
+      .createOrReplaceTempView("purchases")
+    s
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select("event_id", "v_us", "v_event_id").collect()
+    .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    .sortBy(_._1).toSeq
+
+  private def api(hint: String, direction: String = "backward",
+      tolUs: Long = -1L) = {
+    import sql.implicits._
+    PlanBridge.asofJoin(
+      sql.table("purchases"), sql.table("views"),
+      Seq("user_id" -> "v_user_id"), "us", "v_us",
+      hint = hint, direction = direction, toleranceUs = tolUs)
+  }
+
+  test("ASOF LEFT JOIN (backward) matches the Column API, both hints") {
+    for (h <- Seq("MERGE", "BROADCAST")) {
+      val got = rows(sql.sql(
+        s"""SELECT * FROM purchases p ASOF LEFT $h JOIN views v
+           |ON p.user_id = v.v_user_id AND p.us >= v.v_us""".stripMargin))
+      assert(got == rows(api(h.toLowerCase)), s"hint $h diverged")
+      assert(got == Seq(
+        (1L, Some(20L), Some(101L)), (2L, Some(20L), Some(101L)),
+        (3L, None, None), (4L, Some(50L), Some(200L)), (5L, None, None)))
+    }
+  }
+
+  test("forward direction via <=, either operand order") {
+    val want = rows(api("merge", "forward"))
+    val a = rows(sql.sql(
+      """SELECT * FROM purchases p ASOF LEFT MERGE JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us <= v.v_us""".stripMargin))
+    val b = rows(sql.sql(
+      """SELECT * FROM purchases p ASOF LEFT MERGE JOIN views v
+        |ON v.v_user_id = p.user_id AND v.v_us >= p.us""".stripMargin))
+    assert(a == want && b == want)
+    assert(a == Seq(
+      (1L, Some(30L), Some(102L)), (2L, Some(20L), Some(101L)),
+      (3L, Some(10L), Some(100L)), (4L, None, None), (5L, None, None)))
+  }
+
+  test("TOLERANCE bounds the match distance") {
+    val got = rows(sql.sql(
+      """SELECT * FROM purchases p ASOF LEFT MERGE JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us
+        |TOLERANCE 5""".stripMargin))
+    assert(got == rows(api("merge", tolUs = 5L)))
+    // probe 1 at us=25 is 5 from view 20 (kept); probe 4 at 99 is 49
+    // from view 50 (dropped)
+    assert(got == Seq(
+      (1L, Some(20L), Some(101L)), (2L, Some(20L), Some(101L)),
+      (3L, None, None), (4L, None, None), (5L, None, None)))
+  }
+
+  test("plain ASOF JOIN is the inner variant: unmatched probes drop") {
+    val got = rows(sql.sql(
+      """SELECT * FROM purchases p ASOF JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us""".stripMargin))
+    assert(got == Seq(
+      (1L, Some(20L), Some(101L)), (2L, Some(20L), Some(101L)),
+      (4L, Some(50L), Some(200L))))
+  }
+
+  test("the SQL plan lowers to the native operator (no stock join)") {
+    val df = sql.sql(
+      """SELECT * FROM purchases p ASOF LEFT MERGE JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us""".stripMargin)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsofJoin"), s"no AsofJoinExec in:\n$plan")
+    val broad = sql.sql(
+      """SELECT * FROM purchases p ASOF LEFT BROADCAST JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us""".stripMargin)
+    broad.collect()
+    assert(broad.queryExecution.executedPlan.toString
+      .contains("BroadcastAsofJoin"))
+  }
+
+  test("subquery build side with its own ON parses (depth-aware ON scan)") {
+    val got = rows(sql.sql(
+      """SELECT * FROM purchases p ASOF LEFT MERGE JOIN (
+        |  SELECT a.v_user_id, a.v_us, a.v_event_id
+        |  FROM views a JOIN views b ON a.v_event_id = b.v_event_id
+        |) v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us""".stripMargin))
+    assert(got == rows(api("merge")))
+  }
+
+  test("downstream SQL composes: aggregation over the as-of result") {
+    val got = sql.sql(
+      """SELECT user_id, count(v_event_id) AS n
+        |FROM purchases p ASOF LEFT MERGE JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("non-asof SQL is untouched by the delegating parser") {
+    val got = sql.sql(
+      "SELECT count(*) FROM purchases JOIN views ON user_id = v_user_id")
+      .head.getLong(0)
+    assert(got == 10L) // 3 probe rows keyed 1 × 3 views + 1 keyed 2 × 1
+  }
+}
