@@ -149,10 +149,53 @@ object AsofStress {
       s"forward gates: missed ${fRow.getLong(0)} phantom ${fRow.getLong(1)} " +
         s"bad ${fRow.getLong(2)}")
 
+    // ---- skew scenario: one key holds 20% of the 60M probes ----
+    // Same dim build side and the same key-independent closed form
+    // (match = p_key*100 + p_us div 100), but every 5th probe lands on
+    // key 7 — the unsalted merge sorts ~20% of the stream in ONE
+    // partition while AsofSkew's exact salting (detect → salt probes
+    // by time hash → replicate the hot key's 100 build rows) spreads
+    // it across the cluster. Gates identical for both paths: the
+    // rewrite must change the layout, never a match.
+    val hotKey = 7L
+    val skewProbes = spark.range(users * (2 * k + 1)).select(
+      when(col("id") % 5 === 0, lit(hotKey))
+        .otherwise(col("id") % dimKeys).as("p_key"),
+      (col("id") % 10000).as("p_us"),
+      col("id").as("p_id"))
+    val detected = graft.plans.AsofSkew.detectHotKeys(
+      skewProbes, "p_key", sampleFraction = 0.001, minShare = 0.05)
+    assert(detected == Seq(hotKey),
+      s"hot-key detection found $detected, expected Seq($hotKey)")
+    def skewGates(join: => org.apache.spark.sql.DataFrame) = timed {
+      val out = join
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("d_id") =!=
+            col("p_key") * 100 + (col("p_us") / 100).cast("long"), 1L)
+            .otherwise(0L)).as("bad"),
+          sum(when(col("d_us").isNull, 1L).otherwise(0L)).as("nulls"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1), out.getLong(2))
+    }
+    def unsaltedJoin = PlanBridge.asofJoin(skewProbes, dim,
+      Seq("p_key" -> "d_key"), "p_us", "d_us", "merge")
+    def saltedJoin = graft.plans.AsofSkew.asofJoinSalted(skewProbes, dim,
+      "p_key", "d_key", "p_us", "d_us", detected,
+      salts = cpus.toInt, hint = "merge")
+    val u1 = skewGates(unsaltedJoin); val u2 = skewGates(unsaltedJoin)
+    val s1 = skewGates(saltedJoin); val s2 = skewGates(saltedJoin)
+    assert(u2._1 == s2._1, s"skew gates diverge: ${u2._1} vs ${s2._1}")
+    val (skRows, skBad, skNulls) = s2._1
+    assert(skRows == users * (2 * k + 1) && skBad == 0 && skNulls == 0,
+      s"skew gates: rows $skRows bad $skBad nulls $skNulls")
+    val tU = math.min(u1._2, u2._2)
+    val tS = math.min(s1._2, s2._2)
+
     println(s"""{"tool":"AsofStress","users":$users,"views_per_user":$k,""" +
       s""""n_events":${users * (2 * k + 1)},"nulls":$nulls,"bad":$bad,""" +
       s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"},""" +
-      s""""dim_broadcast_sec":${f"$tB%.1f"},"dim_merge_sec":${f"$tM%.1f"}}""")
+      s""""dim_broadcast_sec":${f"$tB%.1f"},"dim_merge_sec":${f"$tM%.1f"},""" +
+      s""""skew_unsalted_sec":${f"$tU%.1f"},"skew_salted_sec":${f"$tS%.1f"}}""")
     spark.stop()
   }
 }
