@@ -75,6 +75,8 @@ object AsofJoinStrategy extends SparkStrategy {
         BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
       else
         AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
+    case BandJoinPlan(l, r, lk, rk, lt, rt, lo, hi) =>
+      BandJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi) :: Nil
     case _ => Nil
   }
 }

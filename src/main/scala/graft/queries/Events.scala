@@ -175,6 +175,27 @@ object Events {
         .agg(count(col("pu")).as("n_prior_purchases"))
     },
 
+    // ev07's semantics through the NATIVE band operator (graft.plans:
+    // BandJoinPlan → AsofJoinStrategy → BandJoinExec — AsofJoinExec
+    // generalized to a sliding band of build rows). ev07's equi-join +
+    // range residual executes as a per-user candidate product (every
+    // error × every purchase of that user, filtered after), which is
+    // quadratic in any one key's volume; the band merge is O(input +
+    // output) with state bounded by the 30-minute band's occupancy.
+    // Same oracle as ev07; BandStress carries the 60M-event gate.
+    "ev07b_interval_native" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("eu"), col("us").as("eus"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("us").as("pus"))
+      org.apache.spark.sql.graft.PlanBridge
+        .bandJoin(e, p, Seq("eu" -> "pu"), "eus", "pus",
+          lowUs = -30L * 60 * 1000000, highUs = 0L)
+        .groupBy(col("event_id"))
+        .agg(count(col("pu")).as("n_prior_purchases"))
+    },
+
     // AS-OF join: each purchase matched to the user's most recent view
     // at-or-before it. Spark has no asof operator; rather than an
     // inequality join (which Catalyst executes as a per-user cross
@@ -614,6 +635,19 @@ object Events {
         |           WHERE event_type = 'purchase') p
         |  ON e.eu = p.pu AND p.pts <= e.ets
         |     AND p.pts >= e.ets - INTERVAL 30 MINUTE
+        |GROUP BY e.event_id""".stripMargin,
+
+    // ev07b: identical semantics (and near-identical SQL — micros
+    // instead of timestamps) to ev07; the Spark side runs the native
+    // band operator instead of the residual-filtered equi-join.
+    "ev07b_interval_native" ->
+      """SELECT e.event_id, COUNT(p.pu) AS n_prior_purchases
+        |FROM (SELECT event_id, user_id AS eu, epoch_us(ts) AS eus FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id AS pu, epoch_us(ts) AS pus FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON e.eu = p.pu AND p.pus <= e.eus
+        |     AND p.pus >= e.eus - 30 * 60 * 1000000
         |GROUP BY e.event_id""".stripMargin,
 
     "ev06_session_window" ->

@@ -191,11 +191,105 @@ object AsofStress {
     val tU = math.min(u1._2, u2._2)
     val tS = math.min(s1._2, s2._2)
 
+    // ---- band scenario: BandJoinExec vs the equi-join + residual ----
+    // Same dim side, band [-199, 0]: every probe matches the multiples
+    // of 100 inside [max(0, t-199), t] — count = t div 100 -
+    // (max(0, t-199) + 99) div 100 + 1, a closed form gated per probe
+    // DISTRIBUTED (regroup on p_id, compare, sum mismatches). The
+    // residual form materializes every probe × its key's 100 dim rows
+    // before filtering (quadratic in key volume), so it runs at 1/10
+    // the probes; the native merge is O(input + output) and runs at
+    // the full 60M too.
+    val bandExpected =
+      expr("p_us div 100 - (greatest(p_us - 199, 0) + 99) div 100 + 1")
+    def bandProbes(n: Long) = spark.range(n).select(
+      (col("id") % dimKeys).as("p_key"),
+      (col("id") % 10000).as("p_us"),
+      col("id").as("p_id"))
+    def bandGate(joined: => org.apache.spark.sql.DataFrame) = timed {
+      val out = joined
+        .groupBy(col("p_id"), col("p_us"))
+        .agg(count(col("d_id")).as("n"))
+        .agg(count(lit(1)).as("probes"),
+          sum(when(col("n") =!= bandExpected, 1L).otherwise(0L)).as("bad"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1))
+    }
+    val nFull = users * (2 * k + 1)
+    val nTenth = nFull / 10
+    def nativeBand(n: Long) = PlanBridge.bandJoin(bandProbes(n), dim,
+      Seq("p_key" -> "d_key"), "p_us", "d_us", -199L, 0L)
+    def residualBand(n: Long) = bandProbes(n).join(dim,
+      col("p_key") === col("d_key") && col("d_us") <= col("p_us") &&
+        col("d_us") >= col("p_us") - 199, "left_outer")
+    val nb1 = bandGate(nativeBand(nFull)); val nb2 = bandGate(nativeBand(nFull))
+    assert(nb2._1 == (nFull, 0L),
+      s"native band gates: probes ${nb2._1._1} bad ${nb2._1._2}")
+    val nt1 = bandGate(nativeBand(nTenth)); val nt2 = bandGate(nativeBand(nTenth))
+    val rb1 = bandGate(residualBand(nTenth)); val rb2 = bandGate(residualBand(nTenth))
+    assert(rb2._1 == nt2._1 && rb2._1 == (nTenth, 0L),
+      s"band parity: native ${nt2._1} residual ${rb2._1}")
+    val tBandFull = math.min(nb1._2, nb2._2)
+    val tBandTenth = math.min(nt1._2, nt2._2)
+    val tResTenth = math.min(rb1._2, rb2._2)
+
+    // ---- dense-build band scenario: where the product actually ----
+    // ---- explodes. 100 keys × 10,000 build rows each; band [-19, 0]
+    // (f = least(t,19)+1 matches). The residual form materializes
+    // 10,000 candidates per probe before filtering — 6e9 rows at a
+    // mere 600k probes — while the band merge's work stays
+    // output-sized (~20 rows per probe). THIS is the regime the
+    // native operator exists for; the small-build scenario above is
+    // honestly the broadcast residual's (it never shuffles probes).
+    val denseKeys = 100L
+    val dim2 = spark.range(denseKeys * 10000).select(
+      (col("id") / 10000).cast("long").as("e_key"),
+      (col("id") % 10000).as("e_us"),
+      col("id").as("e_id"))
+    val bandExpected2 = expr("least(p_us, 19) + 1")
+    def bandProbes2(n: Long) = spark.range(n).select(
+      (col("id") % denseKeys).as("p_key"),
+      (col("id") % 10000).as("p_us"),
+      col("id").as("p_id"))
+    def bandGate2(joined: => org.apache.spark.sql.DataFrame) = timed {
+      val out = joined
+        .groupBy(col("p_id"), col("p_us"))
+        .agg(count(col("e_id")).as("n"))
+        .agg(count(lit(1)).as("probes"),
+          sum(when(col("n") =!= bandExpected2, 1L).otherwise(0L)).as("bad"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1))
+    }
+    val nDense = 600000L
+    def nativeDense(n: Long) = PlanBridge.bandJoin(bandProbes2(n), dim2,
+      Seq("p_key" -> "e_key"), "p_us", "e_us", -19L, 0L)
+    def residualDense(n: Long) = bandProbes2(n).join(dim2,
+      col("p_key") === col("e_key") && col("e_us") <= col("p_us") &&
+        col("e_us") >= col("p_us") - 19, "left_outer")
+    val dn1 = bandGate2(nativeDense(nDense)); val dn2 = bandGate2(nativeDense(nDense))
+    val dr1 = bandGate2(residualDense(nDense)); val dr2 = bandGate2(residualDense(nDense))
+    assert(dn2._1 == (nDense, 0L) && dr2._1 == dn2._1,
+      s"dense band gates: native ${dn2._1} residual ${dr2._1}")
+    // and the native path at 10x the probes, same closed-form gate
+    val dx1 = bandGate2(nativeDense(nDense * 10))
+    val dx2 = bandGate2(nativeDense(nDense * 10))
+    assert(dx2._1 == (nDense * 10, 0L),
+      s"dense band native 6m gates: ${dx2._1}")
+    val tDenseNative = math.min(dn1._2, dn2._2)
+    val tDenseResidual = math.min(dr1._2, dr2._2)
+    val tDenseNative10x = math.min(dx1._2, dx2._2)
+
     println(s"""{"tool":"AsofStress","users":$users,"views_per_user":$k,""" +
       s""""n_events":${users * (2 * k + 1)},"nulls":$nulls,"bad":$bad,""" +
       s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"},""" +
       s""""dim_broadcast_sec":${f"$tB%.1f"},"dim_merge_sec":${f"$tM%.1f"},""" +
-      s""""skew_unsalted_sec":${f"$tU%.1f"},"skew_salted_sec":${f"$tS%.1f"}}""")
+      s""""skew_unsalted_sec":${f"$tU%.1f"},"skew_salted_sec":${f"$tS%.1f"},""" +
+      s""""band_native_60m_sec":${f"$tBandFull%.1f"},""" +
+      s""""band_native_6m_sec":${f"$tBandTenth%.1f"},""" +
+      s""""band_residual_6m_sec":${f"$tResTenth%.1f"},""" +
+      s""""band_dense_native_600k_sec":${f"$tDenseNative%.1f"},""" +
+      s""""band_dense_residual_600k_sec":${f"$tDenseResidual%.1f"},""" +
+      s""""band_dense_native_6m_sec":${f"$tDenseNative10x%.1f"}}""")
     spark.stop()
   }
 }

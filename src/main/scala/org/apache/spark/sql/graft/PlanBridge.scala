@@ -89,4 +89,34 @@ object PlanBridge {
       resolve(lPlan, leftTime), resolve(rPlan, rightTime), hint, direction,
       toleranceUs))
   }
+
+  /** Banded (interval) join `left` (probe) to `right` (build): every
+    * right row with equal keys and `rightTime` within
+    * [leftTime + lowUs, leftTime + highUs], left-outer (no-match
+    * probes emit one null-build row). Same contracts as [[asofJoin]]
+    * (disjoint column names, LongType micro times); the physical
+    * operator is the [[graft.plans.BandJoinExec]] sliding-band merge —
+    * O(input + output) instead of the equi-join's per-key candidate
+    * product. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], leftTime: String, rightTime: String,
+      lowUs: Long, highUs: Long): DataFrame = {
+    val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val shared = lPlan.output.map(_.name).toSet
+      .intersect(rPlan.output.map(_.name).toSet)
+    require(shared.isEmpty,
+      s"bandJoin sides must have disjoint column names; shared: $shared")
+
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+
+    classic.Dataset.ofRows(spark, graft.plans.BandJoinPlan(lPlan, rPlan,
+      keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime), lowUs, highUs))
+  }
 }
