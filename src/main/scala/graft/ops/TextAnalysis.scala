@@ -722,6 +722,19 @@ object TextAnalysis {
           byRight(r) = (l, r) :: byRight.getOrElse(r, Nil)
           spells += (l + r)
           i += 1
+          // a SELF-pair closes the batch: merging (a,a) mints pairs
+          // (aa,aa) and (aa,a) from runs of a, and their counts are
+          // bounded by cnt(a,a) — the accepted pair's OWN count, not
+          // effStop — so they could outrank any later batch member.
+          // As the last member nothing follows in-batch, and the next
+          // round sees their real counts. (Distinct-pair creations
+          // stay effStop-bounded: the bridging snapshot pair, e.g.
+          // (d,l) for "c d l r", always carries a nonzero conditional
+          // trigram and so can never have been admitted.)
+          if (l == r) {
+            if (i < cands.length) effStop = cands(i)._3
+            open = false
+          }
         }
       }
       (acc.toSeq, effStop)

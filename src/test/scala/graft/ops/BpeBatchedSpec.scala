@@ -86,6 +86,26 @@ class BpeBatchedSpec extends SparkSpec {
     assert(stopped == Seq(("a", "b", 100L)))
   }
 
+  test("a self-pair closes the batch: its minted (aa,aa)/(aa,a) pairs " +
+      "are bounded by its own count, not effStop") {
+    // (o,o) would otherwise batch with (z,q) — but merging (o,o) over
+    // "oooo..." runs creates (oo,oo) pairs that can outrank (z,q) in
+    // the sequential run (the TextOpsSpec oooo corpus caught this)
+    val got = sel(Seq(("o", "o", 21L), ("z", "q", 2L), ("x", "y", 1L)))
+    assert(got == Seq(("o", "o", 21L)))
+    // a non-self batch continues past the same shape
+    assert(sel(Seq(("o", "u", 21L), ("z", "q", 2L))).size == 2)
+  }
+
+  test("run-heavy corpus (the oooo trap): batched == sequential") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_runs").toString
+    val text = Seq.fill(7)("oooo ooo oo zq").mkString(" ") + " oooooo zq oo"
+    Seq((0L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assertSameTraining(dir, 6, Seq(2, 100))
+  }
+
   test("argmax fallback when truncation empties the batch") {
     // (b,c).l == (a,b).r — interacting — and tied at 100, so strict
     // truncation drops (a,b) too; fallback is the plain argmax
