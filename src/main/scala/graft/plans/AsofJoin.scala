@@ -75,8 +75,17 @@ object AsofJoinStrategy extends SparkStrategy {
         BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
       else
         AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
-    case BandJoinPlan(l, r, lk, rk, lt, rt, lo, hi) =>
-      BandJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi) :: Nil
+    case BandJoinPlan(l, r, lk, rk, lt, rt, lo, hi, hint) =>
+      val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = hint match {
+        case "broadcast" => true
+        case "merge" => false
+        case _ => thresh > 0 && r.stats.sizeInBytes <= thresh
+      }
+      if (broadcast)
+        BroadcastBandJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi) :: Nil
+      else
+        BandJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi) :: Nil
     case _ => Nil
   }
 }

@@ -38,9 +38,12 @@ case class BandJoinPlan(
     leftTime: Attribute,
     rightTime: Attribute,
     lowUs: Long,
-    highUs: Long) extends BinaryNode {
+    highUs: Long,
+    hint: String = "auto") extends BinaryNode {
 
   require(lowUs <= highUs, s"band bounds inverted: [$lowUs, $highUs]")
+  require(AsofJoinPlan.hints(hint), s"band hint must be one of " +
+    s"${AsofJoinPlan.hints.mkString("/")}, got '$hint'")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -191,7 +191,7 @@ object Events {
         .select(col("user_id").as("pu"), col("us").as("pus"))
       org.apache.spark.sql.graft.PlanBridge
         .bandJoin(e, p, Seq("eu" -> "pu"), "eus", "pus",
-          lowUs = -30L * 60 * 1000000, highUs = 0L)
+          lowUs = -30L * 60 * 1000000, highUs = 0L, hint = "merge")
         .groupBy(col("event_id"))
         .agg(count(col("pu")).as("n_prior_purchases"))
     },

@@ -100,7 +100,7 @@ object PlanBridge {
     * product. */
   def bandJoin(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)], leftTime: String, rightTime: String,
-      lowUs: Long, highUs: Long): DataFrame = {
+      lowUs: Long, highUs: Long, hint: String = "auto"): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -117,6 +117,7 @@ object PlanBridge {
 
     classic.Dataset.ofRows(spark, graft.plans.BandJoinPlan(lPlan, rPlan,
       keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime), lowUs, highUs))
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime), lowUs, highUs,
+      hint))
   }
 }

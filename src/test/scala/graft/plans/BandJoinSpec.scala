@@ -77,6 +77,32 @@ class BandJoinSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("broadcast band variant: identical rows, probe never shuffles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val probe = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(150).toLong))
+      .toDF("id", "k", "t")
+    val build = (0 until 200).map(j =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(150).toLong, 1000L + j))
+      .toDF("bk", "bt", "bid")
+    def rows(hint: String) = PlanBridge.bandJoin(probe, build,
+        Seq("k" -> "bk"), "t", "bt", -20L, 5L, hint)
+      .select("id", "bid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sorted.toSeq
+    assert(rows("broadcast") == rows("merge"))
+    val df = PlanBridge.bandJoin(probe, build,
+      Seq("k" -> "bk"), "t", "bt", -20L, 5L, "broadcast")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastBandJoin"), s"no BroadcastBandJoinExec:\n$plan")
+    // probe side: no shuffle exchange at all (only the broadcast one)
+    assert(!"(?i)exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      s"probe side shuffled:\n$plan")
+  }
+
   test("physical shape: BandJoinExec planned, one exchange per side, " +
       "probe-side partitioning survives a downstream per-key agg") {
     import spark.implicits._
@@ -84,7 +110,9 @@ class BandJoinSpec extends SparkSpec {
       .toDF("id", "k", "t")
     val build = (0 until 50).map(j => ((j % 5).toLong, j.toLong * 7, 1000L + j))
       .toDF("bk", "bt", "bid")
-    val joined = band(probe, build, -20L, 0L)
+    def merged() = PlanBridge.bandJoin(probe, build,
+      Seq("k" -> "bk"), "t", "bt", -20L, 0L, "merge")
+    val joined = merged()
     joined.collect()
     val plan = joined.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
@@ -96,8 +124,8 @@ class BandJoinSpec extends SparkSpec {
       "(?i)exchange".r.findAllIn(p).size -
         "(?i)reusedexchange".r.findAllIn(p).size
     }
-    val base = exchanges(band(probe, build, -20L, 0L))
-    val withAgg = exchanges(band(probe, build, -20L, 0L)
+    val base = exchanges(merged())
+    val withAgg = exchanges(merged()
       .groupBy(col("k")).agg(count(lit(1))))
     assert(withAgg == base, s"per-key agg added an exchange: $base -> $withAgg")
   }
