@@ -19,6 +19,20 @@ import graft.functions.Num._
   */
 object Events {
 
+  // ev08f's derived session carrying the GraftExtensions injection
+  // (parser + resolution rule + strategy), memoized per base session
+  // so bench reps and repeated invocations don't accumulate sessions.
+  private val sqlSessCache = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, SparkSession]
+  graft.SessionCaches.registerEvictor(s => { sqlSessCache.remove(s); () })
+
+  private def asofSqlSession(s: SparkSession): SparkSession =
+    sqlSessCache.getOrElseUpdate(s, {
+      graft.SessionCaches.track(s)
+      org.apache.spark.sql.graft.PlanBridge.sessionWithExtensions(
+        s, new graft.plans.GraftExtensions()(_))
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type.
     "ev01_hourly_stats" -> { (s, d) =>
@@ -299,6 +313,33 @@ object Events {
         .select(col("event_id"), col("user_id"), col("us"),
           col("v_us").as("matched_us"),
           col("v_event_id").as("matched_event_id"))
+    },
+
+    // ev08b's semantics through the SQL SURFACE: the query text uses
+    // the graft `ASOF LEFT MERGE JOIN` clause, parsed by the injected
+    // AsofSqlParser and lowered by ResolveAsofJoin — and the DuckDB
+    // oracle answers with its NATIVE ASOF LEFT JOIN, so the driver
+    // gate is a cross-engine parity check of the SQL surface itself.
+    // Runs on a memoized per-base-session derived session carrying the
+    // GraftExtensions injection (sessionWithExtensions), so the query
+    // works regardless of how the caller's session was built.
+    "ev08f_asof_sql" -> { (s, d) =>
+      val sx = asofSqlSession(s)
+      val ev = Tables.load(sx, d, "events").withColumn("us", unix_micros(col("ts")))
+      ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("v_event_id"))
+        .select(col("user_id").as("v_user_id"), col("us").as("v_us"),
+          col("v_event_id"))
+        .createOrReplaceTempView("graft_asof_views")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+        .createOrReplaceTempView("graft_asof_purchases")
+      sx.sql(
+        """SELECT event_id, user_id, us,
+          |  v_us AS matched_us, v_event_id AS matched_event_id
+          |FROM graft_asof_purchases ASOF LEFT MERGE JOIN graft_asof_views
+          |ON user_id = v_user_id AND us >= v_us""".stripMargin)
     },
 
     // The BROADCAST as-of variant (BroadcastAsofJoinExec): the small
@@ -727,6 +768,20 @@ object Events {
 
     // ev08b: identical semantics, native operator — same oracle.
     "ev08b_asof_native" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id
+        |      FROM ev WHERE event_type = 'view' GROUP BY user_id, us),
+        |c AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.us,
+        |  v.us AS matched_us, v.v_event_id AS matched_event_id
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.us >= v.us""".stripMargin,
+
+    // ev08f: graft's ASOF SQL clause vs DuckDB's native one — the two
+    // engines each parse their own ASOF LEFT JOIN syntax and must land
+    // on identical rows.
+    "ev08f_asof_sql" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |            FROM events),
         |v AS (SELECT user_id, us, MAX(event_id) AS v_event_id
