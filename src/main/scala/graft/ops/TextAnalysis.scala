@@ -842,9 +842,160 @@ object TextAnalysis {
     (out.toSeq, words)
   }
 
+  /** Exact IN-MEMORY trainer over the collected word-frequency table —
+    * the production default, and the standard industry shape
+    * (HuggingFace/SentencePiece train this way): the CORPUS is touched
+    * exactly once, distributed (the same word-freq aggregation every
+    * path shares); training then runs on the VOCAB-SIZED table with a
+    * lazy-deletion heap over pair counts and incremental per-word
+    * count deltas — O(total symbols + merges·log P), so a 50k-merge
+    * vocab takes seconds with ZERO per-merge driver round-trips.
+    * Returns None when the word table exceeds `maxWords` (the bounded-
+    * collect guard; callers fall back to the distributed batched
+    * trainer, whose iterations never collect the table).
+    *
+    * Exactness contract (BpeBatchedSpec pins it corpus-for-corpus):
+    * identical merges, counts, and final vocab to the sequential
+    * trainer — same (cnt DESC, l, r) argmax with strings ordered by
+    * their UTF-8 bytes (matching Spark's UTF8String binary sort, which
+    * differs from String.compareTo for supplementary characters), and
+    * the same left-to-right non-overlapping merge pass per word. */
+  private[graft] def bpeTrainLocal(s: SparkSession, d: String, nMerges: Int,
+      maxWords: Int = 2000000)
+      : Option[(Seq[(Int, String, String, String, Long)], DataFrame)] = {
+    val wf = bpeInitialWords(s, d)
+    // one extra cheap action on the checkpointed vocab table; the
+    // corpus itself was scanned once by bpeInitialWords
+    if (wf.count() > maxWords) return None
+    val rows = wf.collect()
+
+    // intern symbol spellings
+    val symId = scala.collection.mutable.HashMap.empty[String, Int]
+    val spell = scala.collection.mutable.ArrayBuffer.empty[String]
+    def intern(x: String): Int =
+      symId.getOrElseUpdate(x, { spell += x; spell.size - 1 })
+
+    final case class Word(freq: Long,
+      var syms: scala.collection.mutable.ArrayBuffer[Int])
+    val words = rows.map { r =>
+      Word(r.getLong(1),
+        scala.collection.mutable.ArrayBuffer.from(
+          r.getSeq[String](2).map(intern)))
+    }
+
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+
+    val counts = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+    // pair -> word indices that contained it at SOME point (may be
+    // stale; merge application re-checks)
+    val occ = scala.collection.mutable.HashMap
+      .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Int]]
+    def note(p: (Int, Int), w: Int): Unit =
+      occ.getOrElseUpdate(p,
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += w
+
+    words.zipWithIndex.foreach { case (w, wi) =>
+      var i = 0
+      while (i + 1 < w.syms.length) {
+        val p = (w.syms(i), w.syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + w.freq
+        note(p, wi)
+        i += 1
+      }
+    }
+
+    // lazy-deletion heap: (cnt DESC, l UTF-8 ASC, r UTF-8 ASC); an
+    // entry is live iff its cnt equals the pair's CURRENT count
+    val ord = new Ordering[(Long, Int, Int)] {
+      override def compare(a: (Long, Int, Int), b: (Long, Int, Int)): Int = {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else {
+          val c = utf8Cmp(spell(b._2), spell(a._2)) // reversed: min first
+          if (c != 0) c else utf8Cmp(spell(b._3), spell(a._3))
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int, Int)](ord)
+    counts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    while (out.size < nMerges && heap.nonEmpty) {
+      val (cnt, a, b) = heap.dequeue()
+      if (cnt > 0 && counts.getOrElse((a, b), 0L) == cnt) {
+        val m = intern(spell(a) + spell(b))
+        out += ((out.size + 1, spell(a), spell(b), spell(a) + spell(b), cnt))
+        val touched = scala.collection.mutable.HashSet.empty[(Int, Int)]
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        occ.getOrElse((a, b), scala.collection.mutable.ArrayBuffer.empty)
+          .foreach { wi =>
+          if (seen.add(wi)) {
+            val w = words(wi)
+            // does the word still contain the adjacency?
+            var has = false
+            var i = 0
+            while (!has && i + 1 < w.syms.length) {
+              if (w.syms(i) == a && w.syms(i + 1) == b) has = true
+              i += 1
+            }
+            if (has) {
+              // retract the word's old pairs, apply the left-to-right
+              // non-overlapping pass, add the new pairs back
+              i = 0
+              while (i + 1 < w.syms.length) {
+                val p = (w.syms(i), w.syms(i + 1))
+                counts(p) = counts(p) - w.freq
+                touched += p
+                i += 1
+              }
+              val ns = scala.collection.mutable.ArrayBuffer.empty[Int]
+              i = 0
+              while (i < w.syms.length) {
+                if (i + 1 < w.syms.length &&
+                    w.syms(i) == a && w.syms(i + 1) == b) {
+                  ns += m; i += 2
+                } else { ns += w.syms(i); i += 1 }
+              }
+              w.syms = ns
+              i = 0
+              while (i + 1 < ns.length) {
+                val p = (ns(i), ns(i + 1))
+                counts(p) = counts.getOrElse(p, 0L) + w.freq
+                touched += p
+                note(p, wi)
+                i += 1
+              }
+            }
+          }
+        }
+        touched.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c > 0L) heap.enqueue((c, p._1, p._2)) else counts.remove(p)
+        }
+      }
+    }
+
+    import s.implicits._
+    val vocabDf = rows.indices.map { i =>
+      (rows(i).getString(0), words(i).freq,
+        words(i).syms.map(spell(_)).toSeq)
+    }.toDF("word", "freq", "s")
+    Some((out.toSeq, vocabDf))
+  }
+
   private def bpeTrainUncached(s: SparkSession, d: String, nMerges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
-    bpeTrainBatched(s, d, nMerges)
+    bpeTrainLocal(s, d, nMerges)
+      .getOrElse(bpeTrainBatched(s, d, nMerges))
 
   private def sqlHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"

@@ -78,6 +78,17 @@ object BpeStress {
     val sizes = (roundStarts.drop(1) :+ merges.size)
       .zip(roundStarts).map { case (b, a) => b - a }.sorted
 
+    // the in-memory heap trainer (tx17's production default): the same
+    // one corpus pass, then zero per-merge round-trips — must emit the
+    // ENTIRE merge list identically
+    val t2 = System.nanoTime()
+    val (localMerges, _) = graft.ops.TextAnalysis.bpeTrainLocal(
+      spark, dir, nMerges).get
+    val localSec = (System.nanoTime() - t2) / 1e9
+    require(localMerges == merges,
+      s"local trainer diverged from batched at merge ${
+        localMerges.zip(merges).indexWhere(p => p._1 != p._2)}")
+
     val t1 = System.nanoTime()
     val (seqPrefix, _) = graft.ops.TextAnalysis.bpeTrainSequential(
       spark, dir, math.min(checkPrefix, merges.size))
@@ -98,6 +109,8 @@ object BpeStress {
       s""""batch_max":${sizes.last},""" +
       s""""prefix_checked":${seqPrefix.size},"prefix_exact":true,""" +
       s""""batched_sec":${math.round(batchedSec * 10) / 10.0},""" +
+      s""""local_sec":${math.round(localSec * 10) / 10.0},""" +
+      s""""local_exact":true,""" +
       s""""seq_sec_for_prefix":${math.round(seqSec * 10) / 10.0},""" +
       s""""seq_projected_sec":${math.round(seqProjectedSec * 10) / 10.0}}""")
     spark.stop()

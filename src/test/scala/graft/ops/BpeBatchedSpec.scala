@@ -139,6 +139,15 @@ class BpeBatchedSpec extends SparkSpec {
         .sortBy(_._1).toSeq
       assert(bt == seqTable, s"cap=$cap vocab table diverged")
     }
+    // the in-memory heap trainer (the production default behind tx17)
+    // must match too — merges, counts, final vocab
+    val (lm, lw) = TextAnalysis.bpeTrainLocal(spark, d, n).get
+    assert(lm == seqMerges,
+      s"local merge list diverged:\n local=$lm\n seq=$seqMerges")
+    val lt = lw.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+      .sortBy(_._1).toSeq
+    assert(lt == seqTable, "local vocab table diverged")
   }
 
   test("reference corpus: batched == sequential merge-for-merge at " +
