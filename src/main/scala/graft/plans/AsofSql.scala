@@ -32,6 +32,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    dropped); `ASOF LEFT JOIN` keeps them with null build columns.
   *  - Key/time operands must be bare columns; time columns BIGINT
   *    micros (the [[PlanBridge.asofJoin]] contract).
+  *  - Known text-rewrite limitation: inside a query that uses ASOF
+  *    syntax, the token sequence `TOLERANCE <digits>` is rewritten
+  *    wherever it appears — avoid it inside string literals of such
+  *    queries. Queries without ASOF syntax are never touched.
   *
   * Mechanics — the standard delegating-parser arrangement: the clause
   * is rewritten to a stock `LEFT JOIN` whose ON condition leads with a

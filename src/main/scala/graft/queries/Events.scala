@@ -326,20 +326,23 @@ object Events {
     "ev08f_asof_sql" -> { (s, d) =>
       val sx = asofSqlSession(s)
       val ev = Tables.load(sx, d, "events").withColumn("us", unix_micros(col("ts")))
+      // per-invocation view names: parallel test suites share the
+      // derived session, and fixed names would race across them
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       ev.filter(col("event_type") === "view")
         .groupBy(col("user_id"), col("us"))
         .agg(max(col("event_id")).as("v_event_id"))
         .select(col("user_id").as("v_user_id"), col("us").as("v_us"),
           col("v_event_id"))
-        .createOrReplaceTempView("graft_asof_views")
+        .createOrReplaceTempView(s"graft_asof_views_$tag")
       ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("us"), col("event_id"))
-        .createOrReplaceTempView("graft_asof_purchases")
+        .createOrReplaceTempView(s"graft_asof_purchases_$tag")
       sx.sql(
-        """SELECT event_id, user_id, us,
-          |  v_us AS matched_us, v_event_id AS matched_event_id
-          |FROM graft_asof_purchases ASOF LEFT MERGE JOIN graft_asof_views
-          |ON user_id = v_user_id AND us >= v_us""".stripMargin)
+        s"""SELECT event_id, user_id, us,
+           |  v_us AS matched_us, v_event_id AS matched_event_id
+           |FROM graft_asof_purchases_$tag ASOF LEFT MERGE JOIN graft_asof_views_$tag
+           |ON user_id = v_user_id AND us >= v_us""".stripMargin)
     },
 
     // The BROADCAST as-of variant (BroadcastAsofJoinExec): the small
