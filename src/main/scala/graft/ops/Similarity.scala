@@ -54,6 +54,7 @@ object Similarity {
     pcaCache.keySet.toSeq.filter(_._1 eq s).foreach(pcaCache.remove))
 
   private val PcaDim = 64
+  private val JlDim = 16
 
   /** The shared eigensolve: two corpus aggregations (truncating
     * integer means; ScatterAggregate triangle) + 12 ascending-fold
@@ -210,6 +211,25 @@ object Similarity {
         val r = PcaSolveK(m, comps.result(), lams.result(), nVecs)
         pcaKCache.put((s, d, k), r)
         r
+      }
+    }
+  }
+
+  /** emb08's Johnson–Lindenstrauss sign matrix, derived entirely from
+    * md5 so BOTH engines can mint it independently: sign(i, j) = +1
+    * when the first hex nibble of md5("jl_<i>_<j>") is 0–7, −1
+    * otherwise (an Achlioptas-style ±1 projection — distances are
+    * preserved within (1±ε) at m = O(log n / ε²) without any stored
+    * model). Returned [j][i] so each output dimension is one literal
+    * array in the plan: the projection is a MAP-ONLY integer fold with
+    * zero shuffle and no broadcast — the d×m signs live in the plan
+    * itself, the shape that survives a 1000-executor scan. */
+  private[ops] def jlSigns(dim: Int, m: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(m) { j =>
+      Array.tabulate(dim) { i =>
+        val h = md.digest(s"jl_${i}_${j}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) <= 7) 1 else -1
       }
     }
   }
@@ -877,6 +897,67 @@ object Similarity {
       }
     },
 
+    // emb08: JOHNSON–LINDENSTRAUSS random projection 64 → 16 — the
+    // model-free companion to emb07's PCA: cheap dimensionality
+    // reduction before LSH banding or a coarse ANN pass, with the JL
+    // distance-preservation guarantee instead of a learned basis. The
+    // ±1 sign matrix is minted from md5 on the driver (jlSigns) and
+    // embedded as 16 literal arrays, so the projection is a map-only
+    // integer fold: no corpus pass to train, no shuffle, no broadcast,
+    // nothing to persist — at 100 TB it fuses into whatever scan feeds
+    // it. Integer math end-to-end (int8 grid × ±1), so the DuckDB
+    // oracle re-mints the same signs from ITS md5 and matches
+    // hash-exact.
+    "emb08_jl_project" -> { (s, d) =>
+      val q8 = quantized(s, d)
+      val signs = jlSigns(PcaDim, JlDim)
+      q8.select(col("vec_id") +: (1 to JlDim).map { j =>
+        expr(s"aggregate(zip_with(q, array(${signs(j - 1).mkString(",")}), " +
+          "(a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
+          .as(s"y$j")
+      }: _*)
+    },
+
+    // emb09: PCA WHITENING on emb07's top-8 basis — each projection
+    // scaled by 1/√λ so every retained component carries unit variance
+    // (in milli-sigma integer units), the preconditioning SemDeDup-like
+    // semantic dedup and Mahalanobis-style outlier scoring want before
+    // cosine thresholds mean the same thing in every direction. Reuses
+    // the memoized scatterSolve/pcaSolveK chain (zero extra corpus
+    // passes when emb05/06/07 already ran); the per-vector work is the
+    // emb07 fold plus one divide-and-round, map-only. The λ literals
+    // are the raw-vector Rayleigh quotients the oracle's recursive CTE
+    // reproduces bit-exactly, and Spark's round() matches DuckDB's on
+    // doubles (the ss05 quantize-grid precedent), so the whitened
+    // BIGINTs are hash-exact.
+    "emb09_whiten" -> { (s, d) =>
+      val q8 = quantized(s, d)
+      pcaSolveK(s, d, 8) match {
+        case None =>
+          q8.select(col("vec_id") +:
+            (1 to 8).map(j => lit(0L).as(s"w$j")): _*).limit(0)
+        case Some(p) =>
+          q8.withColumn("c",
+              expr(s"zip_with(q, array(${p.m.mkString(",")}), (a, b) -> a - b)"))
+            .select(col("vec_id") +: (1 to 8).map { j =>
+              // λ is the SCATTER eigenvalue (Σ over the corpus of the
+              // squared projection), so the per-vector std along v_j is
+              // √(λ/n); w = proj/√(λ/n) in milli-sigma units. The 1e6
+              // component scale inside pc and the 1e3 output scale
+              // reduce to /1000.0.
+              val lam = p.lams(j - 1)
+              val pc = expr(
+                s"aggregate(zip_with(c, array(${p.comps(j - 1).mkString("L,")}L), " +
+                  "(a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
+              (if (lam > 0.0)
+                 round(pc.cast("double") / lit(math.sqrt(lam)) *
+                     lit(math.sqrt(p.nVecs.toDouble)) / lit(1000.0))
+                   .cast("long")
+               else lit(0L)).as(s"w$j")
+            }: _*)
+      }
+    },
+
     // Product-quantization ANN (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search") — the memory-bounded
     // ANN tier: the 64-dim int8 vector is split into M=32 subspaces of
@@ -1068,7 +1149,13 @@ object Similarity {
        |      list_transform($S, r -> list_dot_product(r, $v)))))
        |END""".stripMargin
 
-  private val emb07Sql: String = {
+  /** The shared CTE chain behind emb07/emb09: quantize → center →
+    * scatter → the (comp, k, v, S) deflation recursion → converged raw
+    * vectors with their pre-deflation matrices (vconv), per-component
+    * Rayleigh eigenvalues (lams), sign-fixed 1e6-scaled components
+    * (scaled). Every float step replays pcaSolveK's ascending folds
+    * op-for-op. */
+  private val pcaTopkCtes: String = {
     val lam = "list_dot_product(it.v, list_transform(it.S, r -> list_dot_product(r, it.v)))"
     s"""WITH RECURSIVE q8 AS (
        |  SELECT vec_id,
@@ -1120,7 +1207,11 @@ object Similarity {
        |    END
        |  FROM it WHERE it.k < 12 OR it.comp < 8
        |), vconv AS (
-       |  SELECT comp, v FROM it WHERE k = 12
+       |  SELECT comp, v, S FROM it WHERE k = 12
+       |), lams AS (
+       |  SELECT comp,
+       |    list_dot_product(v, list_transform(S, r -> list_dot_product(r, v))) AS lam
+       |  FROM vconv
        |), vsig AS (
        |  SELECT comp, CASE WHEN list_dot_product(v,
        |      list_transform(range(1, len(v) + 1), i -> CAST(1.0 AS DOUBLE))) < 0.0
@@ -1129,18 +1220,69 @@ object Similarity {
        |), scaled AS (
        |  SELECT comp, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sc
        |  FROM vsig
+       |)""".stripMargin
+  }
+
+  private val emb07Sql: String =
+    s"""$pcaTopkCtes
+       |SELECT c.vec_id,
+       |${(1 to 8).map(j =>
+          s"  CAST(list_dot_product(c.c, (SELECT sc FROM scaled WHERE comp = $j)) AS BIGINT) AS pc$j")
+          .mkString(",\n")}
+       |FROM cent c""".stripMargin
+
+  // emb09: the emb07 projection divided by √λ (λ from the lams CTE —
+  // the same raw-vector Rayleigh expression the deflation uses),
+  // rescaled by √n (λ is the scatter eigenvalue, so per-vector std is
+  // √(λ/n)) and rounded to milli-sigma BIGINTs; λ ≤ 0 guards to 0
+  // exactly as the Scala side does. Float op order (÷√λ, ×√n, ÷1000)
+  // mirrors the Column expression token-for-token.
+  private val emb09Sql: String =
+    s"""$pcaTopkCtes, nv AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q8
        |)
        |SELECT c.vec_id,
        |${(1 to 8).map(j =>
-            s"  CAST(list_dot_product(c.c, (SELECT sc FROM scaled WHERE comp = $j)) AS BIGINT) AS pc$j")
-            .mkString(",\n")}
+          s"""  CASE WHEN (SELECT lam FROM lams WHERE comp = $j) > 0.0
+             |    THEN CAST(round(
+             |      list_dot_product(c.c, (SELECT sc FROM scaled WHERE comp = $j))
+             |        / sqrt((SELECT lam FROM lams WHERE comp = $j))
+             |        * sqrt(CAST((SELECT n FROM nv) AS DOUBLE)) / 1000.0)
+             |      AS BIGINT)
+             |    ELSE 0 END AS w$j""".stripMargin)
+          .mkString(",\n")}
        |FROM cent c""".stripMargin
-  }
+
+  // emb08: both engines mint the identical ±1 sign matrix from md5 and
+  // fold it against the shared int8 grid — integer-exact throughout.
+  private val emb08Sql: String =
+    s"""WITH q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(
+       |      CAST(x AS DOUBLE) /
+       |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+       |    ) AS INT)) AS q
+       |  FROM embeddings
+       |), proj AS (
+       |  SELECT q8.vec_id, v.j AS j,
+       |    CAST(SUM(CAST(q[u.i + 1] AS BIGINT) *
+       |      (CASE WHEN substr(md5('jl_' || u.i || '_' || v.j), 1, 1) <= '7'
+       |            THEN 1 ELSE -1 END)) AS BIGINT) AS y
+       |  FROM q8, UNNEST(range(0, len(q))) AS u(i),
+       |    UNNEST(range(0, 16)) AS v(j)
+       |  GROUP BY q8.vec_id, v.j
+       |)
+       |SELECT vec_id,
+       |${(1 to 16).map(j =>
+          s"  MAX(CASE WHEN j = ${j - 1} THEN y END) AS y$j").mkString(",\n")}
+       |FROM proj GROUP BY vec_id""".stripMargin
 
   // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
   // the sequential double fold of VecDot (validated empirically).
   def oracle: Map[String, String] = Map(
     "emb07_pca_topk" -> emb07Sql,
+    "emb08_jl_project" -> emb08Sql,
+    "emb09_whiten" -> emb09Sql,
     "ss04_topk_aggregated" -> ss01Sql,
     "ss01_topk_bruteforce" -> ss01Sql,
     "ss07_range_search" ->
