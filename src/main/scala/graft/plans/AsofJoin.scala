@@ -93,13 +93,15 @@ object AsofJoinStrategy extends SparkStrategy {
 /** `spark.sql.extensions=graft.plans.GraftExtensions` injection point
   * for sessions built from config; existing sessions use
   * `PlanBridge.ensureStrategy` (same strategy object, idempotent).
-  * Injects the full as-of tier: the `ASOF JOIN` SQL syntax
-  * ([[AsofSqlParser]]), the analyzer lowering ([[ResolveAsofJoin]]),
-  * and the planner strategy. */
+  * Injects the full as-of/band tier: the `ASOF JOIN` / `BAND JOIN`
+  * SQL syntax ([[AsofSqlParser]]), the analyzer lowering
+  * ([[ResolveAsofJoin]]), the plain-SQL interval-join auto-rewrite
+  * ([[BandJoinAutoRewrite]]), and the planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new AsofSqlParser(delegate))
     ext.injectResolutionRule(_ => ResolveAsofJoin)
+    ext.injectOptimizerRule(_ => BandJoinAutoRewrite)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

@@ -59,6 +59,9 @@ class AsofSqlParser(delegate: ParserInterface) extends ParserInterface {
         case j @ Join(l, r, LeftOuter, Some(cond), _)
             if AsofSqlRewrite.marked(cond) =>
           AsofSqlRewrite.toUnresolved(l, r, cond)
+        case j @ Join(l, r, LeftOuter, Some(cond), _)
+            if AsofSqlRewrite.markedBand(cond) =>
+          AsofSqlRewrite.toUnresolvedBand(l, r, cond)
       }
     } else delegate.parsePlan(sqlText)
 
@@ -87,12 +90,16 @@ class AsofSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object AsofSqlRewrite {
   private val Marker = "graft_asof"
+  private val BandMarker = "graft_band"
   private val TolMarker = "graft_asof_tol"
   private val AsofRe =
     "(?i)\\bASOF\\s+(LEFT\\s+)?((?:MERGE|BROADCAST)\\s+)?JOIN\\b".r
+  private val BandRe =
+    "(?i)\\bBAND\\s+(LEFT\\s+)?((?:MERGE|BROADCAST)\\s+)?JOIN\\b".r
   private val TolRe = "(?i)\\bTOLERANCE\\s+(\\d+)\\b".r
 
-  def applicable(sql: String): Boolean = AsofRe.findFirstIn(sql).isDefined
+  def applicable(sql: String): Boolean =
+    AsofRe.findFirstIn(sql).isDefined || BandRe.findFirstIn(sql).isDefined
 
   /** Index just past the `ON` keyword that belongs to the join clause
     * starting at `from` — the first `ON` token at parenthesis depth 0
@@ -128,9 +135,13 @@ object AsofSqlRewrite {
     * suffixes into `AND graft_asof_tol(n)` conjuncts first. */
   def rewrite(sql: String): String = {
     val tol = TolRe.replaceAllIn(sql, m => s"AND $TolMarker(${m.group(1)})")
+    val matches =
+      (AsofRe.findAllMatchIn(tol).map(m => (m, Marker)) ++
+        BandRe.findAllMatchIn(tol).map(m => (m, BandMarker)))
+        .toSeq.sortBy(_._1.start)
     val out = new StringBuilder
     var pos = 0
-    AsofRe.findAllMatchIn(tol).foreach { m =>
+    matches.foreach { case (m, marker) =>
       if (m.start >= pos) {
         out.append(tol.substring(pos, m.start))
         val outer = if (m.group(1) != null) "left" else "inner"
@@ -138,7 +149,7 @@ object AsofSqlRewrite {
           .getOrElse("auto")
         val on = onEnd(tol, m.end)
         out.append("LEFT JOIN").append(tol.substring(m.end, on))
-        out.append(s" $Marker('$hint', '$outer') AND ")
+        out.append(s" $marker('$hint', '$outer') AND ")
         pos = on
       }
     }
@@ -155,6 +166,30 @@ object AsofSqlRewrite {
   def marked(cond: Expression): Boolean = cond.exists {
     case f: UnresolvedFunction => f.nameParts == Seq(Marker)
     case _ => false
+  }
+
+  def markedBand(cond: Expression): Boolean = cond.exists {
+    case f: UnresolvedFunction => f.nameParts == Seq(BandMarker)
+    case _ => false
+  }
+
+  def toUnresolvedBand(l: LogicalPlan, r: LogicalPlan,
+      cond: Expression): UnresolvedBandJoin = {
+    var hint = "auto"
+    var outer = "left"
+    val rest = conjuncts(cond).filter {
+      case f: UnresolvedFunction if f.nameParts == Seq(BandMarker) =>
+        hint = f.arguments(0).asInstanceOf[Literal].value.toString
+        outer = f.arguments(1).asInstanceOf[Literal].value.toString
+        false
+      case f: UnresolvedFunction if f.nameParts == Seq(TolMarker) =>
+        throw new IllegalArgumentException(
+          "BAND JOIN does not take TOLERANCE — the band bounds carry it")
+      case _ => true
+    }
+    require(rest.nonEmpty, "BAND JOIN needs an ON condition with " +
+      "key equalities and a two-sided time band")
+    UnresolvedBandJoin(l, r, rest.reduce(And(_, _)), hint, outer == "left")
   }
 
   def toUnresolved(l: LogicalPlan, r: LogicalPlan,
@@ -201,14 +236,66 @@ case class UnresolvedAsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** [[UnresolvedBandJoin]]'s twin placeholder for the `BAND JOIN`
+  * clause; lowered by [[ResolveAsofJoin]] via [[BandConds]]. */
+case class UnresolvedBandJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    condition: Expression,
+    hint: String,
+    keepUnmatched: Boolean) extends BinaryNode {
+
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    if (childrenResolved)
+      left.output ++ right.output.map(_.withNullability(true))
+    else Nil
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedBandJoin =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Lowers [[UnresolvedAsofJoin]] to [[AsofJoinPlan]] once both
   * children are resolved: resolves the ON attributes against the child
   * outputs, classifies each conjunct as a cross-side key equality or
   * THE time inequality (>= backward, <= forward, either operand
   * order), and emits the plan — filtered on a non-null build time for
-  * the inner variant. */
+  * the inner variant. [[UnresolvedBandJoin]] takes the same treatment
+  * through [[BandConds.classify]] (key equalities + exactly two band
+  * bounds, `attr ± const` operands) and [[BandConds.lowerBand]]'s
+  * null hygiene. */
 object ResolveAsofJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case u: UnresolvedBandJoin if u.childrenResolved =>
+      val resolver = conf.resolver
+      val cond = u.condition.transformUp {
+        case ua: UnresolvedAttribute =>
+          u.left.resolve(ua.nameParts, resolver)
+            .orElse(u.right.resolve(ua.nameParts, resolver))
+            .getOrElse(throw new IllegalArgumentException(
+              s"BAND JOIN: cannot resolve '${ua.name}' against either side"))
+        // BETWEEN reaches this rule pre-expansion — as the parser's
+        // unresolved `between` call or the RuntimeReplaceable Between —
+        // and classify wants the two plain bounds
+        case f: UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+              f.arguments.size == 3 =>
+          And(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+            LessThanOrEqual(f.arguments(0), f.arguments(2)))
+        case b: org.apache.spark.sql.catalyst.expressions.Between =>
+          b.replacement
+      }
+      val parts = BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
+          u.left.outputSet, u.right.outputSet)
+        .getOrElse(throw new IllegalArgumentException(
+          "BAND JOIN: ON must be cross-side key equalities plus a " +
+            "two-sided BIGINT time band (r.t BETWEEN l.t + lo AND l.t + hi, " +
+            s"attr ± integer-literal operands); got: $cond"))
+      require(parts.probeOnly.isEmpty && parts.buildOnly.isEmpty,
+        "BAND JOIN: single-side conjuncts are not allowed in ON — " +
+          "move them to WHERE or a subquery")
+      BandConds.lowerBand(u.left, u.right, parts, u.hint, u.keepUnmatched)
     case u: UnresolvedAsofJoin if u.childrenResolved =>
       val resolver = conf.resolver
       val cond = u.condition.transformUp {

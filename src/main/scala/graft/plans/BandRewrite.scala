@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute,
+  AttributeSet, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, IsNull,
+  LessThanOrEqual, Literal, Subtract}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan,
+  Project, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Classification of a join condition into the band-join shape:
+  * cross-side key equalities + a two-sided time band
+  * `rt ∈ [lt + lowUs, lt + highUs]`, with any remaining single-side
+  * conjuncts split per side. Shared by the `BAND JOIN` SQL lowering
+  * and the [[BandJoinAutoRewrite]] optimizer rule. */
+object BandConds {
+
+  final case class Parts(
+      lKeys: Seq[Attribute], rKeys: Seq[Attribute],
+      lTime: Attribute, rTime: Attribute,
+      lowUs: Long, highUs: Long,
+      probeOnly: Seq[Expression], buildOnly: Seq[Expression])
+
+  /** A foldable integral expression's value — covers raw literals,
+    * post-coercion `Cast(Literal)`, and constant arithmetic like
+    * `30 * 60 * 1000000`. */
+  private def constOf(e: Expression): Option[Long] = e match {
+    case e if e.foldable && e.deterministic &&
+        (e.dataType == IntegerType || e.dataType == LongType) =>
+      e.eval(null) match {
+        case i: java.lang.Integer => Some(i.longValue)
+        case l: java.lang.Long => Some(l.longValue)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** `e` as `attr + offset`: a bare attribute, `attr ± const`, or
+    * `const + attr`. */
+  private def decompose(e: Expression): Option[(Attribute, Long)] = e match {
+    case a: Attribute => Some((a, 0L))
+    case Add(a: Attribute, c, _) => constOf(c).map(v => (a, v))
+    case Add(c, a: Attribute, _) => constOf(c).map(v => (a, v))
+    case Subtract(a: Attribute, c, _) => constOf(c).map(v => (a, -v))
+    case _ => None
+  }
+
+  /** Classify `conjuncts` against probe (`leftOut`) / build
+    * (`rightOut`) outputs. None when any cross-side conjunct falls
+    * outside the key-equality + two-band-bounds grammar, when a bound
+    * repeats, or when the two bounds name different attribute pairs. */
+  def classify(conjuncts: Seq[Expression], leftOut: AttributeSet,
+      rightOut: AttributeSet): Option[Parts] = {
+    var lKeys = Vector.empty[Attribute]
+    var rKeys = Vector.empty[Attribute]
+    // (lt, rt, bound)
+    var lower: Option[(Attribute, Attribute, Long)] = None
+    var upper: Option[(Attribute, Attribute, Long)] = None
+    var probeOnly = Vector.empty[Expression]
+    var buildOnly = Vector.empty[Expression]
+    var ok = true
+
+    def sideOf(a: Attribute): Int =
+      if (leftOut.contains(a)) 0 else if (rightOut.contains(a)) 1 else -1
+
+    // X >= Y, cross-side
+    def addBound(x: Expression, y: Expression): Unit =
+      (decompose(x), decompose(y)) match {
+        case (Some((ax, cx)), Some((ay, cy))) =>
+          (sideOf(ax), sideOf(ay)) match {
+            case (1, 0) => // rt + cx >= lt + cy  →  rt − lt >= cy − cx
+              if (lower.isEmpty) lower = Some((ay, ax, cy - cx)) else ok = false
+            case (0, 1) => // lt + cx >= rt + cy  →  rt − lt <= cx − cy
+              if (upper.isEmpty) upper = Some((ax, ay, cx - cy)) else ok = false
+            case _ => ok = false
+          }
+        case _ => ok = false
+      }
+
+    conjuncts.foreach {
+      case e if !ok => ()
+      case e if e.references.subsetOf(leftOut) => probeOnly :+= e
+      case e if e.references.subsetOf(rightOut) => buildOnly :+= e
+      case EqualTo(a: Attribute, b: Attribute) =>
+        (sideOf(a), sideOf(b)) match {
+          case (0, 1) => lKeys :+= a; rKeys :+= b
+          case (1, 0) => lKeys :+= b; rKeys :+= a
+          case _ => ok = false
+        }
+      case GreaterThanOrEqual(x, y) => addBound(x, y)
+      case LessThanOrEqual(x, y) => addBound(y, x)
+      case _ => ok = false
+    }
+
+    (lower, upper) match {
+      case (Some((lt1, rt1, lo)), Some((lt2, rt2, hi)))
+          if ok && lt1.exprId == lt2.exprId && rt1.exprId == rt2.exprId &&
+            lKeys.nonEmpty && lo <= hi &&
+            lt1.dataType == LongType && rt1.dataType == LongType =>
+        Some(Parts(lKeys, rKeys, lt1, rt1, lo, hi, probeOnly, buildOnly))
+      case _ => None
+    }
+  }
+
+  /** Lower a classified band join to [[BandJoinPlan]] with the null
+    * hygiene a stock SQL join's semantics demand (the operator's merge
+    * would otherwise group null keys together and read a null time as
+    * 0): build rows with a null key or time are filtered (they can
+    * never match), and null-time probes are filtered for the inner
+    * variant or routed around the operator (null-extended) for the
+    * left-outer one. `probeOnly`/`buildOnly` extras are the caller's
+    * to apply — they are semantically different per join type. */
+  def lowerBand(left: LogicalPlan, right: LogicalPlan, p: Parts,
+      hint: String, keepUnmatched: Boolean): LogicalPlan = {
+    val rNotNull = (p.rKeys :+ p.rTime).distinct.map(IsNotNull(_): Expression)
+      .reduce(And(_, _))
+    val build = Filter(rNotNull, right)
+    def band(probe: LogicalPlan) = BandJoinPlan(probe, build,
+      p.lKeys, p.rKeys, p.lTime, p.rTime, p.lowUs, p.highUs, hint)
+    def rtOut(b: BandJoinPlan): Attribute =
+      b.output(left.output.size +
+        right.output.indexWhere(_.exprId == p.rTime.exprId))
+
+    if (!keepUnmatched) {
+      val probe =
+        if (p.lTime.nullable) Filter(IsNotNull(p.lTime), left) else left
+      val b = band(probe)
+      Filter(IsNotNull(rtOut(b)), b)
+    } else if (!p.lTime.nullable) {
+      band(left)
+    } else {
+      // null-time probes can never match; emit them null-extended
+      // around the operator, exactly as a LEFT JOIN's condition-null
+      // rows are
+      val matched = band(Filter(IsNotNull(p.lTime), left))
+      val unmatched = Project(
+        left.output ++ right.output.map(a =>
+          Alias(Literal(null, a.dataType), a.name)()),
+        Filter(IsNull(p.lTime), left))
+      Union(Seq(matched, unmatched))
+    }
+  }
+}
+
+/** Plain-SQL (or DataFrame-API) interval joins silently get the native
+  * band operator: an inner/left-outer equi-join whose residual is a
+  * two-sided time band `r.t ∈ [l.t + lo, l.t + hi]` (LongType, the
+  * `BETWEEN`-arithmetic shape) is rewritten to [[BandJoinPlan]] — the
+  * sliding-band merge that is O(input + output) where the stock plan
+  * materializes every per-key candidate pair and filters after. This
+  * is how engines with native range joins (DuckDB's IEJoin) treat the
+  * same text: the user writes standard SQL, the planner picks the
+  * operator. Disable with `spark.graft.band.autoRewrite=false`.
+  *
+  * The rewrite is exact, not best-effort: single-side extras move to
+  * the legal side (both sides for inner; build side only for
+  * left-outer — a probe-side conjunct in a left join's ON is NOT a
+  * filter), null keys/times get the [[BandConds.lowerBand]] hygiene,
+  * and anything outside the recognized grammar (other join types,
+  * streaming sides, null-safe equality, a third inequality) leaves the
+  * plan untouched. */
+object BandJoinAutoRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.band.autoRewrite"
+
+  private def enabled: Boolean =
+    conf.getConfString(ConfKey, "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(l, r, jt, Some(cond), hint)
+          if (jt == Inner || jt == LeftOuter) &&
+            !l.isStreaming && !r.isStreaming =>
+        BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
+            l.outputSet, r.outputSet) match {
+          case Some(p) if jt == Inner || p.probeOnly.isEmpty =>
+            val probe = if (p.probeOnly.nonEmpty)
+              Filter(p.probeOnly.reduce(And(_, _)), l) else l
+            val build = if (p.buildOnly.nonEmpty)
+              Filter(p.buildOnly.reduce(And(_, _)), r) else r
+            val physHint =
+              if (hint.rightHint.flatMap(_.strategy).contains(
+                  org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+                "broadcast" else "auto"
+            BandConds.lowerBand(probe, build, p, physHint,
+              keepUnmatched = jt == LeftOuter)
+          case _ => j
+        }
+    }
+}

@@ -210,6 +210,53 @@ object Events {
         .agg(count(col("pu")).as("n_prior_purchases"))
     },
 
+    // ev07's semantics through the BAND JOIN SQL SURFACE: the graft
+    // clause (`BAND LEFT JOIN ... ON k = k AND t BETWEEN t-lo AND t`)
+    // parsed by AsofSqlParser, classified by BandConds, lowered with
+    // the null hygiene a stock join's semantics demand — while the
+    // DuckDB oracle answers the same question as a plain-SQL range
+    // join. Cross-engine, cross-syntax, one hash.
+    "ev07c_band_sql" -> { (s, d) =>
+      val sx = asofSqlSession(s)
+      val ev = Tables.load(sx, d, "events").withColumn("us", unix_micros(col("ts")))
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("eu"), col("us").as("eus"))
+        .createOrReplaceTempView(s"graft_band_errors_$tag")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("us").as("pus"))
+        .createOrReplaceTempView(s"graft_band_purch_$tag")
+      sx.sql(
+        s"""SELECT event_id, COUNT(pu) AS n_prior_purchases
+           |FROM graft_band_errors_$tag e BAND LEFT JOIN graft_band_purch_$tag p
+           |ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
+           |GROUP BY event_id""".stripMargin)
+    },
+
+    // And with NO graft syntax at all: a STOCK plain-SQL LEFT JOIN
+    // whose ON is an equality + a BETWEEN time band, silently rewritten
+    // to BandJoinPlan by the injected BandJoinAutoRewrite optimizer
+    // rule (how DuckDB treats the same text with its IEJoin). The user
+    // writes standard SQL; the engine picks the O(input + output)
+    // operator. BandSqlSpec pins that the rewrite actually fires on
+    // this exact query shape; the driver gate pins the rows.
+    "ev07d_band_auto" -> { (s, d) =>
+      val sx = asofSqlSession(s)
+      val ev = Tables.load(sx, d, "events").withColumn("us", unix_micros(col("ts")))
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("eu"), col("us").as("eus"))
+        .createOrReplaceTempView(s"graft_auto_errors_$tag")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("us").as("pus"))
+        .createOrReplaceTempView(s"graft_auto_purch_$tag")
+      sx.sql(
+        s"""SELECT event_id, COUNT(pu) AS n_prior_purchases
+           |FROM graft_auto_errors_$tag e LEFT JOIN graft_auto_purch_$tag p
+           |ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
+           |GROUP BY event_id""".stripMargin)
+    },
+
     // AS-OF join: each purchase matched to the user's most recent view
     // at-or-before it. Spark has no asof operator; rather than an
     // inequality join (which Catalyst executes as a per-user cross
@@ -692,6 +739,27 @@ object Events {
         |           WHERE event_type = 'purchase') p
         |  ON e.eu = p.pu AND p.pus <= e.eus
         |     AND p.pus >= e.eus - 30 * 60 * 1000000
+        |GROUP BY e.event_id""".stripMargin,
+
+    // ev07c/ev07d: graft's BAND JOIN clause (resp. the plain-SQL
+    // auto-rewrite) vs DuckDB's stock range join — identical BETWEEN
+    // text on the DuckDB side for both.
+    "ev07c_band_sql" ->
+      """SELECT e.event_id, COUNT(p.pu) AS n_prior_purchases
+        |FROM (SELECT event_id, user_id AS eu, epoch_us(ts) AS eus FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id AS pu, epoch_us(ts) AS pus FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
+        |GROUP BY e.event_id""".stripMargin,
+
+    "ev07d_band_auto" ->
+      """SELECT e.event_id, COUNT(p.pu) AS n_prior_purchases
+        |FROM (SELECT event_id, user_id AS eu, epoch_us(ts) AS eus FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id AS pu, epoch_us(ts) AS pus FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
         |GROUP BY e.event_id""".stripMargin,
 
     "ev06_session_window" ->

@@ -35,6 +35,10 @@ object AsofStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the residual-form baselines below must stay STOCK joins even if
+    // this JVM's session carries the graft extensions — the whole
+    // point is measuring the operator against what Spark does without it
+    spark.conf.set(graft.plans.BandJoinAutoRewrite.ConfKey, "false")
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()

@@ -24,6 +24,20 @@ object PlanBridge {
       exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
   }
 
+  /** Idempotently register the plain-SQL interval-join auto-rewrite
+    * ([[graft.plans.BandJoinAutoRewrite]]) on an existing session —
+    * the runtime twin of `injectOptimizerRule`. Deliberately separate
+    * from [[ensureStrategy]]: the strategy only plans nodes graft
+    * itself creates, while the rewrite changes plans for STOCK joins,
+    * so it is opt-in per session (config-injected sessions get both). */
+  def ensureBandRewrite(spark: SparkSession): Unit = synchronized {
+    ensureStrategy(spark)
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(graft.plans.BandJoinAutoRewrite))
+      exp.extraOptimizations =
+        exp.extraOptimizations :+ graft.plans.BandJoinAutoRewrite
+  }
+
   /** A NEW session on `base`'s context with `f`'s extensions applied —
     * how specs exercise the config-injected surface (parser, analyzer
     * rule, strategy) without rebuilding the shared test session. The
