@@ -514,6 +514,34 @@ object TextAnalysis {
         .groupBy(col("doc_id"))
         .agg(sum(col("n") * col("n_sub")).as("n_bpe_tokens"),
           sum(col("n")).as("n_words"))
+    },
+
+    // TOKENIZER FERTILITY per source — the metric tokenizer evaluations
+    // report (subwords per word; chars per emitted token): how well the
+    // trained vocabulary compresses each slice of the corpus, the
+    // number that decides whether a tokenizer is retrained before a
+    // 100 TB encode (fertility ≫ 1.0 on a domain means its text
+    // shatters). Shape: the (source, word) histogram is one corpus
+    // explode+agg, joined to the VOCAB-sized segmentation table (AQE
+    // broadcasts it), then a per-source fold — no per-document state,
+    // no second training pass (memoized trainer shared with
+    // tx17/18/19). Integer sums end-to-end; the two ratios are single
+    // divisions 4-rounded by both engines.
+    "tx20_bpe_fertility" -> { (s, d) =>
+      val vocab = bpeTrain(s, d, 10)._2
+        .select(col("word"), size(col("s")).as("n_sub"))
+      docs(s, d)
+        .select(col("source"), explode(toks(lower(col("text")))).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+        .join(vocab, "word")
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("n_sub")).as("n_bpe_tokens"),
+          sum(col("n") * length(col("word"))).as("n_chars"),
+          round(sum(col("n") * col("n_sub")).cast("double") /
+            sum(col("n")), 4).as("fertility"),
+          round(sum(col("n") * length(col("word"))).cast("double") /
+            sum(col("n") * col("n_sub")), 4).as("chars_per_token"))
     }
   )
 
@@ -1412,6 +1440,24 @@ object TextAnalysis {
          |  CAST(sum(dw.n * len(w10.s)) AS BIGINT) AS n_bpe_tokens,
          |  CAST(sum(dw.n) AS BIGINT) AS n_words
          |FROM dw JOIN w10 USING (word)
-         |GROUP BY dw.doc_id""".stripMargin
+         |GROUP BY dw.doc_id""".stripMargin,
+
+    "tx20_bpe_fertility" ->
+      s"""$bpeStagesSql,
+         |sw AS (
+         |  SELECT source, word, count(*) AS n FROM (
+         |    SELECT source, unnest(string_split(lower(text), ' ')) AS word
+         |    FROM documents) t
+         |  GROUP BY source, word)
+         |SELECT sw.source,
+         |  CAST(sum(sw.n) AS BIGINT) AS n_words,
+         |  CAST(sum(sw.n * len(w10.s)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(sw.n * length(sw.word)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(sw.n * len(w10.s)) AS DOUBLE) / sum(sw.n), 4)
+         |    AS fertility,
+         |  round(CAST(sum(sw.n * length(sw.word)) AS DOUBLE)
+         |    / sum(sw.n * len(w10.s)), 4) AS chars_per_token
+         |FROM sw JOIN w10 USING (word)
+         |GROUP BY sw.source""".stripMargin
   )
 }
