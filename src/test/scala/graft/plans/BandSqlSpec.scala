@@ -172,6 +172,38 @@ class BandSqlSpec extends SparkSpec {
     }
   }
 
+  test("the auto-rewrite also claims DataFrame-API joins (it is an " +
+      "optimizer rule, not a parser feature)") {
+    import org.apache.spark.sql.functions.col
+    val p = sql.table("probe")
+    val b = sql.table("build")
+    val df = p.join(b,
+        p("user_id") === b("b_user_id") &&
+          b("b_us") >= p("us") - 10L && b("b_us") <= p("us"),
+        "left_outer")
+      .select(col("event_id"), col("b_us"), col("b_event_id"))
+    assert(rows(df) == wantLeft)
+    assert(planOf(df).contains("BandJoin"))
+  }
+
+  test("ASOF and BAND clauses compose in one query") {
+    val df = sql.sql(
+      """SELECT t.event_id, t.b_us, t.b_event_id, v.a_us
+        |FROM (
+        |  SELECT event_id, user_id, us, b_us, b_event_id
+        |  FROM probe p BAND LEFT JOIN build b
+        |  ON p.user_id = b.b_user_id AND b.b_us BETWEEN p.us - 10 AND p.us
+        |) t ASOF LEFT MERGE JOIN
+        |  (SELECT b_user_id AS a_user_id, b_us AS a_us FROM build
+        |   WHERE b_us IS NOT NULL) v
+        |ON t.user_id = v.a_user_id AND t.us >= v.a_us""".stripMargin)
+    val plan = planOf(df)
+    assert(plan.contains("BandJoin") && plan.contains("AsofJoin"),
+      s"missing an operator:\n$plan")
+    // the band tier of the composed result must still be wantLeft
+    assert(rows(df) == wantLeft)
+  }
+
   test("an interval-overlap join (two DIFFERENT build time attrs) is " +
       "not claimed by the rewrite") {
     val s = sql
