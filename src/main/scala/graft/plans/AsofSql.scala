@@ -350,11 +350,14 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         "ASOF JOIN: ON must contain a time inequality (>= or <=)"))
       require(lKeys.nonEmpty,
         "ASOF JOIN: ON must contain at least one key equality")
-      val asof = AsofJoinPlan(u.left, u.right, lKeys, rKeys, lt, rt,
-        u.hint, dir, u.toleranceUs)
-      if (u.keepUnmatched) asof
-      else Filter(IsNotNull(
-        asof.output(u.left.output.size +
-          u.right.output.indexWhere(_.exprId == rt.exprId))), asof)
+      // SQL semantics, not the Column API's documented raw-operator
+      // semantics: null keys/times never match (DuckDB's ASOF JOIN
+      // agrees) — BandConds.withNullHygiene filters the build side and
+      // routes null-time probes, and subsumes the inner variant's
+      // IsNotNull(build time) output filter
+      BandConds.withNullHygiene(u.left, u.right, rKeys, rt, lt,
+        u.keepUnmatched)((probe, build) =>
+        AsofJoinPlan(probe, build, lKeys, rKeys, lt, rt,
+          u.hint, dir, u.toleranceUs))
   }
 }

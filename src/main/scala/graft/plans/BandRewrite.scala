@@ -103,44 +103,55 @@ object BandConds {
     }
   }
 
-  /** Lower a classified band join to [[BandJoinPlan]] with the null
-    * hygiene a stock SQL join's semantics demand (the operator's merge
-    * would otherwise group null keys together and read a null time as
-    * 0): build rows with a null key or time are filtered (they can
-    * never match), and null-time probes are filtered for the inner
-    * variant or routed around the operator (null-extended) for the
-    * left-outer one. `probeOnly`/`buildOnly` extras are the caller's
-    * to apply — they are semantically different per join type. */
-  def lowerBand(left: LogicalPlan, right: LogicalPlan, p: Parts,
-      hint: String, keepUnmatched: Boolean): LogicalPlan = {
-    val rNotNull = (p.rKeys :+ p.rTime).distinct.map(IsNotNull(_): Expression)
+  /** SQL-semantics null hygiene around a probe/build operator plan
+    * (shared by the band lowering and the ASOF SQL clause — the raw
+    * operators' natural key ordering would group null keys together
+    * and read a null time as 0, where a stock SQL join matches
+    * neither): build rows with a null key or time are filtered (they
+    * can never match anything); null-time probes are filtered for the
+    * inner variant or routed AROUND the operator null-extended (a
+    * Union branch) for the left-outer one. `mk(probe, build)` must
+    * produce a plan whose output is `left.output ++
+    * right.output.map(nullable)` — both custom joins do. */
+  def withNullHygiene(left: LogicalPlan, right: LogicalPlan,
+      rKeys: Seq[Attribute], rTime: Attribute, lTime: Attribute,
+      keepUnmatched: Boolean)(
+      mk: (LogicalPlan, LogicalPlan) => LogicalPlan): LogicalPlan = {
+    val rNotNull = (rKeys :+ rTime).distinct.map(IsNotNull(_): Expression)
       .reduce(And(_, _))
     val build = Filter(rNotNull, right)
-    def band(probe: LogicalPlan) = BandJoinPlan(probe, build,
-      p.lKeys, p.rKeys, p.lTime, p.rTime, p.lowUs, p.highUs, hint)
-    def rtOut(b: BandJoinPlan): Attribute =
-      b.output(left.output.size +
-        right.output.indexWhere(_.exprId == p.rTime.exprId))
+    def rtOut(p: LogicalPlan): Attribute =
+      p.output(left.output.size +
+        right.output.indexWhere(_.exprId == rTime.exprId))
 
     if (!keepUnmatched) {
       val probe =
-        if (p.lTime.nullable) Filter(IsNotNull(p.lTime), left) else left
-      val b = band(probe)
-      Filter(IsNotNull(rtOut(b)), b)
-    } else if (!p.lTime.nullable) {
-      band(left)
+        if (lTime.nullable) Filter(IsNotNull(lTime), left) else left
+      val p = mk(probe, build)
+      Filter(IsNotNull(rtOut(p)), p)
+    } else if (!lTime.nullable) {
+      mk(left, build)
     } else {
       // null-time probes can never match; emit them null-extended
       // around the operator, exactly as a LEFT JOIN's condition-null
       // rows are
-      val matched = band(Filter(IsNotNull(p.lTime), left))
+      val matched = mk(Filter(IsNotNull(lTime), left), build)
       val unmatched = Project(
         left.output ++ right.output.map(a =>
           Alias(Literal(null, a.dataType), a.name)()),
-        Filter(IsNull(p.lTime), left))
+        Filter(IsNull(lTime), left))
       Union(Seq(matched, unmatched))
     }
   }
+
+  /** Lower a classified band join to [[BandJoinPlan]] with the null
+    * hygiene above. `probeOnly`/`buildOnly` extras are the caller's
+    * to apply — they are semantically different per join type. */
+  def lowerBand(left: LogicalPlan, right: LogicalPlan, p: Parts,
+      hint: String, keepUnmatched: Boolean): LogicalPlan =
+    withNullHygiene(left, right, p.rKeys, p.rTime, p.lTime, keepUnmatched)(
+      (probe, build) => BandJoinPlan(probe, build,
+        p.lKeys, p.rKeys, p.lTime, p.rTime, p.lowUs, p.highUs, hint))
 }
 
 /** Plain-SQL (or DataFrame-API) interval joins silently get the native

@@ -125,6 +125,36 @@ class AsofSqlSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (2L, 1L), (3L, 0L)))
   }
 
+  test("SQL surface has SQL null semantics: null keys and times never " +
+      "match (unlike the Column API's documented natural-ordering raw " +
+      "operator)") {
+    val s = sql
+    import s.implicits._
+    // null-key and null-time rows on BOTH sides; under the raw
+    // operator's natural key ordering the null keys would pair up
+    Seq((Option(1L), Option(10L), 100L), (Option.empty[Long], Option(20L), 101L),
+        (Option(1L), Option.empty[Long], 102L))
+      .toDF("n_user", "n_us", "n_event").createOrReplaceTempView("nviews")
+    Seq((1L, Option(1L), Option(25L)), (2L, Option.empty[Long], Option(25L)),
+        (3L, Option(1L), Option.empty[Long]))
+      .toDF("p_id", "p_user", "p_us").createOrReplaceTempView("nprobes")
+    val got = sql.sql(
+      """SELECT p_id, n_us, n_event FROM nprobes ASOF LEFT MERGE JOIN nviews
+        |ON p_user = n_user AND p_us >= n_us""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq
+    // probe 1 matches the only non-null (key, time) view; the null-key
+    // probe and the null-time probe come back unmatched
+    assert(got == Seq(
+      (1L, Some(10L), Some(100L)), (2L, None, None), (3L, None, None)))
+    // inner variant drops them entirely
+    val inner = sql.sql(
+      """SELECT p_id FROM nprobes ASOF JOIN nviews
+        |ON p_user = n_user AND p_us >= n_us""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(inner == Seq(1L))
+  }
+
   test("non-asof SQL is untouched by the delegating parser") {
     val got = sql.sql(
       "SELECT count(*) FROM purchases JOIN views ON user_id = v_user_id")
