@@ -170,7 +170,11 @@ object BandConds {
   * filter), null keys/times get the [[BandConds.lowerBand]] hygiene,
   * and anything outside the recognized grammar (other join types,
   * streaming sides, null-safe equality, a third inequality) leaves the
-  * plan untouched. */
+  * plan untouched. KEYLESS range joins are deliberately not claimed:
+  * the merge clusters on the equi-keys, so a synthesized constant key
+  * would serialize the whole input onto one partition — worse at scale
+  * than the nested-loop plan Spark picks. A keyless band wants a
+  * range-partitioned operator (DuckDB's IEJoin); out of scope. */
 object BandJoinAutoRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.band.autoRewrite"

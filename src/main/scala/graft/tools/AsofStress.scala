@@ -283,6 +283,23 @@ object AsofStress {
     val tDenseResidual = math.min(dr1._2, dr2._2)
     val tDenseNative10x = math.min(dx1._2, dx2._2)
 
+    // ---- the auto-rewrite end-to-end: the IDENTICAL stock join ----
+    // (residualDense's code, untouched) with BandJoinAutoRewrite
+    // enabled must plan onto the band operator and run in the native
+    // class — the proof that plain-SQL/DataFrame users actually
+    // receive the operator at scale, not just in unit tests. Gates
+    // stay the closed-form per-probe counts.
+    PlanBridge.ensureBandRewrite(spark)
+    spark.conf.set(graft.plans.BandJoinAutoRewrite.ConfKey, "true")
+    assert(residualDense(nDense).queryExecution.executedPlan.toString
+        .contains("BandJoin"),
+      "auto-rewrite did not claim the stock dense band join")
+    val rw1 = bandGate2(residualDense(nDense))
+    val rw2 = bandGate2(residualDense(nDense))
+    assert(rw2._1 == (nDense, 0L), s"auto-rewrite gates: ${rw2._1}")
+    spark.conf.set(graft.plans.BandJoinAutoRewrite.ConfKey, "false")
+    val tRewrite = math.min(rw1._2, rw2._2)
+
     println(s"""{"tool":"AsofStress","users":$users,"views_per_user":$k,""" +
       s""""n_events":${users * (2 * k + 1)},"nulls":$nulls,"bad":$bad,""" +
       s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"},""" +
@@ -293,7 +310,8 @@ object AsofStress {
       s""""band_residual_6m_sec":${f"$tResTenth%.1f"},""" +
       s""""band_dense_native_600k_sec":${f"$tDenseNative%.1f"},""" +
       s""""band_dense_residual_600k_sec":${f"$tDenseResidual%.1f"},""" +
-      s""""band_dense_native_6m_sec":${f"$tDenseNative10x%.1f"}}""")
+      s""""band_dense_native_6m_sec":${f"$tDenseNative10x%.1f"},""" +
+      s""""band_dense_autorewrite_600k_sec":${f"$tRewrite%.1f"}}""")
     spark.stop()
   }
 }
