@@ -54,6 +54,17 @@ case class AsofJoinPlan(
 object AsofJoinPlan {
   val hints: Set[String] = Set("auto", "merge", "broadcast")
   val directions: Set[String] = Set("backward", "forward")
+
+  /** Time-column types the merge/broadcast operators accept: BIGINT
+    * micros, or either timestamp type — both are PHYSICALLY long
+    * micros in InternalRow, and micros order IS the semantic order
+    * (instant order for TIMESTAMP, wall order for TIMESTAMP_NTZ), so
+    * `getLong` comparison and micro-offset bounds/tolerances are exact
+    * with zero conversion. */
+  def timeTypeOk(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
 }
 
 /** Plans [[AsofJoinPlan]] into [[BroadcastAsofJoinExec]] when the

@@ -31,7 +31,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - `ASOF JOIN` alone is the DuckDB inner variant (unmatched probes
   *    dropped); `ASOF LEFT JOIN` keeps them with null build columns.
   *  - Key/time operands must be bare columns; time columns BIGINT
-  *    micros (the [[PlanBridge.asofJoin]] contract).
+  *    micros or either timestamp type (physically long micros — see
+  *    [[AsofJoinPlan.timeTypeOk]]).
   *  - Known text-rewrite limitation: inside a query that uses ASOF
   *    syntax, the token sequence `TOLERANCE <digits>` is rewritten
   *    wherever it appears — avoid it inside string literals of such

@@ -67,8 +67,9 @@ case class BandJoinExec(
     "band join needs matching non-empty key lists")
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     s"band key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
-  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
-    "band time columns must be LongType (unix micros)")
+  require(AsofJoinPlan.timeTypeOk(leftTime.dataType) &&
+      AsofJoinPlan.timeTypeOk(rightTime.dataType),
+    "band time columns must be BIGINT micros or a timestamp type")
   require(lowUs <= highUs, s"band bounds inverted: [$lowUs, $highUs]")
 
   override def output: Seq[Attribute] =

@@ -36,13 +36,20 @@ object BandConds {
     case _ => None
   }
 
-  /** `e` as `attr + offset`: a bare attribute, `attr ± const`, or
-    * `const + attr`. */
+  /** `e` as `attr + offset-micros`: a bare attribute, BIGINT
+    * `attr ± const` / `const + attr`, or timestamp
+    * `attr ± INTERVAL` — `TimestampAddInterval` with a DAY-TIME
+    * interval literal is exact micro addition for both TIMESTAMP and
+    * TIMESTAMP_NTZ (year-month intervals are variable-length and are
+    * deliberately NOT matched). */
   private def decompose(e: Expression): Option[(Attribute, Long)] = e match {
     case a: Attribute => Some((a, 0L))
     case Add(a: Attribute, c, _) => constOf(c).map(v => (a, v))
     case Add(c, a: Attribute, _) => constOf(c).map(v => (a, v))
     case Subtract(a: Attribute, c, _) => constOf(c).map(v => (a, -v))
+    case org.apache.spark.sql.catalyst.expressions.TimestampAddInterval(
+        a: Attribute, Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _) =>
+      Some((a, v))
     case _ => None
   }
 
@@ -97,7 +104,8 @@ object BandConds {
       case (Some((lt1, rt1, lo)), Some((lt2, rt2, hi)))
           if ok && lt1.exprId == lt2.exprId && rt1.exprId == rt2.exprId &&
             lKeys.nonEmpty && lo <= hi &&
-            lt1.dataType == LongType && rt1.dataType == LongType =>
+            lt1.dataType == rt1.dataType &&
+            AsofJoinPlan.timeTypeOk(lt1.dataType) =>
         Some(Parts(lKeys, rKeys, lt1, rt1, lo, hi, probeOnly, buildOnly))
       case _ => None
     }

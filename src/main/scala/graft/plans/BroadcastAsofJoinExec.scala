@@ -41,8 +41,9 @@ case class BroadcastAsofJoinExec(
     "asof join needs matching non-empty key lists")
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     s"asof key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
-  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
-    "asof time columns must be LongType (unix micros)")
+  require(AsofJoinPlan.timeTypeOk(leftTime.dataType) &&
+      AsofJoinPlan.timeTypeOk(rightTime.dataType),
+    "asof time columns must be BIGINT micros or a timestamp type")
   require(direction == "backward" || direction == "forward",
     s"asof direction must be backward|forward, got '$direction'")
 

@@ -204,6 +204,58 @@ class BandSqlSpec extends SparkSpec {
     assert(rows(df) == wantLeft)
   }
 
+  test("TIMESTAMP columns with INTERVAL arithmetic are claimed — " +
+      "ev07's own shape lands on the native operator") {
+    val s = sql
+    import s.implicits._
+    Seq((1L, 1L, "2024-01-01 10:00:10"), (2L, 1L, "2024-01-01 10:00:25"),
+        (3L, 2L, "2024-01-01 10:00:40"), (4L, 9L, "2024-01-01 10:00:05"))
+      .toDF("t_id", "t_user", "t_s")
+      .selectExpr("t_id", "t_user", "CAST(t_s AS TIMESTAMP_NTZ) AS t_ts")
+      .createOrReplaceTempView("tprobe")
+    Seq((1L, "2024-01-01 10:00:05", 100L), (1L, "2024-01-01 10:00:20", 101L),
+        (2L, "2024-01-01 10:00:39", 200L), (2L, "2024-01-01 10:00:10", 201L))
+      .toDF("u_user", "u_s", "u_id")
+      .selectExpr("u_user", "CAST(u_s AS TIMESTAMP_NTZ) AS u_ts", "u_id")
+      .createOrReplaceTempView("tbuild")
+    val text =
+      """SELECT t_id, u_id FROM tprobe p LEFT JOIN tbuild b
+        |ON p.t_user = b.u_user AND b.u_ts <= p.t_ts
+        |  AND b.u_ts >= p.t_ts - INTERVAL 10 SECONDS""".stripMargin
+    val on = sql.sql(text)
+    assert(planOf(on).contains("BandJoin"),
+      s"timestamp band not claimed:\n${planOf(on)}")
+    val got = on.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    // probe 1@10: build 1@05 (within 10s); probe 2@25: 1@20; probe
+    // 3@40: 2@39 (2@10 outside); probe 4: no key
+    assert(got == Seq((1L, 100L), (2L, 101L), (3L, 200L), (4L, -1L)))
+    sql.conf.set(BandJoinAutoRewrite.ConfKey, "false")
+    try {
+      val off = sql.sql(text).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted.toSeq
+      assert(off == got, "timestamp rewrite diverges from the stock join")
+    } finally sql.conf.set(BandJoinAutoRewrite.ConfKey, "true")
+  }
+
+  test("ev07 itself — the original timestamp interval query — runs on " +
+      "the native operator under the extensions session") {
+    val df = graft.queries.Events.queries("ev07_interval_join")(sql, sf)
+    df.collect()
+    assert(planOf(df).contains("BandJoin"),
+      s"ev07 not rewritten:\n${planOf(df)}")
+    // parity with the stock plan on the same session
+    sql.conf.set(BandJoinAutoRewrite.ConfKey, "false")
+    try {
+      val off = graft.queries.Events.queries("ev07_interval_join")(sql, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val on = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(on == off, "ev07 rewrite changed the aggregation")
+    } finally sql.conf.set(BandJoinAutoRewrite.ConfKey, "true")
+  }
+
   test("an interval-overlap join (two DIFFERENT build time attrs) is " +
       "not claimed by the rewrite") {
     val s = sql
