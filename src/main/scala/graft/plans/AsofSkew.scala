@@ -78,4 +78,36 @@ object AsofSkew {
         leftTime, rightTime, hint, direction, toleranceUs)
       .drop("__graft_salt_l", "__graft_salt_r")
   }
+
+  /** Band join with the hot keys salted `salts` ways — the identical
+    * replication argument as [[asofJoinSalted]]: a probe's band is a
+    * function of its key's COMPLETE build rows, so replicating the hot
+    * keys' build rows to every salt and routing each probe to one salt
+    * preserves every probe's match set exactly, with no duplicate and
+    * no reconciliation (each probe sees exactly one salt's full copy).
+    * Completes the skew tier across the operator family. */
+  def bandJoinSalted(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lowUs: Long, highUs: Long,
+      hotKeys: Seq[Long], salts: Int = 16,
+      hint: String = "merge"): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    if (hotKeys.isEmpty)
+      return PlanBridge.bandJoin(left, right,
+        Seq(leftKey -> rightKey), leftTime, rightTime, lowUs, highUs, hint)
+    val hot = hotKeys.map(x => x: Any)
+    val l2 = left.withColumn("__graft_salt_l",
+      when(col(leftKey).isin(hot: _*),
+        pmod(hash(col(leftTime)), lit(salts)).cast("long"))
+        .otherwise(lit(0L)))
+    val r2 = right.withColumn("__graft_salt_r",
+      explode(when(col(rightKey).isin(hot: _*),
+        sequence(lit(0L), lit(salts - 1L)))
+        .otherwise(array(lit(0L)))))
+    PlanBridge.bandJoin(l2, r2,
+        Seq(leftKey -> rightKey, "__graft_salt_l" -> "__graft_salt_r"),
+        leftTime, rightTime, lowUs, highUs, hint)
+      .drop("__graft_salt_l", "__graft_salt_r")
+  }
 }

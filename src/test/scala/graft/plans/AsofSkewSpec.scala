@@ -62,6 +62,35 @@ class AsofSkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  private def bandRows(df: org.apache.spark.sql.DataFrame) = df
+    .select("event_id", "b_id", "b_us").collect()
+    .map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2)))
+    .sorted.toSeq
+
+  test("band salted == unsalted across band shapes, merge and broadcast " +
+      "(multi-row probes: no duplicate, no lost match)") {
+    for ((lo, hi) <- Seq((-10L, 0L), (-25L, 25L), (0L, 15L));
+         hint <- Seq("merge", "broadcast")) {
+      val plain = bandRows(PlanBridge.bandJoin(probe, build,
+        Seq("user_id" -> "b_key"), "us", "b_us", lo, hi, hint = "merge"))
+      val salted = bandRows(AsofSkew.bandJoinSalted(probe, build,
+        "user_id", "b_key", "us", "b_us", lo, hi,
+        hotKeys = Seq(1L), salts = 8, hint = hint))
+      assert(salted == plain, s"band [$lo,$hi] hint=$hint diverged")
+    }
+  }
+
+  test("band salted: empty hot-key list degrades to the plain join") {
+    val plain = bandRows(PlanBridge.bandJoin(probe, build,
+      Seq("user_id" -> "b_key"), "us", "b_us", -10L, 0L))
+    val salted = bandRows(AsofSkew.bandJoinSalted(probe, build,
+      "user_id", "b_key", "us", "b_us", -10L, 0L,
+      hotKeys = Seq.empty, salts = 8))
+    assert(salted == plain)
+  }
+
   test("detectHotKeys finds the dominant key and nothing else") {
     val hot = AsofSkew.detectHotKeys(probe, "user_id",
       sampleFraction = 1.0, minShare = 0.25)
