@@ -55,6 +55,22 @@ object AsofJoinPlan {
   val hints: Set[String] = Set("auto", "merge", "broadcast")
   val directions: Set[String] = Set("backward", "forward")
 
+  /** Wrap an operator's output iterator with the `numOutputRows`
+    * SQLMetric — the one observability hook every production Spark
+    * operator exposes (UI / AQE runtime stats read it). One virtual
+    * call + one long add per row, same as the built-in joins. */
+  private[plans] def counted(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      m: org.apache.spark.sql.execution.metric.SQLMetric)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        m += 1
+        it.next()
+      }
+    }
+
   /** Time-column types the merge/broadcast operators accept: BIGINT
     * micros, or either timestamp type — both are PHYSICALLY long
     * micros in InternalRow, and micros order IS the semantic order

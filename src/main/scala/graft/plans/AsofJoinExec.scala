@@ -76,7 +76,13 @@ case class AsofJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -104,7 +110,7 @@ case class AsofJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
 
-      if (fastLongKey && lKeyIdx >= 0 && rKeyIdx >= 0)
+      val base = if (fastLongKey && lKeyIdx >= 0 && rKeyIdx >= 0)
         new Iterator[InternalRow] {
           // same merge as the generic path below, with the key held as
           // (isNull, Long) primitives; null keys order first and match
@@ -183,6 +189,7 @@ case class AsofJoinExec(
           }
         }
       else asofMergeGeneric(lIter, rIter, resultProj, nullRight, joined)
+      AsofJoinPlan.counted(base, numOut)
     }
   }
 

@@ -86,7 +86,13 @@ case class BandJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -109,7 +115,7 @@ case class BandJoinExec(
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
 
-      new Iterator[InternalRow] {
+      AsofJoinPlan.counted(new Iterator[InternalRow] {
         // the band: copies of build rows with bufKey's key, times
         // within [lastProbeTime + lo, lastProbeTime + hi]; fronts
         // evict as the lower edge passes, backs append as the upper
@@ -187,7 +193,7 @@ case class BandJoinExec(
             resultProj(joined(emitLeft, emit.next()))
           }
         }
-      }
+      }, numOut)
     }
   }
 

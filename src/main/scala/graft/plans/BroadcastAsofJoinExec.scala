@@ -57,7 +57,13 @@ case class BroadcastAsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -106,7 +112,7 @@ case class BroadcastAsofJoinExec(
 
       val fwd = direction == "forward"
       val tol = toleranceUs
-      lIter.map { l =>
+      AsofJoinPlan.counted(lIter.map { l =>
         val entry = index.get(lKeyProj(l)) // UnsafeRow equals is by bytes
         val r =
           if (entry == null) nullRight
@@ -132,7 +138,7 @@ case class BroadcastAsofJoinExec(
             else rows(found)
           }
         resultProj(joined(l, r))
-      }
+      }, numOut)
     }
   }
 

@@ -46,7 +46,13 @@ case class BroadcastBandJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -89,7 +95,7 @@ case class BroadcastBandJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
 
-      new Iterator[InternalRow] {
+      AsofJoinPlan.counted(new Iterator[InternalRow] {
         // the probe row stays valid until the next lIter.next(), and
         // its whole band emits before that — no copies anywhere
         private var l: InternalRow = _
@@ -129,7 +135,7 @@ case class BroadcastBandJoinExec(
             resultProj(joined(l, rs(first)))
           }
         }
-      }
+      }, numOut)
     }
   }
 

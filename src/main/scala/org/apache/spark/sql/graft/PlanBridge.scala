@@ -70,7 +70,9 @@ object PlanBridge {
     * the right row with equal keys and the greatest `rightTime` at or
     * before `leftTime`, or nulls. Column names must be disjoint across
     * sides (alias before calling — also what keeps a self-join's
-    * expression ids distinct). Time columns must be LongType micros.
+    * expression ids distinct). Time columns must be LongType micros or
+    * either timestamp type (physically long micros; tolerance stays a
+    * micro count either way — see AsofJoinPlan.timeTypeOk).
     * `hint`: "merge" forces the sorted-merge operator, "broadcast" the
     * broadcast operator (probe side untouched), "auto" (default) picks
     * by the build side's statistics vs autoBroadcastJoinThreshold.

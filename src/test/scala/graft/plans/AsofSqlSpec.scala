@@ -155,6 +155,32 @@ class AsofSqlSpec extends SparkSpec {
     assert(inner == Seq(1L))
   }
 
+  test("ASOF SQL works directly on timestamp columns (physically long " +
+      "micros; no unix_micros conversion required)") {
+    val s = sql
+    import s.implicits._
+    Seq((1L, "2024-03-01 09:00:05"), (1L, "2024-03-01 09:00:20"),
+        (2L, "2024-03-01 09:00:50"))
+      .toDF("tv_user", "tv_s")
+      .selectExpr("tv_user", "CAST(tv_s AS TIMESTAMP_NTZ) AS tv_ts")
+      .createOrReplaceTempView("tviews")
+    Seq((1L, 1L, "2024-03-01 09:00:25"), (2L, 2L, "2024-03-01 09:00:40"),
+        (3L, 9L, "2024-03-01 09:00:10"))
+      .toDF("tp_id", "tp_user", "tp_s")
+      .selectExpr("tp_id", "tp_user", "CAST(tp_s AS TIMESTAMP_NTZ) AS tp_ts")
+      .createOrReplaceTempView("tprobes")
+    val got = sql.sql(
+      """SELECT tp_id, tv_ts FROM tprobes ASOF LEFT MERGE JOIN tviews
+        |ON tp_user = tv_user AND tp_ts >= tv_ts""".stripMargin)
+      .selectExpr("tp_id", "CAST(tv_ts AS STRING) AS m")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("2024-03-01 09:00:20")), // latest view at-or-before 09:00:25
+      (2L, None),                        // user 2's view is AFTER the probe
+      (3L, None)))                       // no views for user 9
+  }
+
   test("non-asof SQL is untouched by the delegating parser") {
     val got = sql.sql(
       "SELECT count(*) FROM purchases JOIN views ON user_id = v_user_id")
