@@ -32,7 +32,17 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     SessionCaches.track(spark)
-    dfCache.getOrElseUpdate((spark, sfDir, name), doLoad(spark, sfDir, name))
+    dfCache.get((spark, sfDir, name)).getOrElse {
+      val df = doLoad(spark, sfDir, name)
+      // The "empty verdict is never memoized" rule, applied at the root:
+      // a plan built while the table was empty snapshots the empty file
+      // listing, and memoizing it would freeze every query at this dir
+      // even after data lands (the scatterSolve/ivfInt8Centroids rule one
+      // level down). The probe is a limit-1 scan, paid once per
+      // (session, dir, table) miss and only until data exists.
+      if (df.limit(1).isEmpty) df
+      else { dfCache.put((spark, sfDir, name), df); df }
+    }
   }
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {

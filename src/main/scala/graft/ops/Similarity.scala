@@ -75,7 +75,10 @@ object Similarity {
   private def scatterSolve(s: SparkSession, d: String)
       : Option[(Seq[Int], Long, Seq[Seq[Long]])] = {
     graft.SessionCaches.track(s)
-    scatterCache.getOrElseUpdate((s, d), {
+    // Empty-corpus None is deliberately NOT cached (the pcaSolve /
+    // ivfInt8Centroids rule): a query issued before data lands must not
+    // pin "empty" for the rest of the session. Only Some is memoized.
+    scatterCache.get((s, d)).getOrElse {
       val dim = PcaDim
       val q8 = quantized(s, d)
       val sc = sum(col("col").cast("long"))
@@ -92,9 +95,11 @@ object Similarity {
             expr(s"zip_with(q, array(${m.mkString(",")}), (a, b) -> a - b)"))
           .agg(graft.functions.Scatter.scatterMatrix(col("c"), dim).as("s"))
           .head.getSeq[scala.collection.Seq[Long]](0)
-        Some((m, nVecs, scatL.map(_.toSeq).toSeq))
+        val solved = Some((m, nVecs, scatL.map(_.toSeq).toSeq))
+        scatterCache.put((s, d), solved)
+        solved
       }
-    })
+    }
   }
 
   private def pcaSolve(s: SparkSession, d: String): Option[PcaSolve] = {
@@ -255,15 +260,24 @@ object Similarity {
 
   private def quantized(s: SparkSession, d: String): DataFrame = {
     graft.SessionCaches.track(s)
-    q8Cache.getOrElseUpdate((s, d), {
+    q8Cache.get((s, d)).getOrElse {
       val xd = transform(col("embedding"), x => x.cast("double"))
       val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      emb(s, d)
+      val q = emb(s, d)
         .withColumn("scale", maxabs / 127.0)
         .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
         .select(col("vec_id"), col("q"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    })
+      // Empty corpus → return the un-persisted plan WITHOUT caching
+      // (the scatterSolve/pcaSolve rule): a persisted-empty memo would
+      // freeze every quantized-corpus query at the dir even after data
+      // lands. The probe is a limit-1 scan — trivial on the miss path.
+      if (emb(s, d).limit(1).isEmpty) q
+      else {
+        val p = q.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        q8Cache.put((s, d), p)
+        p
+      }
+    }
   }
 
   private def emb(s: SparkSession, d: String): DataFrame =

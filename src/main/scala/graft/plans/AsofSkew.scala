@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.PlanBridge
 
@@ -24,90 +24,138 @@ import org.apache.spark.sql.graft.PlanBridge
   * spreads a hot key's probes uniformly. Cold keys keep salt 0, so
   * their build rows are not duplicated and their partition layout is
   * unchanged (modulo the extra join key in the hash).
+  *
+  * Keys are ARBITRARY tuples: any number of key columns of any
+  * equatable type (strings, ints, composites). Hot-key membership is
+  * an OR-of-conjunct-equalities predicate over the ≤ 1/minShare
+  * detected tuples — a few literal comparisons per row, broadcast-free
+  * and codegen-friendly. Null key components never test hot (SQL
+  * equality semantics), which is correct: null keys never match in
+  * the join either, so their layout is irrelevant. The single-Long
+  * entry points below delegate to the generic tier.
   */
 object AsofSkew {
 
-  /** Hot probe keys by sampled share: keys holding ≥ `minShare` of a
-    * `sampleFraction` sample of the probe side. Bounded by
-    * construction: at most 1/minShare keys can exceed the share, and
-    * only that many rows are collected. Two vocab-free jobs over the
-    * sample — the sk02 detection shape, usable as a pre-pass at any
-    * scale. */
-  def detectHotKeys(probe: DataFrame, key: String,
-      sampleFraction: Double = 0.01, minShare: Double = 0.05): Seq[Long] = {
-    val counts = probe.select(col(key)).sample(sampleFraction, seed = 42)
-      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+  /** Hot probe key TUPLES by sampled share: tuples holding ≥
+    * `minShare` of a `sampleFraction` sample of the probe side.
+    * Bounded by construction: at most 1/minShare tuples can exceed
+    * the share, and only that many rows are collected. Two vocab-free
+    * jobs over the sample — the sk02 detection shape, usable as a
+    * pre-pass at any scale. */
+  def detectHotKeyTuples(probe: DataFrame, keys: Seq[String],
+      sampleFraction: Double = 0.01, minShare: Double = 0.05)
+      : Seq[Seq[Any]] = {
+    require(keys.nonEmpty, "at least one key column")
+    val counts = probe.select(keys.map(col): _*).sample(sampleFraction, seed = 42)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val totalRow = counts.agg(sum(col("n"))).head
+      val totalRow = counts.agg(sum(col("__graft_n"))).head
       val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
       if (total == 0L) Seq.empty
-      else counts.filter(col("n") >= lit(total * minShare))
-        .orderBy(col("n").desc)
+      else counts.filter(col("__graft_n") >= lit(total * minShare))
+        .orderBy(col("__graft_n").desc)
         .limit((1.0 / minShare).toInt + 1)
-        .collect().map(_.getLong(0)).toSeq
+        .collect().map(r => keys.indices.map(r.get).toSeq).toSeq
     } finally { counts.unpersist(); () }
   }
 
-  /** As-of join with the hot keys salted `salts` ways. Results are
-    * row-identical to the unsalted join (AsofSkewSpec pins it); only
-    * the partition layout changes. Single Long key columns only (the
-    * dominant shape; generic keys compose the same way by hand). */
+  /** Single-column convenience over [[detectHotKeyTuples]], kept for
+    * the dominant one-Long-key shape. */
+  def detectHotKeys(probe: DataFrame, key: String,
+      sampleFraction: Double = 0.01, minShare: Double = 0.05): Seq[Long] =
+    detectHotKeyTuples(probe, Seq(key), sampleFraction, minShare)
+      .collect { case Seq(v: Long) => v }
+
+  /** OR-of-conjunct-equalities membership test: does this row's key
+    * tuple equal any hot tuple? Null components compare to null (never
+    * hot) under ===, matching the join's own null semantics. */
+  private def isHot(cols: Seq[String], hot: Seq[Seq[Any]]): Column =
+    hot.map(t => cols.zip(t).map { case (c, v) =>
+      if (v == null) lit(false) else col(c) === lit(v)
+    }.reduce(_ && _)).reduce(_ || _)
+
+  private def salted(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], leftTime: String,
+      hot: Seq[Seq[Any]], salts: Int): (DataFrame, DataFrame) = {
+    val l2 = left.withColumn("__graft_salt_l",
+      when(isHot(keys.map(_._1), hot),
+        pmod(hash(col(leftTime)), lit(salts)).cast("long"))
+        .otherwise(lit(0L)))
+    val r2 = right.withColumn("__graft_salt_r",
+      explode(when(isHot(keys.map(_._2), hot),
+        sequence(lit(0L), lit(salts - 1L)))
+        .otherwise(array(lit(0L)))))
+    (l2, r2)
+  }
+
+  /** As-of join with the hot key tuples salted `salts` ways. Results
+    * are row-identical to the unsalted join (AsofSkewSpec pins it,
+    * including string and two-column keys); only the partition layout
+    * changes. */
+  def asofJoinSaltedKeys(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      hotKeys: Seq[Seq[Any]], salts: Int = 16,
+      hint: String = "merge", direction: String = "backward",
+      toleranceUs: Long = -1L): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    require(keys.nonEmpty, "at least one key pair")
+    if (hotKeys.isEmpty)
+      return PlanBridge.asofJoin(left, right, keys, leftTime, rightTime,
+        hint, direction, toleranceUs)
+    val (l2, r2) = salted(left, right, keys, leftTime, hotKeys, salts)
+    PlanBridge.asofJoin(l2, r2,
+        keys :+ ("__graft_salt_l" -> "__graft_salt_r"),
+        leftTime, rightTime, hint, direction, toleranceUs)
+      .drop("__graft_salt_l", "__graft_salt_r")
+  }
+
+  /** Single-Long-key convenience over [[asofJoinSaltedKeys]]. */
   def asofJoinSalted(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       hotKeys: Seq[Long], salts: Int = 16,
       hint: String = "merge", direction: String = "backward",
-      toleranceUs: Long = -1L): DataFrame = {
+      toleranceUs: Long = -1L): DataFrame =
+    asofJoinSaltedKeys(left, right, Seq(leftKey -> rightKey),
+      leftTime, rightTime, hotKeys.map(Seq(_: Any)), salts,
+      hint, direction, toleranceUs)
+
+  /** Band join with the hot key tuples salted `salts` ways — the
+    * identical replication argument as [[asofJoinSaltedKeys]]: a
+    * probe's band is a function of its key's COMPLETE build rows, so
+    * replicating the hot keys' build rows to every salt and routing
+    * each probe to one salt preserves every probe's match set exactly,
+    * with no duplicate and no reconciliation (each probe sees exactly
+    * one salt's full copy). Completes the skew tier across the
+    * operator family. */
+  def bandJoinSaltedKeys(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      lowUs: Long, highUs: Long,
+      hotKeys: Seq[Seq[Any]], salts: Int = 16,
+      hint: String = "merge"): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
+    require(keys.nonEmpty, "at least one key pair")
     if (hotKeys.isEmpty)
-      return PlanBridge.asofJoin(left, right,
-        Seq(leftKey -> rightKey), leftTime, rightTime,
-        hint, direction, toleranceUs)
-    val hot = hotKeys.map(x => x: Any)
-    val l2 = left.withColumn("__graft_salt_l",
-      when(col(leftKey).isin(hot: _*),
-        pmod(hash(col(leftTime)), lit(salts)).cast("long"))
-        .otherwise(lit(0L)))
-    val r2 = right.withColumn("__graft_salt_r",
-      explode(when(col(rightKey).isin(hot: _*),
-        sequence(lit(0L), lit(salts - 1L)))
-        .otherwise(array(lit(0L)))))
-    PlanBridge.asofJoin(l2, r2,
-        Seq(leftKey -> rightKey, "__graft_salt_l" -> "__graft_salt_r"),
-        leftTime, rightTime, hint, direction, toleranceUs)
+      return PlanBridge.bandJoin(left, right, keys, leftTime, rightTime,
+        lowUs, highUs, hint)
+    val (l2, r2) = salted(left, right, keys, leftTime, hotKeys, salts)
+    PlanBridge.bandJoin(l2, r2,
+        keys :+ ("__graft_salt_l" -> "__graft_salt_r"),
+        leftTime, rightTime, lowUs, highUs, hint)
       .drop("__graft_salt_l", "__graft_salt_r")
   }
 
-  /** Band join with the hot keys salted `salts` ways — the identical
-    * replication argument as [[asofJoinSalted]]: a probe's band is a
-    * function of its key's COMPLETE build rows, so replicating the hot
-    * keys' build rows to every salt and routing each probe to one salt
-    * preserves every probe's match set exactly, with no duplicate and
-    * no reconciliation (each probe sees exactly one salt's full copy).
-    * Completes the skew tier across the operator family. */
+  /** Single-Long-key convenience over [[bandJoinSaltedKeys]]. */
   def bandJoinSalted(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       lowUs: Long, highUs: Long,
       hotKeys: Seq[Long], salts: Int = 16,
-      hint: String = "merge"): DataFrame = {
-    require(salts > 1, s"salts must be > 1, got $salts")
-    if (hotKeys.isEmpty)
-      return PlanBridge.bandJoin(left, right,
-        Seq(leftKey -> rightKey), leftTime, rightTime, lowUs, highUs, hint)
-    val hot = hotKeys.map(x => x: Any)
-    val l2 = left.withColumn("__graft_salt_l",
-      when(col(leftKey).isin(hot: _*),
-        pmod(hash(col(leftTime)), lit(salts)).cast("long"))
-        .otherwise(lit(0L)))
-    val r2 = right.withColumn("__graft_salt_r",
-      explode(when(col(rightKey).isin(hot: _*),
-        sequence(lit(0L), lit(salts - 1L)))
-        .otherwise(array(lit(0L)))))
-    PlanBridge.bandJoin(l2, r2,
-        Seq(leftKey -> rightKey, "__graft_salt_l" -> "__graft_salt_r"),
-        leftTime, rightTime, lowUs, highUs, hint)
-      .drop("__graft_salt_l", "__graft_salt_r")
-  }
+      hint: String = "merge"): DataFrame =
+    bandJoinSaltedKeys(left, right, Seq(leftKey -> rightKey),
+      leftTime, rightTime, lowUs, highUs,
+      hotKeys.map(Seq(_: Any)), salts, hint)
 }

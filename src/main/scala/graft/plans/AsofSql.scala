@@ -33,10 +33,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - Key/time operands must be bare columns; time columns BIGINT
   *    micros or either timestamp type (physically long micros — see
   *    [[AsofJoinPlan.timeTypeOk]]).
-  *  - Known text-rewrite limitation: inside a query that uses ASOF
-  *    syntax, the token sequence `TOLERANCE <digits>` is rewritten
-  *    wherever it appears — avoid it inside string literals of such
-  *    queries. Queries without ASOF syntax are never touched.
+  *  - The text rewrite is quote-aware: `ASOF JOIN`, `BAND JOIN`, and
+  *    `TOLERANCE n` token sequences inside string literals or
+  *    backquoted identifiers are never touched (the same quote scan
+  *    the ON locator uses), so literals survive the rewrite verbatim.
   *
   * Mechanics — the standard delegating-parser arrangement: the clause
   * is rewritten to a stock `LEFT JOIN` whose ON condition leads with a
@@ -99,8 +99,27 @@ object AsofSqlRewrite {
     "(?i)\\bBAND\\s+(LEFT\\s+)?((?:MERGE|BROADCAST)\\s+)?JOIN\\b".r
   private val TolRe = "(?i)\\bTOLERANCE\\s+(\\d+)\\b".r
 
-  def applicable(sql: String): Boolean =
-    AsofRe.findFirstIn(sql).isDefined || BandRe.findFirstIn(sql).isDefined
+  def applicable(sql: String): Boolean = {
+    lazy val mask = quotedMask(sql)
+    (AsofRe.findAllMatchIn(sql) ++ BandRe.findAllMatchIn(sql))
+      .exists(m => !mask(m.start))
+  }
+
+  /** Per-character "inside a quoted region" mask — '…', "…", `…`,
+    * the same scan [[onEnd]] does. The rewrite consults it so join
+    * keywords and TOLERANCE inside literals are never rewritten. */
+  private def quotedMask(sql: String): Array[Boolean] = {
+    val mask = new Array[Boolean](sql.length)
+    var quote: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) { mask(i) = true; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; mask(i) = true }
+      i += 1
+    }
+    mask
+  }
 
   /** Index just past the `ON` keyword that belongs to the join clause
     * starting at `from` — the first `ON` token at parenthesis depth 0
@@ -135,11 +154,23 @@ object AsofSqlRewrite {
     * condition leads with the marker function; fold `TOLERANCE n`
     * suffixes into `AND graft_asof_tol(n)` conjuncts first. */
   def rewrite(sql: String): String = {
-    val tol = TolRe.replaceAllIn(sql, m => s"AND $TolMarker(${m.group(1)})")
+    val mask0 = quotedMask(sql)
+    val tolB = new StringBuilder
+    var tp = 0
+    TolRe.findAllMatchIn(sql).foreach { m =>
+      if (!mask0(m.start)) {
+        tolB.append(sql.substring(tp, m.start))
+        tolB.append(s"AND $TolMarker(${m.group(1)})")
+        tp = m.end
+      }
+    }
+    tolB.append(sql.substring(tp))
+    val tol = tolB.toString
+    val mask = quotedMask(tol)
     val matches =
       (AsofRe.findAllMatchIn(tol).map(m => (m, Marker)) ++
         BandRe.findAllMatchIn(tol).map(m => (m, BandMarker)))
-        .toSeq.sortBy(_._1.start)
+        .toSeq.filter { case (m, _) => !mask(m.start) }.sortBy(_._1.start)
     val out = new StringBuilder
     var pos = 0
     matches.foreach { case (m, marker) =>

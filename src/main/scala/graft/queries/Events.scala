@@ -199,15 +199,27 @@ object Events {
     // Same oracle as ev07; BandStress carries the 60M-event gate.
     "ev07b_interval_native" -> { (s, d) =>
       val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      // Null hygiene at the call site: the raw PlanBridge path keeps the
+      // operator's natural ordering (null keys group, null time reads 0),
+      // which would diverge from the oracle's LEFT JOIN if the dataset
+      // ever grew null user_ids/timestamps. SQL semantics: null
+      // keys/times never match — so null build rows are dropped (exact),
+      // and null probe rows bypass the operator and land with count 0,
+      // exactly the LEFT JOIN's unmatched shape.
       val e = ev.filter(col("event_type") === "error")
         .select(col("event_id"), col("user_id").as("eu"), col("us").as("eus"))
-      val p = ev.filter(col("event_type") === "purchase")
+      val eOk = e.filter(col("eu").isNotNull && col("eus").isNotNull)
+      val eNull = e.filter(col("eu").isNull || col("eus").isNull)
+      val p = ev.filter(col("event_type") === "purchase" &&
+          col("user_id").isNotNull && col("us").isNotNull)
         .select(col("user_id").as("pu"), col("us").as("pus"))
       org.apache.spark.sql.graft.PlanBridge
-        .bandJoin(e, p, Seq("eu" -> "pu"), "eus", "pus",
+        .bandJoin(eOk, p, Seq("eu" -> "pu"), "eus", "pus",
           lowUs = -30L * 60 * 1000000, highUs = 0L, hint = "merge")
         .groupBy(col("event_id"))
         .agg(count(col("pu")).as("n_prior_purchases"))
+        .unionByName(eNull.select(col("event_id"),
+          lit(0L).as("n_prior_purchases")))
     },
 
     // ev07's semantics through the BAND JOIN SQL SURFACE: the graft
@@ -226,11 +238,17 @@ object Events {
       ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("pu"), col("us").as("pus"))
         .createOrReplaceTempView(s"graft_band_purch_$tag")
-      sx.sql(
+      val out = sx.sql(
         s"""SELECT event_id, COUNT(pu) AS n_prior_purchases
            |FROM graft_band_errors_$tag e BAND LEFT JOIN graft_band_purch_$tag p
            |ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
            |GROUP BY event_id""".stripMargin)
+      // sql() analyzes eagerly — the views are resolved into the plan, so
+      // dropping them immediately keeps the shared derived session's
+      // catalog from accumulating a pair of entries per invocation.
+      sx.catalog.dropTempView(s"graft_band_errors_$tag")
+      sx.catalog.dropTempView(s"graft_band_purch_$tag")
+      out
     },
 
     // And with NO graft syntax at all: a STOCK plain-SQL LEFT JOIN
@@ -250,11 +268,14 @@ object Events {
       ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("pu"), col("us").as("pus"))
         .createOrReplaceTempView(s"graft_auto_purch_$tag")
-      sx.sql(
+      val out = sx.sql(
         s"""SELECT event_id, COUNT(pu) AS n_prior_purchases
            |FROM graft_auto_errors_$tag e LEFT JOIN graft_auto_purch_$tag p
            |ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
            |GROUP BY event_id""".stripMargin)
+      sx.catalog.dropTempView(s"graft_auto_errors_$tag")
+      sx.catalog.dropTempView(s"graft_auto_purch_$tag")
+      out
     },
 
     // AS-OF join: each purchase matched to the user's most recent view
@@ -385,11 +406,14 @@ object Events {
       ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("us"), col("event_id"))
         .createOrReplaceTempView(s"graft_asof_purchases_$tag")
-      sx.sql(
+      val out = sx.sql(
         s"""SELECT event_id, user_id, us,
            |  v_us AS matched_us, v_event_id AS matched_event_id
            |FROM graft_asof_purchases_$tag ASOF LEFT MERGE JOIN graft_asof_views_$tag
            |ON user_id = v_user_id AND us >= v_us""".stripMargin)
+      sx.catalog.dropTempView(s"graft_asof_views_$tag")
+      sx.catalog.dropTempView(s"graft_asof_purchases_$tag")
+      out
     },
 
     // The BROADCAST as-of variant (BroadcastAsofJoinExec): the small

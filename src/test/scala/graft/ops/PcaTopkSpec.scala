@@ -76,4 +76,26 @@ class PcaTopkSpec extends SparkSpec {
       "vec_id" +: (1 to 8).map(j => s"pc$j"))
     assert(out.count() == 0)
   }
+
+  test("empty-corpus solve is NOT cached: data arriving later is seen") {
+    // the scatterSolve memo must only pin the Some case — a query
+    // issued before the corpus lands must not freeze "empty" for the
+    // rest of the session (the pcaSolve / ivfInt8Centroids rule)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_late").toString
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.queries("emb07_pca_topk")(spark, dir).count() == 0)
+    assert(Similarity.queries("emb08_jl_project")(spark, dir).count() == 0)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // Spark's OWN listing cache is out of scope here — refreshByPath is
+    // the documented user step after an external writer changes a path;
+    // what must NOT survive it is graft's solve/quantize memo
+    spark.catalog.refreshByPath(s"$dir/embeddings.parquet")
+    assert(Similarity.queries("emb07_pca_topk")(spark, dir).count() > 0,
+      "emb07 still empty after data arrived — empty solve was memoized")
+    assert(Similarity.queries("emb08_jl_project")(spark, dir).count() > 0,
+      "emb08 still empty after data arrived")
+  }
 }

@@ -99,4 +99,54 @@ class AsofSkewSpec extends SparkSpec {
     assert(AsofSkew.detectHotKeys(probe.limit(0), "user_id",
       sampleFraction = 1.0).isEmpty)
   }
+
+  // ---- generic-key tier: string and multi-column keys --------------
+
+  // the same adversarial corpus re-keyed: (tenant STRING, shard INT)
+  // composite keys, with ("hot", 0) carrying 70% of probes
+  private lazy val (sProbe, sBuild) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val probes = (0 until 200).map { i =>
+      val (t, sh) = if (i % 10 < 7) ("hot", 0) else if (i % 10 < 9) ("cold", 1) else ("lone", 2)
+      (i.toLong, t, sh, rnd.nextInt(100).toLong)
+    }
+    val builds = (0 until 40).map { j =>
+      val (t, sh) = if (j % 4 < 3) ("hot", 0) else ("cold", 1)
+      (1000L + j, t, sh, (j * 7 % 100).toLong)
+    }
+    (probes.toDF("event_id", "tenant", "shard", "us"),
+      builds.toDF("b_id", "b_tenant", "b_shard", "b_us"))
+  }
+
+  test("generic keys: string + int two-column salted == unsalted, " +
+      "as-of and band") {
+    val keys = Seq("tenant" -> "b_tenant", "shard" -> "b_shard")
+    val plain = rows(PlanBridge.asofJoin(sProbe, sBuild, keys, "us", "b_us"))
+    val salted = rows(AsofSkew.asofJoinSaltedKeys(sProbe, sBuild, keys,
+      "us", "b_us", hotKeys = Seq(Seq("hot", 0)), salts = 8))
+    assert(salted == plain)
+    assert(plain.size == 200)
+    val bPlain = bandRows(PlanBridge.bandJoin(sProbe, sBuild, keys,
+      "us", "b_us", -10L, 10L))
+    val bSalted = bandRows(AsofSkew.bandJoinSaltedKeys(sProbe, sBuild, keys,
+      "us", "b_us", -10L, 10L, hotKeys = Seq(Seq("hot", 0)), salts = 8))
+    assert(bSalted == bPlain)
+  }
+
+  test("generic keys: single string key salted == unsalted") {
+    val keys = Seq("tenant" -> "b_tenant")
+    val plain = rows(PlanBridge.asofJoin(sProbe, sBuild, keys, "us", "b_us"))
+    val salted = rows(AsofSkew.asofJoinSaltedKeys(sProbe, sBuild, keys,
+      "us", "b_us", hotKeys = Seq(Seq("hot")), salts = 4))
+    assert(salted == plain)
+  }
+
+  test("detectHotKeyTuples finds the dominant composite and is bounded") {
+    val hot = AsofSkew.detectHotKeyTuples(sProbe, Seq("tenant", "shard"),
+      sampleFraction = 1.0, minShare = 0.25)
+    assert(hot == Seq(Seq("hot", 0)), s"got $hot")
+    assert(AsofSkew.detectHotKeyTuples(sProbe.limit(0),
+      Seq("tenant", "shard"), sampleFraction = 1.0).isEmpty)
+  }
 }

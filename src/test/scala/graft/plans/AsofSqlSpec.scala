@@ -187,4 +187,39 @@ class AsofSqlSpec extends SparkSpec {
       .head.getLong(0)
     assert(got == 10L) // 3 probe rows keyed 1 × 3 views + 1 keyed 2 × 1
   }
+
+  test("string literals survive the rewrite: TOLERANCE and join " +
+      "keywords inside quotes are never rewritten") {
+    // pure-literal query: ASOF/BAND/TOLERANCE appear ONLY inside
+    // strings, so the parser must leave the text byte-identical
+    assert(!AsofSqlRewrite.applicable(
+      "SELECT 'ASOF JOIN x TOLERANCE 5' AS s FROM purchases"))
+    val lit = sql.sql(
+      "SELECT 'ASOF JOIN views TOLERANCE 5' AS s FROM purchases LIMIT 1")
+      .head.getString(0)
+    assert(lit == "ASOF JOIN views TOLERANCE 5")
+    // mixed query: a REAL asof clause coexists with literals that spell
+    // the keywords — the clause lowers, the literals pass unrewritten
+    val df = sql.sql(
+      """SELECT event_id, 'TOLERANCE 5' AS a, "BAND JOIN b" AS b
+        |FROM purchases p ASOF LEFT MERGE JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us
+        |TOLERANCE 5""".stripMargin)
+    val r = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(r.forall { case (_, a, b) =>
+      a == "TOLERANCE 5" && b == "BAND JOIN b" })
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    // and the REAL tolerance still applied (probe 4 at distance 49 has
+    // no match — checked through the lowered plan's output)
+    val tolApplied = sql.sql(
+      """SELECT event_id, v_us, 'x TOLERANCE 99 y' AS lit
+        |FROM purchases p ASOF LEFT MERGE JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us
+        |TOLERANCE 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(tolApplied.find(_._1 == 4L).get._2.isEmpty)
+    assert(tolApplied.forall(_._3 == "x TOLERANCE 99 y"))
+  }
 }
