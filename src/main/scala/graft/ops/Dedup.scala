@@ -958,21 +958,24 @@ object Dedup {
     * which wraps it as a derived table. */
   private[graft] lazy val dd08OracleSql: String =
     s"""${nearCte.replace("WITH ", "WITH RECURSIVE ")},
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_distinct([array_to_string(t[i:i+2], ' ')
        |                   FOR i IN range(1, len(t) - 1)]) AS g
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) z
        |),
-       |pairs AS (
-       |  SELECT a, b FROM (
-       |    SELECT x.doc_id AS a, y.doc_id AS b,
-       |      CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(x.g, y.g))) AS jaccard
-       |    FROM sh x JOIN sh y ON x.doc_id < y.doc_id) t
-       |  WHERE jaccard >= 0.7
+       |ex AS MATERIALIZED (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
+       |ov AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    COUNT(*) AS i, ANY_VALUE(x.n) AS na, ANY_VALUE(y.n) AS nb
+       |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
        |),
-       |und AS (
+       |pairs AS (
+       |  SELECT a, b FROM ov
+       |  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
+       |),
+       |und AS MATERIALIZED (
        |  SELECT a AS u, b AS v FROM pairs
        |  UNION
        |  SELECT b AS u, a AS v FROM pairs
@@ -1243,18 +1246,23 @@ object Dedup {
 
     "dd03b_lsh_strong_pairs" ->
       s"""$nearCte,
-         |sh AS (
+         |sh AS MATERIALIZED (
          |  SELECT doc_id,
          |    list_distinct([array_to_string(t[i:i+2], ' ')
          |                   FOR i IN range(1, len(t) - 1)]) AS g
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) z
-         |)
-         |SELECT a, b, jaccard FROM (
+         |),
+         |ex AS MATERIALIZED (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
+         |ov AS MATERIALIZED (
          |  SELECT x.doc_id AS a, y.doc_id AS b,
-         |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(x.g, y.g))) AS jaccard
-         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id) t
-         |WHERE jaccard >= 0.7""".stripMargin,
+         |    COUNT(*) AS i, ANY_VALUE(x.n) AS na, ANY_VALUE(y.n) AS nb
+         |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |)
+         |SELECT a, b,
+         |  CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+         |FROM ov
+         |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7""".stripMargin,
 
     // dd12 replayed in full: identical md5 seed hashes over identical
     // 6-token windows, identical occurrence rule (global count > 1),

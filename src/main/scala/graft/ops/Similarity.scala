@@ -1171,7 +1171,7 @@ object Similarity {
     * op-for-op. */
   private val pcaTopkCtes: String = {
     val lam = "list_dot_product(it.v, list_transform(it.S, r -> list_dot_product(r, it.v)))"
-    s"""WITH RECURSIVE q8 AS (
+    s"""WITH RECURSIVE q8 AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(
        |      CAST(x AS DOUBLE) /
@@ -1187,7 +1187,7 @@ object Similarity {
        |    GROUP BY u.i) u(i, s, n)
        |), mlist AS (
        |  SELECT list(m ORDER BY pos) AS m FROM mean_cells
-       |), cent AS (
+       |), cent AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(range(1, len(q) + 1), i -> q[i] - ml.m[i]) AS c
        |  FROM q8, mlist ml
@@ -1200,7 +1200,7 @@ object Similarity {
        |), srows AS (
        |  SELECT i, list(CAST(s AS DOUBLE) ORDER BY j) AS r
        |  FROM scat_cells GROUP BY i
-       |), smat AS (
+       |), smat AS MATERIALIZED (
        |  SELECT list(r ORDER BY i) AS S FROM srows
        |), it AS (
        |  SELECT 1 AS comp, 0 AS k,
@@ -1220,9 +1220,9 @@ object Similarity {
        |          it.S[i][j] - $lam * it.v[i] * it.v[j]))
        |    END
        |  FROM it WHERE it.k < 12 OR it.comp < 8
-       |), vconv AS (
+       |), vconv AS MATERIALIZED (
        |  SELECT comp, v, S FROM it WHERE k = 12
-       |), lams AS (
+       |), lams AS MATERIALIZED (
        |  SELECT comp,
        |    list_dot_product(v, list_transform(S, r -> list_dot_product(r, v))) AS lam
        |  FROM vconv
@@ -1231,7 +1231,7 @@ object Similarity {
        |      list_transform(range(1, len(v) + 1), i -> CAST(1.0 AS DOUBLE))) < 0.0
        |    THEN list_transform(v, x -> -x) ELSE v END AS v
        |  FROM vconv
-       |), scaled AS (
+       |), scaled AS MATERIALIZED (
        |  SELECT comp, list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sc
        |  FROM vsig
        |)""".stripMargin
@@ -1252,7 +1252,7 @@ object Similarity {
   // exactly as the Scala side does. Float op order (÷√λ, ×√n, ÷1000)
   // mirrors the Column expression token-for-token.
   private val emb09Sql: String =
-    s"""$pcaTopkCtes, nv AS (
+    s"""$pcaTopkCtes, nv AS MATERIALIZED (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q8
        |)
        |SELECT c.vec_id,
@@ -1386,7 +1386,7 @@ object Similarity {
     // recursion to 3 decimals. The nrm = 0 CASE mirrors the Scala
     // degenerate-corpus guard (zero scatter keeps v, never 0/0).
     "emb05_pca_project" ->
-      """WITH RECURSIVE q8 AS (
+      """WITH RECURSIVE q8 AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(
         |      CAST(x AS DOUBLE) /
@@ -1402,7 +1402,7 @@ object Similarity {
         |    GROUP BY u.i) u(i, s, n)
         |), mlist AS (
         |  SELECT list(m ORDER BY pos) AS m FROM mean_cells
-        |), cent AS (
+        |), cent AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(range(1, len(q) + 1), i -> q[i] - ml.m[i]) AS c
         |  FROM q8, mlist ml
@@ -1415,7 +1415,7 @@ object Similarity {
         |), srows AS (
         |  SELECT i, list(CAST(s AS DOUBLE) ORDER BY j) AS r
         |  FROM scat_cells GROUP BY i
-        |), smat AS (
+        |), smat AS MATERIALIZED (
         |  SELECT list(r ORDER BY i) AS S FROM srows
         |), it AS (
         |  SELECT 0 AS k,
@@ -1441,7 +1441,7 @@ object Similarity {
         |      list_transform(range(1, len(v) + 1), i -> CAST(1.0 AS DOUBLE))) < 0.0
         |    THEN list_transform(v, x -> -x) ELSE v END AS v
         |  FROM vfin
-        |), scaled AS (
+        |), scaled AS MATERIALIZED (
         |  SELECT list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sc
         |  FROM vsig
         |)
@@ -1454,7 +1454,7 @@ object Similarity {
     // BIGINT trace from the diagonal cells, and the two floats emitted
     // as scale-0-rounded integers (the validated round semantics).
     "emb06_pca_variance" ->
-      """WITH RECURSIVE q8 AS (
+      """WITH RECURSIVE q8 AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(
         |      CAST(x AS DOUBLE) /
@@ -1470,7 +1470,7 @@ object Similarity {
         |    GROUP BY u.i) u(i, s, n)
         |), mlist AS (
         |  SELECT list(m ORDER BY pos) AS m FROM mean_cells
-        |), cent AS (
+        |), cent AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(range(1, len(q) + 1), i -> q[i] - ml.m[i]) AS c
         |  FROM q8, mlist ml
@@ -1483,7 +1483,7 @@ object Similarity {
         |), srows AS (
         |  SELECT i, list(CAST(s AS DOUBLE) ORDER BY j) AS r
         |  FROM scat_cells GROUP BY i
-        |), smat AS (
+        |), smat AS MATERIALIZED (
         |  SELECT list(r ORDER BY i) AS S FROM srows
         |), it AS (
         |  SELECT 0 AS k,
@@ -1515,7 +1515,7 @@ object Similarity {
         |  FROM vsig vs, smat m
         |), tr AS (
         |  SELECT CAST(SUM(s) AS BIGINT) AS trace FROM scat_cells WHERE i = j
-        |), nv AS (
+        |), nv AS MATERIALIZED (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM q8
         |)
         |SELECT n_vecs, trace,
@@ -1535,7 +1535,7 @@ object Similarity {
         |  SELECT label, u.i AS pos, round(avg(v[u.i + 1]), 4) + 0.0 AS c
         |  FROM e, UNNEST(range(0, len(v))) AS u(i)
         |  GROUP BY label, u.i
-        |), cent AS (
+        |), cent AS MATERIALIZED (
         |  SELECT label, list(c ORDER BY pos) AS cvec FROM sums GROUP BY label
         |), scored AS (
         |  SELECT x.label, x.vec_id,
