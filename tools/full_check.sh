@@ -1,15 +1,31 @@
 #!/bin/bash
 # One-command regression gate: compile, tests, verify+oracle at both SFs, bench.
+# The verify+oracle path is TIMED and asserted under a budget: the driver's
+# correctness phase has a finite window, and round 11 lost its artifact when
+# the DuckDB replays outgrew it. Keep the sf0.01 sweep (Spark dump + both
+# check_oracle passes) under BUDGET_S — if this trips, profile the oracle
+# SQLs (tools/profile_oracle.py) and slim the offenders before shipping.
 set -e
 cd /root/repo
+BUDGET_S=${GRAFT_SWEEP_BUDGET_S:-900}
 echo "== compile =="; sbt -batch compile -error | tail -1
 echo "== tests ==";   sbt -batch test 2>&1 | grep -E "Tests:|FAILED" | head -2
+total=0
 for sf in 0.001 0.01; do
   echo "== verify sf$sf =="
   out=$(mktemp -d)
+  t0=$(date +%s)
   tools/run.sh graft.Verify /root/testdata/sf$sf "$out" 2>&1 | grep -E "^\[verify\]" || true
   python3 tools/check_oracle.py /root/testdata/sf$sf "$out" | tail -1
+  t1=$(date +%s)
+  echo "-- sweep sf$sf took $((t1 - t0))s"
+  if [ "$sf" = "0.01" ]; then total=$((t1 - t0)); fi
 done
+if [ "$total" -gt "$BUDGET_S" ]; then
+  echo "FAIL: sf0.01 verify+oracle sweep ${total}s exceeds budget ${BUDGET_S}s" >&2
+  exit 1
+fi
+echo "OK: sf0.01 sweep ${total}s within budget ${BUDGET_S}s"
 echo "== bench sf0.1 =="
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   tools/run.sh graft.Bench 2>/dev/null | tail -1
