@@ -106,7 +106,32 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
+    // Queries whose first-rep cost includes a nontrivial index or
+    // session-memo build (IndexStore artifacts: LSH pairs, cluster map,
+    // span tables, blooms, PQ/IVF, z-layout, trade edges; session
+    // memos: scatter/PCA solves, BPE trainer, BM25 stats). A
+    // cold-environment run (fresh process, empty index root — the
+    // driver's) pays the build inside every rep while a warm one
+    // amortizes it, so cross-run deltas on these names compare
+    // economics, not code — label them so readers can tell.
+    val memoBacked = Seq(
+      "bk01_bucketed_cojoin", "bk02_zorder_prune",
+      "dd03_minhash_lsh", "dd03b_lsh_strong_pairs", "dd05_ngram_jaccard",
+      "dd08_cc_clusters", "dd10_semantic_dedup",
+      "dd11_incremental_dedup_bloom", "dd12_exact_substring",
+      "dd13_substring_scrub", "dd13b_substring_scrub_keep1",
+      "dd14_containment_audit",
+      "emb03_kmeans_int", "emb05_pca_project", "emb06_pca_variance",
+      "emb07_pca_topk", "emb09_whiten",
+      "gr01_pagerank", "gr02_triangles", "gr03_bfs_hops", "gr04_label_prop",
+      "pp02_near_dedup_corpus", "pp12_dedup_apply", "pp13_split_leakage",
+      "qa04_cluster_sizes", "qa06_dedup_impact", "qa07_dedup_flow",
+      "ss02_lsh_topk", "ss03_ivf_topk", "ss03b_ivf_int8_topk",
+      "ss03c_ivfadc_rerank", "ss09_pq_topk", "ss10_pq_rerank",
+      "tx16_bm25_topk", "tx17_bpe_train", "tx18_bpe_encode",
+      "tx19_bpe_doc_tokens", "tx20_bpe_fertility")
+    val memoJson = memoBacked.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's per-round artifact keeps only a ~2KB tail of stdout,
     // which has repeatedly made cross-round per-query comparison

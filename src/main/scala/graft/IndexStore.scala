@@ -58,6 +58,13 @@ object IndexStore {
     * corpus: `error` (default — fail loudly) or `rebuild`. */
   val IfStaleKey = "spark.graft.index.ifStale"
 
+  /** Build-lock staleness threshold (ms). A lock whose mtime is older
+    * than this is treated as a crashed builder's leftover and taken
+    * over; live builders heartbeat the mtime at a quarter of this
+    * interval, so a healthy build can never read as stale. */
+  val LockStaleMsKey = "spark.graft.index.lockStaleMs"
+  private val LockStaleMsDefault = 600000L
+
   def root(s: SparkSession): Option[String] =
     s.conf.getOption(RootKey).map(_.trim).filter(_.nonEmpty)
 
@@ -224,46 +231,98 @@ object IndexStore {
   // (create-no-overwrite), so two builders sharing an index root
   // cannot interleave overwrite-writes under one index dir — the
   // second fails LOUDLY instead of corrupting. Released by commit()
-  // (or abortBuild after a failed build); a builder that crashed
-  // mid-build leaves it behind, and the error message carries the
-  // lock's age and path so an operator can delete a stale one.
+  // (or abortBuild after a failed build). A builder that crashed
+  // between lock create and its try wrapper used to leave a PERMANENT
+  // lock; now live builders heartbeat the lock mtime and a lock older
+  // than the staleness threshold is reclaimed automatically
+  // (age-based takeover), while a heartbeating peer still excludes.
   private def lockPath(base: String) = new Path(base, "_GRAFT_BUILD_LOCK")
+
+  // Live-builder heartbeats: one shared daemon scheduler touches each
+  // held lock's mtime at staleMs/4, so a healthy long build never
+  // reads as stale while a crashed builder's lock ages past the
+  // threshold and gets reclaimed.
+  private lazy val heartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-index-lock-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+  private val heldLocks = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.ScheduledFuture[_]]
+
+  private def lockStaleMs(s: SparkSession): Long =
+    s.conf.getOption(LockStaleMsKey).map(_.toLong)
+      .getOrElse(LockStaleMsDefault)
 
   private def acquireLock(s: SparkSession, base: String,
       name: String): Unit = {
     val p = lockPath(base)
     val f = fs(s, p)
+    val staleMs = lockStaleMs(s)
     f.mkdirs(new Path(base))
-    try {
-      val out = f.create(p, false)
-      try out.write(
-        (s"pid=${ProcessHandle.current().pid()} " +
-          s"ts=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
-      finally out.close()
-    } catch {
-      // Only an actually-present lock file means "another builder".
-      // Some FileSystems signal create-no-overwrite with the typed
-      // FileAlreadyExistsException, others with a generic IOException —
-      // so on a generic one, confirm the lock exists before diagnosing
-      // concurrency; a transient FS error (permissions, network)
-      // propagates as itself instead of masquerading as a build race.
-      case e: java.io.IOException
-          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-            e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
-            (try f.exists(p) catch { case _: java.io.IOException => false }) =>
-        val age =
-          try System.currentTimeMillis() -
-            f.getFileStatus(p).getModificationTime
-          catch { case _: java.io.IOException => -1L }
+
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(p, false)
+        try out.write(
+          (s"pid=${ProcessHandle.current().pid()} " +
+            s"ts=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch {
+        // Only an actually-present lock file means "another builder".
+        // Some FileSystems signal create-no-overwrite with the typed
+        // FileAlreadyExistsException, others with a generic IOException —
+        // so on a generic one, confirm the lock exists before diagnosing
+        // concurrency; a transient FS error (permissions, network)
+        // propagates as itself instead of masquerading as a build race.
+        case e: java.io.IOException
+            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+              (try f.exists(p) catch { case _: java.io.IOException => false }) =>
+          false
+      }
+
+    def ageMs: Long =
+      try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+
+    var acquired = tryCreate()
+    if (!acquired) {
+      val age = ageMs
+      if (age > staleMs) {
+        // dead-builder takeover: the holder stopped heartbeating for
+        // longer than the threshold (a live build touches the mtime at
+        // staleMs/4). Re-check the age right before deleting to keep
+        // the delete-vs-fresh-recreate race window minimal; if another
+        // taker wins the re-create, our create fails and we diagnose
+        // THEIR fresh lock below.
+        if (ageMs > staleMs) {
+          try f.delete(p, false) catch { case _: java.io.IOException => () }
+          acquired = tryCreate()
+        }
+      }
+      if (!acquired)
         throw new IllegalStateException(
           s"graft index at $base ('$name') is being BUILT by another " +
-            s"process (lock $p, age ${age}ms). Concurrent builders would " +
-            "interleave overwrite-writes and corrupt the index; if the " +
-            "other builder crashed, delete the lock file and retry.")
+            s"process (lock $p, age ${ageMs}ms, stale threshold " +
+            s"${staleMs}ms). Concurrent builders would interleave " +
+            "overwrite-writes and corrupt the index; a crashed builder's " +
+            "lock is reclaimed automatically once it ages past the " +
+            s"threshold (configure with $LockStaleMsKey).")
     }
+    // heartbeat while held
+    val period = math.max(staleMs / 4, 50L)
+    heldLocks.put(base, heartbeats.scheduleAtFixedRate(
+      () => try f.setTimes(p, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
+      .foreach(_.cancel(false))
   }
 
   private def releaseLock(s: SparkSession, base: String): Unit = {
+    heldLocks.remove(base).foreach(_.cancel(false))
     val p = lockPath(base)
     fs(s, p).delete(p, false)
   }

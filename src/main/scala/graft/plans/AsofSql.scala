@@ -321,13 +321,22 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       val parts = BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
           u.left.outputSet, u.right.outputSet)
         .getOrElse(throw new IllegalArgumentException(
-          "BAND JOIN: ON must be cross-side key equalities plus a " +
-            "two-sided BIGINT time band (r.t BETWEEN l.t + lo AND l.t + hi, " +
-            s"attr ± integer-literal operands); got: $cond"))
+          "BAND JOIN: ON must be cross-side key equalities (or none — " +
+            "the keyless range shape) plus a two-sided BIGINT time band " +
+            "(r.t BETWEEN l.t + lo AND l.t + hi, attr ± integer-literal " +
+            s"operands); got: $cond"))
       require(parts.probeOnly.isEmpty && parts.buildOnly.isEmpty,
         "BAND JOIN: single-side conjuncts are not allowed in ON — " +
           "move them to WHERE or a subquery")
-      BandConds.lowerBand(u.left, u.right, parts, u.hint, u.keepUnmatched)
+      if (parts.lKeys.nonEmpty)
+        BandConds.lowerBand(u.left, u.right, parts, u.hint, u.keepUnmatched)
+      else {
+        require(parts.lTime.dataType == org.apache.spark.sql.types.LongType,
+          "keyless BAND JOIN needs BIGINT micro times — extract micros " +
+            "(unix_micros) before joining")
+        BandConds.lowerBandKeyless(u.left, u.right, parts,
+          u.hint, u.keepUnmatched)
+      }
     case u: UnresolvedAsofJoin if u.childrenResolved =>
       val resolver = conf.resolver
       val cond = u.condition.transformUp {

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute,
-  AttributeSet, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, IsNull,
-  LessThanOrEqual, Literal, Subtract}
+  AttributeReference, AttributeSet, EqualTo, Explode, Expression,
+  GreaterThanOrEqual, IntegralDivide, IsNotNull, IsNull, LessThanOrEqual,
+  Literal, Pmod, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan,
-  Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join,
+  LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -103,9 +104,11 @@ object BandConds {
     (lower, upper) match {
       case (Some((lt1, rt1, lo)), Some((lt2, rt2, hi)))
           if ok && lt1.exprId == lt2.exprId && rt1.exprId == rt2.exprId &&
-            lKeys.nonEmpty && lo <= hi &&
+            lo <= hi &&
             lt1.dataType == rt1.dataType &&
             AsofJoinPlan.timeTypeOk(lt1.dataType) =>
+        // keys may be EMPTY — the keyless range-join shape; callers
+        // dispatch to lowerBandKeyless (bucketized) for that case
         Some(Parts(lKeys, rKeys, lt1, rt1, lo, hi, probeOnly, buildOnly))
       case _ => None
     }
@@ -160,6 +163,70 @@ object BandConds {
     withNullHygiene(left, right, p.rKeys, p.rTime, p.lTime, keepUnmatched)(
       (probe, build) => BandJoinPlan(probe, build,
         p.lKeys, p.rKeys, p.lTime, p.rTime, p.lowUs, p.highUs, hint))
+
+  /** Exact floor division `e div w` for LongType `e` and positive `w` —
+    * `(e − pmod(e, w)) div w`. IntegralDivide alone truncates toward
+    * zero, which misbuckets negative times; subtracting the
+    * non-negative pmod first makes the numerator an exact multiple. */
+  private def floorDiv(e: Expression, w: Long): Expression =
+    IntegralDivide(Subtract(e, Pmod(e, Literal(w))), Literal(w))
+
+  /** Lower a KEYLESS band join — the global range-correlation shape
+    * (`ON r.t BETWEEN l.t + lo AND l.t + hi`, no equi-key) — by RANGE
+    * BUCKETIZATION, the IEJoin-style partitioning re-expressed through
+    * the existing keyed operator:
+    *
+    *  - bucket width `w = max(hi − lo, 1)` micros;
+    *  - each probe gets ONE bucket, `floor(lt / w)`;
+    *  - each build row replicates to the buckets it could match into,
+    *    `floor((rt − hi) / w) .. floor((rt − lo) / w)` — at most
+    *    `(hi − lo)/w + 2 ≤ 3` copies, so build inflation is bounded by
+    *    a small constant;
+    *  - the keyed [[BandJoinPlan]] then runs with the bucket as its
+    *    equi-key: a matching pair `rt ∈ [lt+lo, lt+hi]` co-buckets in
+    *    exactly the probe's bucket (monotone floors bound the probe's
+    *    bucket between the build row's replication endpoints), and the
+    *    band merge re-checks the exact bounds inside the bucket, so
+    *    results are EXACTLY the stock join's — no dedup needed, each
+    *    pair meets once.
+    *
+    * Scale shape: both sides shuffle on bucket (time-range partitioned
+    * in effect), parallelism = the corpus's time extent over the band
+    * width, per-partition state = the band occupancy — O(input +
+    * output) where the stock plan is a nested-loop cartesian. Null
+    * build times drop at the hygiene filter; null-time probes route
+    * around (left) or drop (inner), same as the keyed lowering.
+    * LongType times only: bucket arithmetic is integer micro math
+    * (timestamp columns convert with unix_micros at the call site). */
+  def lowerBandKeyless(left: LogicalPlan, right: LogicalPlan, p: Parts,
+      hint: String, keepUnmatched: Boolean): LogicalPlan = {
+    require(p.lKeys.isEmpty && p.rKeys.isEmpty,
+      "lowerBandKeyless is the keyless lowering; use lowerBand with keys")
+    require(p.lTime.dataType == LongType,
+      "keyless band lowering needs LongType micro times")
+    val w = math.max(p.highUs - p.lowUs, 1L)
+    withNullHygiene(left, right, Nil, p.rTime, p.lTime, keepUnmatched) {
+      (probe, build) =>
+        val lbAlias = Alias(floorDiv(p.lTime, w), "__graft_bucket_l")()
+        val probe2 = Project(probe.output :+ lbAlias, probe)
+        val lb = lbAlias.toAttribute
+        // timeZoneId set explicitly: Sequence is TimeZoneAwareExpression
+        // and stays UNRESOLVED without one — the analyzer's
+        // ResolveTimeZone fills it on the SQL-clause path, but the
+        // optimizer-rule path runs after analysis
+        val gen = Explode(Sequence(
+          floorDiv(Subtract(p.rTime, Literal(p.highUs)), w),
+          floorDiv(Subtract(p.rTime, Literal(p.lowUs)), w), None,
+          Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
+        val rb = AttributeReference("__graft_bucket_r", LongType,
+          nullable = gen.elementSchema.head.nullable)()
+        val build2 = Generate(gen, Nil, outer = false, None, Seq(rb), build)
+        val band = BandJoinPlan(probe2, build2, Seq(lb), Seq(rb),
+          p.lTime, p.rTime, p.lowUs, p.highUs, hint)
+        Project(band.output.filterNot(a =>
+          a.exprId == lb.exprId || a.exprId == rb.exprId), band)
+    }
+  }
 }
 
 /** Plain-SQL (or DataFrame-API) interval joins silently get the native
@@ -178,11 +245,13 @@ object BandConds {
   * filter), null keys/times get the [[BandConds.lowerBand]] hygiene,
   * and anything outside the recognized grammar (other join types,
   * streaming sides, null-safe equality, a third inequality) leaves the
-  * plan untouched. KEYLESS range joins are deliberately not claimed:
-  * the merge clusters on the equi-keys, so a synthesized constant key
-  * would serialize the whole input onto one partition — worse at scale
-  * than the nested-loop plan Spark picks. A keyless band wants a
-  * range-partitioned operator (DuckDB's IEJoin); out of scope. */
+  * plan untouched. KEYLESS range joins (no equi-key at all — global
+  * time-window correlation) are claimed too, via
+  * [[BandConds.lowerBandKeyless]]'s range bucketization — the
+  * IEJoin-style time partitioning, NOT a synthesized constant key
+  * (which would serialize one partition). Keyless claims are limited
+  * to LongType micro times: the bucket arithmetic is integer math,
+  * and a timestamp's micros extraction belongs at the call site. */
 object BandJoinAutoRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.band.autoRewrite"
@@ -198,7 +267,8 @@ object BandJoinAutoRewrite extends Rule[LogicalPlan] {
             !l.isStreaming && !r.isStreaming =>
         BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
             l.outputSet, r.outputSet) match {
-          case Some(p) if jt == Inner || p.probeOnly.isEmpty =>
+          case Some(p) if (jt == Inner || p.probeOnly.isEmpty) &&
+              (p.lKeys.nonEmpty || p.lTime.dataType == LongType) =>
             val probe = if (p.probeOnly.nonEmpty)
               Filter(p.probeOnly.reduce(And(_, _)), l) else l
             val build = if (p.buildOnly.nonEmpty)
@@ -207,8 +277,12 @@ object BandJoinAutoRewrite extends Rule[LogicalPlan] {
               if (hint.rightHint.flatMap(_.strategy).contains(
                   org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
                 "broadcast" else "auto"
-            BandConds.lowerBand(probe, build, p, physHint,
-              keepUnmatched = jt == LeftOuter)
+            if (p.lKeys.nonEmpty)
+              BandConds.lowerBand(probe, build, p, physHint,
+                keepUnmatched = jt == LeftOuter)
+            else
+              BandConds.lowerBandKeyless(probe, build, p, physHint,
+                keepUnmatched = jt == LeftOuter)
           case _ => j
         }
     }

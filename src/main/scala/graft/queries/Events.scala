@@ -278,6 +278,29 @@ object Events {
       out
     },
 
+    // The KEYLESS range join — global time-window correlation with NO
+    // equi-key (how many purchases by ANYONE in the 5 minutes before
+    // each error): the family member round 11 deliberately refused,
+    // now served by BandConds.lowerBandKeyless's range bucketization
+    // (probes floor-bucket by the band width, build rows replicate to
+    // their ≤3 reachable buckets, the keyed band merge runs on the
+    // bucket). Both sides shuffle by time range — the IEJoin shape —
+    // where the stock Spark plan is a nested-loop cartesian and a
+    // synthesized constant key would serialize one partition. DuckDB
+    // answers the same question with its native IEJoin.
+    "ev07e_band_keyless" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("us").as("eus"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("us").as("pus"), col("event_id").as("p_id"))
+      org.apache.spark.sql.graft.PlanBridge
+        .bandJoinKeyless(e, p, "eus", "pus",
+          lowUs = -5L * 60 * 1000000, highUs = 0L)
+        .groupBy(col("event_id"))
+        .agg(count(col("p_id")).as("n_prior_purchases"))
+    },
+
     // AS-OF join: each purchase matched to the user's most recent view
     // at-or-before it. Spark has no asof operator; rather than an
     // inequality join (which Catalyst executes as a per-user cross
@@ -784,6 +807,17 @@ object Events {
         |LEFT JOIN (SELECT user_id AS pu, epoch_us(ts) AS pus FROM events
         |           WHERE event_type = 'purchase') p
         |  ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
+        |GROUP BY e.event_id""".stripMargin,
+
+    // ev07e: graft's bucketized keyless band operator vs DuckDB's
+    // native keyless range join (IEJoin) — no key on either side.
+    "ev07e_band_keyless" ->
+      """SELECT e.event_id, COUNT(p.p_id) AS n_prior_purchases
+        |FROM (SELECT event_id, epoch_us(ts) AS eus FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT event_id AS p_id, epoch_us(ts) AS pus FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON p.pus BETWEEN e.eus - 300000000 AND e.eus
         |GROUP BY e.event_id""".stripMargin,
 
     "ev06_session_window" ->

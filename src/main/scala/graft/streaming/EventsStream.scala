@@ -141,6 +141,76 @@ object EventsStream {
       }
   }
 
+  final case class BandCount(event_id: Long, user_id: Long, us: Long,
+      n_prior_purchases: Long)
+
+  /** Streaming BANDED enrichment join (streaming twin of the
+    * oracle-gated batch ev07/ev07b): each error counts its user's
+    * purchases within the trailing band `[us + lowUs, us]`. State per
+    * user is the BAND OCCUPANCY — exactly the purchases still inside
+    * the band reach of the latest event seen, the same bounded-state
+    * argument as the batch BandJoinExec deque — never the key's full
+    * history, which is what makes a band join streamable at 100 TB.
+    *
+    * WATERMARKED: the input gets an event-time watermark and the state
+    * uses EventTimeTimeout — a user idle past the watermark plus the
+    * band width has provably nothing left to match, so their buffer is
+    * dropped entirely (the difference between bounded state and state
+    * that grows with the user population's lifetime). Within a trigger
+    * events process in event-time order (purchases before errors on
+    * ties — the band's inclusive `pts <= ets`); the standard
+    * monotone-source caveat of [[asofJoin]] applies across triggers. */
+  def bandCount(spark: SparkSession, events: DataFrame,
+      lowUs: Long = -30L * 60 * 1000000,
+      watermarkDelay: String = "1 hour"): Dataset[BandCount] = {
+    import spark.implicits._
+    require(lowUs <= 0L, s"trailing band only: lowUs $lowUs must be <= 0")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[Seq[(Long, Long)]]) =>
+          def micros(e: Event): Long =
+            e.ts.getTime / 1000 * 1000000 + (e.ts.getNanos / 1000) % 1000000
+          if (state.hasTimedOut) {
+            // idle past watermark + band: nothing buffered can ever
+            // match a future in-watermark event
+            state.remove()
+            Iterator.empty
+          } else {
+            // ascending (us, event_id) purchase buffer
+            var buf = state.getOption.getOrElse(Seq.empty)
+            var maxUs = buf.lastOption.map(_._1).getOrElse(Long.MinValue)
+            val out = scala.collection.mutable.ArrayBuffer[BandCount]()
+            val sorted = it.toArray.sortBy(e =>
+              (micros(e), if (e.event_type == "purchase") 0 else 1, e.event_id))
+            sorted.foreach { e =>
+              val us = micros(e)
+              if (e.event_type == "purchase") buf = buf :+ ((us, e.event_id))
+              else out += BandCount(e.event_id, user, us,
+                buf.count(p => p._1 >= us + lowUs && p._1 <= us))
+              if (us > maxUs) maxUs = us
+              // evict below the band reach of the latest event seen —
+              // state IS the band occupancy
+              buf = buf.dropWhile(_._1 < maxUs + lowUs)
+            }
+            state.update(buf)
+            if (maxUs != Long.MinValue) {
+              // timeout when the watermark passes the band reach; must
+              // stay above the current watermark or Spark rejects it
+              val horizonMs = maxUs / 1000 + (-lowUs) / 1000 + 1000
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1000))
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class FunnelOut(user_id: Long, v_us: Option[Long],
       c_us: Option[Long], p_us: Option[Long])
 

@@ -300,6 +300,89 @@ object AsofStress {
     spark.conf.set(graft.plans.BandJoinAutoRewrite.ConfKey, "false")
     val tRewrite = math.min(rw1._2, rw2._2)
 
+    // ---- KEYLESS band scenario: global time-window correlation ----
+    // No equi-key anywhere: 1,000 build rows at times 0,10..9990
+    // probed by 6M rows (t = id % 10000), band [-19, 0] — matches =
+    // the multiples of 10 in [max(t-19,0), t], count = t div 10 −
+    // (max(t−19,0)+9) div 10 + 1, gated per probe DISTRIBUTED. The
+    // stock plan is a TRUE BroadcastNestedLoopJoin (6e9 predicate
+    // evaluations at 6M probes); the bucketized keyless operator
+    // (range partitioning + keyed band merge on the bucket) stays
+    // O(input + output) and also runs at 60M. The auto-rewrite claim
+    // on the identical stock join is pinned at the end.
+    val gdim = spark.range(1000L).select(
+      (col("id") * 10).as("g_us"), col("id").as("g_id"))
+    val keylessExpected =
+      expr("p_us div 10 - (greatest(p_us - 19, 0) + 9) div 10 + 1")
+    def keylessProbes(n: Long) = spark.range(n).select(
+      (col("id") % 10000).as("p_us"), col("id").as("p_id"))
+    def keylessGate(joined: => org.apache.spark.sql.DataFrame) = timed {
+      val out = joined
+        .groupBy(col("p_id"), col("p_us"))
+        .agg(count(col("g_id")).as("n"))
+        .agg(count(lit(1)).as("probes"),
+          sum(when(col("n") =!= keylessExpected, 1L).otherwise(0L)).as("bad"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1))
+    }
+    def nativeKeyless(n: Long) = PlanBridge.bandJoinKeyless(
+      keylessProbes(n), gdim, "p_us", "g_us", -19L, 0L)
+    def loopKeyless(n: Long) = keylessProbes(n).join(gdim,
+      col("g_us") <= col("p_us") && col("g_us") >= col("p_us") - 19,
+      "left_outer")
+    val nk = 6000000L
+    val kn1 = keylessGate(nativeKeyless(nk)); val kn2 = keylessGate(nativeKeyless(nk))
+    assert(kn2._1 == (nk, 0L), s"keyless native gates: ${kn2._1}")
+    val kl1 = keylessGate(loopKeyless(nk)); val kl2 = keylessGate(loopKeyless(nk))
+    assert(kl2._1 == kn2._1, s"keyless parity: loop ${kl2._1} native ${kn2._1}")
+    val kx1 = keylessGate(nativeKeyless(nk * 10))
+    val kx2 = keylessGate(nativeKeyless(nk * 10))
+    assert(kx2._1 == (nk * 10, 0L), s"keyless native 60m gates: ${kx2._1}")
+    val tKeylessNative = math.min(kn1._2, kn2._2)
+    val tKeylessLoop = math.min(kl1._2, kl2._2)
+    val tKeylessNative10x = math.min(kx1._2, kx2._2)
+    spark.conf.set(graft.plans.BandJoinAutoRewrite.ConfKey, "true")
+    assert(loopKeyless(nk).queryExecution.executedPlan.toString
+        .contains("BandJoin"),
+      "auto-rewrite did not claim the stock keyless band join")
+    val krw1 = keylessGate(loopKeyless(nk)); val krw2 = keylessGate(loopKeyless(nk))
+    assert(krw2._1 == (nk, 0L), s"keyless auto-rewrite gates: ${krw2._1}")
+    spark.conf.set(graft.plans.BandJoinAutoRewrite.ConfKey, "false")
+    val tKeylessRewrite = math.min(krw1._2, krw2._2)
+
+    // dense-build keyless: 100k build rows (times 0..99999), 600k
+    // probes — the nested loop is O(n·m) = 6e10 predicate evaluations
+    // regardless of how few pairs match, while the bucketized operator
+    // stays O(input + output) (~20 matches/probe). One rep for the
+    // loop baseline (it is the slow side by construction).
+    val gdense = spark.range(100000L).select(
+      col("id").as("g_us"), col("id").as("g_id"))
+    val denseKeylessExpected =
+      expr("least(p_us, 19) + 1")
+    def denseKeylessProbes(n: Long) = spark.range(n).select(
+      (col("id") % 100000).as("p_us"), col("id").as("p_id"))
+    def denseKeylessGate(joined: => org.apache.spark.sql.DataFrame) = timed {
+      val out = joined
+        .groupBy(col("p_id"), col("p_us"))
+        .agg(count(col("g_id")).as("n"))
+        .agg(count(lit(1)).as("probes"),
+          sum(when(col("n") =!= denseKeylessExpected, 1L).otherwise(0L)).as("bad"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1))
+    }
+    val nkd = 600000L
+    val dk1 = denseKeylessGate(PlanBridge.bandJoinKeyless(
+      denseKeylessProbes(nkd), gdense, "p_us", "g_us", -19L, 0L))
+    val dk2 = denseKeylessGate(PlanBridge.bandJoinKeyless(
+      denseKeylessProbes(nkd), gdense, "p_us", "g_us", -19L, 0L))
+    assert(dk2._1 == (nkd, 0L), s"dense keyless native gates: ${dk2._1}")
+    val dl1 = denseKeylessGate(denseKeylessProbes(nkd).join(gdense,
+      col("g_us") <= col("p_us") && col("g_us") >= col("p_us") - 19,
+      "left_outer"))
+    assert(dl1._1 == dk2._1, s"dense keyless parity: ${dl1._1} vs ${dk2._1}")
+    val tDenseKeylessNative = math.min(dk1._2, dk2._2)
+    val tDenseKeylessLoop = dl1._2
+
     println(s"""{"tool":"AsofStress","users":$users,"views_per_user":$k,""" +
       s""""n_events":${users * (2 * k + 1)},"nulls":$nulls,"bad":$bad,""" +
       s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"},""" +
@@ -311,7 +394,13 @@ object AsofStress {
       s""""band_dense_native_600k_sec":${f"$tDenseNative%.1f"},""" +
       s""""band_dense_residual_600k_sec":${f"$tDenseResidual%.1f"},""" +
       s""""band_dense_native_6m_sec":${f"$tDenseNative10x%.1f"},""" +
-      s""""band_dense_autorewrite_600k_sec":${f"$tRewrite%.1f"}}""")
+      s""""band_dense_autorewrite_600k_sec":${f"$tRewrite%.1f"},""" +
+      s""""band_keyless_native_6m_sec":${f"$tKeylessNative%.1f"},""" +
+      s""""band_keyless_nestedloop_6m_sec":${f"$tKeylessLoop%.1f"},""" +
+      s""""band_keyless_native_60m_sec":${f"$tKeylessNative10x%.1f"},""" +
+      s""""band_keyless_autorewrite_6m_sec":${f"$tKeylessRewrite%.1f"},""" +
+      s""""band_keyless_dense_native_600k_sec":${f"$tDenseKeylessNative%.1f"},""" +
+      s""""band_keyless_dense_nestedloop_600k_sec":${f"$tDenseKeylessLoop%.1f"}}""")
     spark.stop()
   }
 }

@@ -136,4 +136,41 @@ object PlanBridge {
       resolve(lPlan, leftTime), resolve(rPlan, rightTime), lowUs, highUs,
       hint))
   }
+
+  /** KEYLESS banded join — every (left, right) pair with `rightTime`
+    * within [leftTime + lowUs, leftTime + highUs], no equi-key at all
+    * (global time-window correlation), left-outer like [[bandJoin]].
+    * Runs as [[graft.plans.BandConds.lowerBandKeyless]]'s range
+    * bucketization: probes floor-bucket by `max(highUs − lowUs, 1)`
+    * micros, build rows replicate to their ≤ 3 reachable buckets, and
+    * the keyed band merge runs with the bucket as its key — both sides
+    * shuffle-partition by time range, O(input + output), where the
+    * stock plan is a nested-loop cartesian. Time columns must be
+    * LongType micros (unix_micros a timestamp first); SQL null
+    * semantics (null times never match; null-time probes emit the
+    * null-extended row). */
+  def bandJoinKeyless(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      lowUs: Long, highUs: Long, hint: String = "auto"): DataFrame = {
+    require(lowUs <= highUs, s"band [$lowUs, $highUs] is empty")
+    val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val shared = lPlan.output.map(_.name).toSet
+      .intersect(rPlan.output.map(_.name).toSet)
+    require(shared.isEmpty,
+      s"bandJoinKeyless sides must have disjoint column names; shared: $shared")
+
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+
+    val parts = graft.plans.BandConds.Parts(Nil, Nil,
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime), lowUs, highUs,
+      Nil, Nil)
+    classic.Dataset.ofRows(spark, graft.plans.BandConds.lowerBandKeyless(
+      lPlan, rPlan, parts, hint, keepUnmatched = true))
+  }
 }

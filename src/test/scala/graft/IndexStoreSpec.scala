@@ -286,4 +286,47 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.resolve(s2, corpus, "lock_idx3", "documents")
       .isInstanceOf[IndexStore.Build])
   }
+
+  test("a dead builder's lock is reclaimed past the staleness threshold; " +
+      "a live heartbeating builder still excludes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot8").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus8").toString
+    SparkSpec.session.read.parquet(sf + "/documents.parquet")
+      .write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    val s1 = managed(root)
+    s1.conf.set(IndexStore.LockStaleMsKey, "400")
+
+    // simulate a builder that crashed between lock create and its try
+    // wrapper: a lock file with an ancient mtime and no process behind
+    // it (acquire normally, release, then plant the dead lock by hand)
+    val b0 = IndexStore.resolve(s1, corpus, "lock_dead", "documents") match {
+      case b: IndexStore.Build => b
+      case other => fail(s"expected Build, got $other")
+    }
+    IndexStore.abortBuild(s1, b0.base)
+    val lock = java.nio.file.Paths.get(
+      b0.base.stripPrefix("file:"), "_GRAFT_BUILD_LOCK")
+    java.nio.file.Files.writeString(lock, "pid=dead ts=0\n")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000))
+
+    // age 10s > threshold 400ms: the next builder reclaims it
+    val b1 = IndexStore.resolve(s1, corpus, "lock_dead", "documents") match {
+      case b: IndexStore.Build => b
+      case other => fail(s"expected takeover to yield Build, got $other")
+    }
+
+    // the reclaimed lock is LIVE now (heartbeat at threshold/4): a
+    // peer refuses even after sleeping past the threshold — age-based
+    // takeover must never evict a healthy builder
+    Thread.sleep(600)
+    val s2 = managed(root)
+    s2.conf.set(IndexStore.LockStaleMsKey, "400")
+    val e = intercept[IllegalStateException] {
+      IndexStore.resolve(s2, corpus, "lock_dead", "documents")
+    }
+    assert(e.getMessage.contains("BUILT by another"), e.getMessage)
+    IndexStore.abortBuild(s1, b1.base)
+  }
 }

@@ -187,6 +187,24 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming band join matches the oracle-checked batch ev07 exactly " +
+      "(watermarked, band-occupancy state)") {
+    val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
+    val q = EventsStream.bandCount(spark, stream)
+      .writeStream.format("memory").queryName("bandcnt").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bandcnt")
+        .select("event_id", "n_prior_purchases").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = graft.queries.Events.queries("ev07_interval_join")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch && batch.nonEmpty,
+        s"streaming band: ${streamed.size} errors vs batch ${batch.size}")
+      assert(streamed.values.exists(_ > 0L), "no error ever saw a purchase")
+    } finally q.stop()
+  }
+
   test("streaming funnel stage counts match the oracle-checked batch ev09") {
     val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
     val q = EventsStream.funnel(spark, stream)
