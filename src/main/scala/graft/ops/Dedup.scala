@@ -936,11 +936,11 @@ object Dedup {
        |  FROM th, range(0, 64) r(b)
        |  GROUP BY doc_id, b
        |),
-       |bits AS (
+       |bits AS MATERIALIZED (
        |  SELECT doc_id, list(CASE WHEN cnt > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
        |  FROM bitcnt GROUP BY doc_id
        |),
-       |blk AS (
+       |blk AS MATERIALIZED (
        |  SELECT doc_id, bits, j AS block_id,
        |    list_sum([ bits[16 * j + k + 1] * ($pw2b)[k + 1] FOR k IN range(0, 16) ]) AS block_val
        |  FROM bits, range(0, 4) r(j)

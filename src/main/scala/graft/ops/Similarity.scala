@@ -1270,7 +1270,7 @@ object Similarity {
   // emb08: both engines mint the identical ±1 sign matrix from md5 and
   // fold it against the shared int8 grid — integer-exact throughout.
   private val emb08Sql: String =
-    s"""WITH q8 AS (
+    s"""WITH q8 AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(
        |      CAST(x AS DOUBLE) /
@@ -1300,7 +1300,7 @@ object Similarity {
     "ss04_topk_aggregated" -> ss01Sql,
     "ss01_topk_bruteforce" -> ss01Sql,
     "ss07_range_search" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (
         |  SELECT q.vec_id AS q_id, x.vec_id,
         |    list_dot_product(x.v, q.v) /
@@ -1311,7 +1311,7 @@ object Similarity {
     // ss08: raw dot ranking; ROW_NUMBER ties broken by vec_id exactly
     // as TopK's comparator does.
     "ss08_mips_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (
         |  SELECT q.vec_id AS q_id, x.vec_id,
         |    list_dot_product(x.v, q.v) AS dot
@@ -1325,7 +1325,7 @@ object Similarity {
 
     "ss02_lsh_topk" -> ss02Sql,
     "ss06_int8_topk" ->
-      """WITH q8 AS (
+      """WITH q8 AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(
         |      CAST(x AS DOUBLE) /
@@ -1604,7 +1604,7 @@ object Similarity {
          |WHERE rn <= 10""".stripMargin,
 
     "emb03_kmeans_int" ->
-      """WITH q8 AS (
+      """WITH q8 AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(
         |      CAST(x AS DOUBLE) /
@@ -1634,7 +1634,7 @@ object Similarity {
         |  FROM a1, UNNEST(range(0, len(q))) AS u(i)
         |  GROUP BY cid, u.i
         |),
-        |newc AS (
+        |newc AS MATERIALIZED (
         |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
         |  FROM sums GROUP BY cid
         |)
@@ -1658,7 +1658,7 @@ object Similarity {
     // zip_with squared fold exactly (integer arithmetic — the emb03
     // argument).
     "ss03b_ivf_int8_topk" ->
-      """WITH q8 AS (
+      """WITH q8 AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(
         |      CAST(x AS DOUBLE) /
@@ -1688,11 +1688,11 @@ object Similarity {
         |  FROM a1, UNNEST(range(0, len(q))) AS u(i)
         |  GROUP BY cid, u.i
         |),
-        |newc AS (
+        |newc AS MATERIALIZED (
         |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
         |  FROM sums GROUP BY cid
         |),
-        |cells AS (
+        |cells AS MATERIALIZED (
         |  SELECT vec_id, q, cid AS cell FROM (
         |    SELECT x.vec_id, x.q, c.cid,
         |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -1756,7 +1756,7 @@ object Similarity {
          |  FROM ca1, UNNEST(range(0, len(q))) AS u(i)
          |  GROUP BY cid, u.i
          |),
-         |cnewc AS (
+         |cnewc AS MATERIALIZED (
          |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
          |  FROM csums GROUP BY cid
          |),
@@ -1806,7 +1806,7 @@ object Similarity {
          |WHERE rn <= 10""".stripMargin,
 
     "ss05_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
         |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
         |      FROM e)
@@ -1818,7 +1818,7 @@ object Similarity {
   // split → hash-ordered seeds → one keyed integer Lloyd round → argmin
   // codes → per-(query, vector) ADC distances.
   private lazy val pqCoreSql: String =
-    """WITH q8 AS (
+    """WITH q8 AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(
       |      CAST(x AS DOUBLE) /
@@ -1827,7 +1827,7 @@ object Similarity {
       |  FROM embeddings
       |),
       |ms AS (SELECT unnest(range(32)) AS m),
-      |subs AS (
+      |subs AS MATERIALIZED (
       |  SELECT vec_id, m, q[m * 2 + 1 : m * 2 + 2] AS sub
       |  FROM q8, ms
       |),
@@ -1857,11 +1857,11 @@ object Similarity {
       |  FROM a1, UNNEST(range(0, len(sub))) AS u(i)
       |  GROUP BY m, cid, u.i
       |),
-      |newc AS (
+      |newc AS MATERIALIZED (
       |  SELECT m, cid, list(CAST((sm - (sm % n)) // n AS INT) ORDER BY pos) AS cvec
       |  FROM sums GROUP BY m, cid
       |),
-      |codes AS (
+      |codes AS MATERIALIZED (
       |  SELECT vec_id, m, cid AS code FROM (
       |    SELECT x.vec_id, x.m, c.cid,
       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
@@ -1872,7 +1872,7 @@ object Similarity {
       |  WHERE rn = 1
       |),
       |qsub AS (SELECT vec_id AS q_id, m, sub AS qs FROM subs WHERE vec_id < 10),
-      |dists AS (
+      |dists AS MATERIALIZED (
       |  SELECT q.q_id, c.vec_id,
       |    CAST(SUM(CAST(list_dot_product(q.qs, q.qs) AS BIGINT)
       |      - 2 * CAST(list_dot_product(q.qs, n.cvec) AS BIGINT)
@@ -1892,13 +1892,13 @@ object Similarity {
   // cross-engine because the dot products themselves are bit-identical
   // (sequential double fold on both sides, validated via ss01).
   private lazy val ss02Sql: String = {
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sig AS (
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS MATERIALIZED (
        |  SELECT vec_id,
        |    $hyperplaneSigSql AS sig
        |  FROM e
        |),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  SELECT vec_id, b AS band_id, (sig // ([1,16,256,4096])[b+1]) % 16 AS band_val
        |  FROM sig, range(0,4) r(b)
        |),
@@ -1922,7 +1922,7 @@ object Similarity {
   }
 
   private val ss01Sql: String =
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (
         |  SELECT q.vec_id AS q_id, x.vec_id,
         |    list_dot_product(x.v, q.v) /
