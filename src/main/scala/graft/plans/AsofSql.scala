@@ -330,13 +330,9 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
           "move them to WHERE or a subquery")
       if (parts.lKeys.nonEmpty)
         BandConds.lowerBand(u.left, u.right, parts, u.hint, u.keepUnmatched)
-      else {
-        require(parts.lTime.dataType == org.apache.spark.sql.types.LongType,
-          "keyless BAND JOIN needs BIGINT micro times — extract micros " +
-            "(unix_micros) before joining")
+      else
         BandConds.lowerBandKeyless(u.left, u.right, parts,
           u.hint, u.keepUnmatched)
-      }
     case u: UnresolvedAsofJoin if u.childrenResolved =>
       val resolver = conf.resolver
       val cond = u.condition.transformUp {

@@ -171,6 +171,24 @@ object BandConds {
   private def floorDiv(e: Expression, w: Long): Expression =
     IntegralDivide(Subtract(e, Pmod(e, Literal(w))), Literal(w))
 
+  /** The time attribute's PHYSICAL micros as a LongType expression —
+    * the exact value the band exec merges on. BIGINT passes through;
+    * TIMESTAMP extracts via UnixMicros (no zone math — the physical
+    * encoding IS micros since epoch); TIMESTAMP_NTZ pins the cast to
+    * UTC, under which wall-clock micros map to themselves, so the
+    * extraction is deterministic and zone-independent. */
+  private def microsOf(a: Attribute): Expression = a.dataType match {
+    case LongType => a
+    case _: org.apache.spark.sql.types.TimestampType =>
+      org.apache.spark.sql.catalyst.expressions.UnixMicros(a)
+    case _: org.apache.spark.sql.types.TimestampNTZType =>
+      org.apache.spark.sql.catalyst.expressions.UnixMicros(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a, org.apache.spark.sql.types.TimestampType, Some("UTC")))
+    case t => throw new IllegalArgumentException(
+      s"keyless band: unsupported time type $t")
+  }
+
   /** Lower a KEYLESS band join — the global range-correlation shape
     * (`ON r.t BETWEEN l.t + lo AND l.t + hi`, no equi-key) — by RANGE
     * BUCKETIZATION, the IEJoin-style partitioning re-expressed through
@@ -196,18 +214,17 @@ object BandConds {
     * output) where the stock plan is a nested-loop cartesian. Null
     * build times drop at the hygiene filter; null-time probes route
     * around (left) or drop (inner), same as the keyed lowering.
-    * LongType times only: bucket arithmetic is integer micro math
-    * (timestamp columns convert with unix_micros at the call site). */
+    * Times: BIGINT micros or either timestamp type — the bucket
+    * arithmetic runs on [[microsOf]]'s exact physical-micros
+    * extraction, the same longs the band exec merges on. */
   def lowerBandKeyless(left: LogicalPlan, right: LogicalPlan, p: Parts,
       hint: String, keepUnmatched: Boolean): LogicalPlan = {
     require(p.lKeys.isEmpty && p.rKeys.isEmpty,
       "lowerBandKeyless is the keyless lowering; use lowerBand with keys")
-    require(p.lTime.dataType == LongType,
-      "keyless band lowering needs LongType micro times")
     val w = math.max(p.highUs - p.lowUs, 1L)
     withNullHygiene(left, right, Nil, p.rTime, p.lTime, keepUnmatched) {
       (probe, build) =>
-        val lbAlias = Alias(floorDiv(p.lTime, w), "__graft_bucket_l")()
+        val lbAlias = Alias(floorDiv(microsOf(p.lTime), w), "__graft_bucket_l")()
         val probe2 = Project(probe.output :+ lbAlias, probe)
         val lb = lbAlias.toAttribute
         // timeZoneId set explicitly: Sequence is TimeZoneAwareExpression
@@ -215,8 +232,8 @@ object BandConds {
         // ResolveTimeZone fills it on the SQL-clause path, but the
         // optimizer-rule path runs after analysis
         val gen = Explode(Sequence(
-          floorDiv(Subtract(p.rTime, Literal(p.highUs)), w),
-          floorDiv(Subtract(p.rTime, Literal(p.lowUs)), w), None,
+          floorDiv(Subtract(microsOf(p.rTime), Literal(p.highUs)), w),
+          floorDiv(Subtract(microsOf(p.rTime), Literal(p.lowUs)), w), None,
           Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
         val rb = AttributeReference("__graft_bucket_r", LongType,
           nullable = gen.elementSchema.head.nullable)()
@@ -249,9 +266,9 @@ object BandConds {
   * time-window correlation) are claimed too, via
   * [[BandConds.lowerBandKeyless]]'s range bucketization — the
   * IEJoin-style time partitioning, NOT a synthesized constant key
-  * (which would serialize one partition). Keyless claims are limited
-  * to LongType micro times: the bucket arithmetic is integer math,
-  * and a timestamp's micros extraction belongs at the call site. */
+  * (which would serialize one partition). Works for BIGINT micros and
+  * both timestamp types (the bucket arithmetic runs on the exact
+  * physical-micros extraction the band exec itself merges on). */
 object BandJoinAutoRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.band.autoRewrite"
@@ -267,8 +284,7 @@ object BandJoinAutoRewrite extends Rule[LogicalPlan] {
             !l.isStreaming && !r.isStreaming =>
         BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
             l.outputSet, r.outputSet) match {
-          case Some(p) if (jt == Inner || p.probeOnly.isEmpty) &&
-              (p.lKeys.nonEmpty || p.lTime.dataType == LongType) =>
+          case Some(p) if jt == Inner || p.probeOnly.isEmpty =>
             val probe = if (p.probeOnly.nonEmpty)
               Filter(p.probeOnly.reduce(And(_, _)), l) else l
             val build = if (p.buildOnly.nonEmpty)

@@ -145,10 +145,10 @@ object PlanBridge {
     * micros, build rows replicate to their ≤ 3 reachable buckets, and
     * the keyed band merge runs with the bucket as its key — both sides
     * shuffle-partition by time range, O(input + output), where the
-    * stock plan is a nested-loop cartesian. Time columns must be
-    * LongType micros (unix_micros a timestamp first); SQL null
-    * semantics (null times never match; null-time probes emit the
-    * null-extended row). */
+    * stock plan is a nested-loop cartesian. Time columns: LongType
+    * micros or either timestamp type (bucket arithmetic runs on the
+    * exact physical-micros extraction); SQL null semantics (null times
+    * never match; null-time probes emit the null-extended row). */
   def bandJoinKeyless(left: DataFrame, right: DataFrame,
       leftTime: String, rightTime: String,
       lowUs: Long, highUs: Long, hint: String = "auto"): DataFrame = {

@@ -127,6 +127,36 @@ class BandKeylessSpec extends SparkSpec {
     assert(b.count() == 0L)
   }
 
+  test("TIMESTAMP_NTZ keyless claim: stock INTERVAL-arithmetic join " +
+      "auto-rewrites and matches the un-rewritten rows") {
+    val s = sql
+    import s.implicits._
+    Seq((1L, "2024-03-01 09:00:25"), (2L, "2024-03-01 09:00:40"),
+        (3L, "2024-03-01 08:59:00"))
+      .toDF("tp_id", "tp_s")
+      .selectExpr("tp_id", "CAST(tp_s AS TIMESTAMP_NTZ) AS tp_ts")
+      .createOrReplaceTempView("ktprobe")
+    Seq(("2024-03-01 09:00:05", 100L), ("2024-03-01 09:00:20", 101L),
+        ("2024-03-01 09:00:50", 102L))
+      .toDF("tb_s", "tb_id")
+      .selectExpr("CAST(tb_s AS TIMESTAMP_NTZ) AS tb_ts", "tb_id")
+      .createOrReplaceTempView("ktbuild")
+    val text =
+      """SELECT tp_id, tb_id FROM ktprobe p LEFT JOIN ktbuild b
+        |ON b.tb_ts BETWEEN p.tp_ts - INTERVAL 30 SECONDS AND p.tp_ts""".stripMargin
+    val on = sql.sql(text)
+    on.collect()
+    assert(on.queryExecution.executedPlan.toString.contains("BandJoin"),
+      "timestamp keyless shape not claimed")
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(r =>
+        (r._1, r._2.map(_.asInstanceOf[Long]))).toSeq
+    val got = rs(on)
+    sql.conf.set(BandJoinAutoRewrite.ConfKey, "false")
+    try assert(got == rs(sql.sql(text)) && got.count(_._2.isDefined) == 3)
+    finally sql.conf.set(BandJoinAutoRewrite.ConfKey, "true")
+  }
+
   test("physical shape: keyed band operator on the synthesized bucket, " +
       "build replication bounded by 3x") {
     val df = PlanBridge.bandJoinKeyless(
