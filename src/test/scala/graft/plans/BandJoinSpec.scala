@@ -128,5 +128,20 @@ class BandJoinSpec extends SparkSpec {
     val withAgg = exchanges(merged()
       .groupBy(col("k")).agg(count(lit(1))))
     assert(withAgg == base, s"per-key agg added an exchange: $base -> $withAgg")
+    // whole-stage codegen wraps the merge (the `*(n)` prefix); the
+    // kill switch falls back to the iterator path with identical rows
+    assert("\\*\\(\\d+\\) BandJoin".r.findFirstIn(plan).isDefined,
+      s"BandJoinExec not inside WholeStageCodegen:\n$plan")
+    val want = merged().collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.band.codegen", "false")
+    try {
+      val off = merged()
+      off.collect()
+      val offPlan = off.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!"\\*\\(\\d+\\) BandJoin".r.findFirstIn(offPlan).isDefined,
+        s"codegen fired with the conf off:\n$offPlan")
+      assert(off.collect().map(_.toString).sorted.toSeq == want)
+    } finally spark.conf.set("spark.graft.band.codegen", "true")
   }
 }
