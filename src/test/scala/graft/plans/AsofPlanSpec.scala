@@ -47,6 +47,27 @@ class AsofPlanSpec extends SparkSpec {
     assert(withAgg == 3, s"agg added an exchange: $withAgg")
   }
 
+  test("whole-stage codegen wraps the merge; the kill switch falls " +
+      "back to the iterator path with identical rows") {
+    def run() = Events.queries("ev08b_asof_native")(spark, sf)
+    val on = run()
+    val want = on.collect().map(_.toString).sorted.toSeq
+    val plan = on.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\*\\(\\d+\\) AsofJoin".r.findFirstIn(plan).isDefined,
+      s"AsofJoinExec not inside WholeStageCodegen:\n$plan")
+    spark.conf.set("spark.graft.asof.codegen", "false")
+    try {
+      val off = run()
+      val got = off.collect().map(_.toString).sorted.toSeq
+      val offPlan = off.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!"\\*\\(\\d+\\) AsofJoin".r.findFirstIn(offPlan).isDefined,
+        s"codegen fired with the conf off:\n$offPlan")
+      assert(got == want)
+    } finally spark.conf.set("spark.graft.asof.codegen", "true")
+  }
+
   test("edge semantics: latest-at-or-before, equal-ts match, no-view null, " +
       "build-only keys ignored") {
     import spark.implicits._
