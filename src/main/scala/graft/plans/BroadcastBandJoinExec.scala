@@ -25,7 +25,8 @@ case class BroadcastBandJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     lowUs: Long,
-    highUs: Long) extends SparkPlan with BinaryExecNode {
+    highUs: Long) extends SparkPlan with BinaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "band join needs matching non-empty key lists")
@@ -68,39 +69,20 @@ case class BroadcastBandJoinExec(
     val memoKey = (bcast.id, rKeyExprs.map(_.exprId.id), rTimeIdx)
 
     left.execute().mapPartitions { lIter =>
-      val index = BroadcastAsofJoinExec.indexFor(memoKey, {
-        val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-        val grouped = new java.util.HashMap[InternalRow,
-          scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-        bcast.value.foreach { r =>
-          val k = rKeyProj(r).copy()
-          var buf = grouped.get(k)
-          if (buf == null) {
-            buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]
-            grouped.put(k, buf)
-          }
-          buf += ((r.getLong(rTimeIdx), r))
-        }
-        val out = new java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])](
-          grouped.size * 2)
-        grouped.forEach { (k, buf) =>
-          val sorted = buf.sortBy(_._1)
-          out.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-        }
-        out
-      })
+      val probe = new BroadcastBandProbe(
+        BroadcastAsofJoinExec.indexFor(memoKey,
+          BroadcastAsofJoinExec.buildIndex(bcast.value,
+            UnsafeProjection.create(rKeyExprs, rOut), rTimeIdx)),
+        nRight, lo, hi)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val resultProj = UnsafeProjection.create(allOut,
         lOut ++ rOut.map(_.withNullability(true)))
-      val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
 
       AsofJoinPlan.counted(new Iterator[InternalRow] {
         // the probe row stays valid until the next lIter.next(), and
         // its whole band emits before that — no copies anywhere
         private var l: InternalRow = _
-        private var rows: Array[InternalRow] = _
-        private var times: Array[Long] = _
         private var idx = 0
         private var end = 0
 
@@ -108,35 +90,104 @@ case class BroadcastBandJoinExec(
 
         override def next(): InternalRow = {
           if (idx < end) {
-            val r = rows(idx); idx += 1
+            val r = probe.row(idx); idx += 1
             return resultProj(joined(l, r))
           }
           l = lIter.next()
-          val entry = index.get(lKeyProj(l))
-          if (entry == null) return resultProj(joined(l, nullRight))
-          val (ts, rs) = entry
-          times = ts; rows = rs
-          val lTime = l.getLong(lTimeIdx)
-          // leftmost index with times(i) >= lTime + lo
-          var loI = 0
-          var hiI = ts.length - 1
-          var first = ts.length
-          while (loI <= hiI) {
-            val mid = (loI + hiI) >>> 1
-            if (ts(mid) >= lTime + lo) { first = mid; hiI = mid - 1 }
-            else loI = mid + 1
-          }
-          // end = one past the last index with times(i) <= lTime + hi
-          var e = first
-          while (e < ts.length && ts(e) <= lTime + hi) e += 1
-          if (first >= e) resultProj(joined(l, nullRight))
+          val n = probe.find(lKeyProj(l), l.getLong(lTimeIdx))
+          if (n == 0) resultProj(joined(l, probe.nullRow))
           else {
-            idx = first + 1; end = e
-            resultProj(joined(l, rs(first)))
+            idx = 1; end = n
+            resultProj(joined(l, probe.row(0)))
           }
         }
       }, numOut)
     }
+  }
+
+  // ---- whole-stage codegen: the BroadcastHashJoin arrangement (see
+  // BroadcastAsofJoinExec) — scan → band-probe → downstream fuse with
+  // no iterator boundary; the band slice emits through a do/while so
+  // the consume body is generated ONCE. Kill switch shared with the
+  // merge: spark.graft.band.codegen=false.
+
+  override def supportCodegen: Boolean =
+    left.isInstanceOf[org.apache.spark.sql.execution.CodegenSupport] &&
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.band.codegen", "true").toBoolean
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext)
+      : String =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
+      .produce(ctx, this)
+
+  override def doConsume(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      input: Seq[org.apache.spark.sql.catalyst.expressions.codegen.ExprCode],
+      row: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : String = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val rTimeIdxV = right.output.indexWhere(_.exprId == rightTime.exprId)
+    require(rTimeIdxV >= 0, "build time attribute not in child output")
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val memoKey = (bcast.id, rightKeys.map(_.exprId.id), rTimeIdxV)
+    val rOut = right.output
+    val rKeyExprs = rightKeys
+    val nRight = rOut.size
+    val (lo, hi) = (lowUs, highUs)
+    val mkProbe: () => BroadcastBandProbe = () => new BroadcastBandProbe(
+      BroadcastAsofJoinExec.indexFor(memoKey,
+        BroadcastAsofJoinExec.buildIndex(bcast.value,
+          UnsafeProjection.create(rKeyExprs, rOut), rTimeIdxV)),
+      nRight, lo, hi)
+    val probeCls = classOf[BroadcastBandProbe].getName
+    val factory = ctx.addReferenceObj("bandProbeFactory", mkProbe,
+      "scala.Function0")
+    val probe = ctx.addMutableState(probeCls, "bandProbe",
+      v => s"$v = ($probeCls) $factory.apply();")
+
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      leftKeys.map(k => BindReferences.bindReference(
+        k: org.apache.spark.sql.catalyst.expressions.Expression, left.output)))
+    val timeEv = BindReferences.bindReference(
+      leftTime.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression],
+      left.output).genCode(ctx)
+    val rowT = "org.apache.spark.sql.catalyst.InternalRow"
+    val matched = ctx.addMutableState(rowT, "bandMatchedRow")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    val rightVars = rOut.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+    }
+    val timeVal = if (leftTime.nullable)
+      s"(${timeEv.isNull} ? 0L : ${timeEv.value})" else timeEv.value
+    val n = ctx.freshName("bandN")
+    val i = ctx.freshName("bandI")
+
+    // n == 0 ⇒ the do/while runs once with the null row (left-outer);
+    // otherwise it walks the slice — ONE consume body either way
+    s"""
+       |${keyEv.code}
+       |${timeEv.code}
+       |int $n = $probe.find(${keyEv.value}, $timeVal);
+       |int $i = 0;
+       |do {
+       |  $matched = ($n == 0) ? $probe.nullRow() : $probe.row($i);
+       |  $i++;
+       |  $numOutput.add(1);
+       |  ${consume(ctx, input ++ rightVars)}
+       |} while ($i < $n);
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

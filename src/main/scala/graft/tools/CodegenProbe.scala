@@ -14,11 +14,11 @@ object CodegenProbe {
     import spark.implicits._
     val probe = Seq((1L, 1L, 20L), (2L, 1L, 31L), (3L, 2L, 45L)).toDF("id", "k", "t")
     val build = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 50L, 200L)).toDF("bk", "bt", "bid")
-    val df = PlanBridge.bandJoin(probe, build, Seq("k" -> "bk"), "t", "bt", -15L, 0L, hint = "merge")
+    val df = PlanBridge.bandJoin(probe, build, Seq("k" -> "bk"), "t", "bt", -15L, 0L)
     df.collect().foreach(r => println("ROW " + r))
     println(df.queryExecution.executedPlan.toString.split("\n").take(10).mkString("\n"))
     spark.conf.set("spark.graft.band.codegen", "false")
-    val df2 = PlanBridge.bandJoin(probe, build, Seq("k" -> "bk"), "t", "bt", -15L, 0L, hint = "merge")
+    val df2 = PlanBridge.bandJoin(probe, build, Seq("k" -> "bk"), "t", "bt", -15L, 0L)
     df2.collect()
     println("OFF: " + df2.queryExecution.executedPlan.toString.split("\n").take(3).mkString(" | "))
     spark.stop()

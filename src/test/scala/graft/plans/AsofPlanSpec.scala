@@ -47,6 +47,41 @@ class AsofPlanSpec extends SparkSpec {
     assert(withAgg == 3, s"agg added an exchange: $withAgg")
   }
 
+  test("whole-stage codegen wraps the broadcast probe INTO the scan " +
+      "stage (no iterator boundary); kill switch falls back, same rows") {
+    import spark.implicits._
+    val probe = (0 until 200).map(i =>
+      (i.toLong, (i % 7).toLong, (i * 3).toLong)).toDF("id", "k", "t")
+    val build = (0 until 40).map(j =>
+      ((j % 7).toLong, (j * 11).toLong, 1000L + j)).toDF("bk", "bt", "bid")
+    def run() = PlanBridge.asofJoin(probe, build,
+      Seq("k" -> "bk"), "t", "bt", hint = "broadcast")
+    val on = run()
+    val want = on.collect().map(_.toString).sorted.toSeq
+    val plan = on.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\*\\(\\d+\\) BroadcastAsofJoin".r.findFirstIn(plan).isDefined,
+      s"BroadcastAsofJoinExec not inside WholeStageCodegen:\n$plan")
+    spark.conf.set("spark.graft.asof.codegen", "false")
+    try {
+      val off = run()
+      val got = off.collect().map(_.toString).sorted.toSeq
+      assert(!"\\*\\(\\d+\\) BroadcastAsofJoin".r.findFirstIn(
+        off.queryExecution.executedPlan.toString).isDefined)
+      assert(got == want)
+    } finally spark.conf.set("spark.graft.asof.codegen", "true")
+    // band twin: multi-row emission through the do/while consume
+    def runBand() = PlanBridge.bandJoin(probe, build,
+      Seq("k" -> "bk"), "t", "bt", -30L, 0L, hint = "broadcast")
+    val bandOn = runBand()
+    val bandWant = bandOn.collect().map(_.toString).sorted.toSeq
+    assert("\\*\\(\\d+\\) BroadcastBandJoin".r.findFirstIn(
+      bandOn.queryExecution.executedPlan.toString).isDefined)
+    spark.conf.set("spark.graft.band.codegen", "false")
+    try assert(runBand().collect().map(_.toString).sorted.toSeq == bandWant)
+    finally spark.conf.set("spark.graft.band.codegen", "true")
+  }
+
   test("whole-stage codegen wraps the merge; the kill switch falls " +
       "back to the iterator path with identical rows") {
     def run() = Events.queries("ev08b_asof_native")(spark, sf)
