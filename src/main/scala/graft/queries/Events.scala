@@ -439,6 +439,29 @@ object Events {
       out
     },
 
+    // KEYLESS as-of: every purchase matched to the latest GLOBAL view
+    // at-or-before it — no key at all, the "latest config
+    // change/exchange-rate tick" shape. AsofKeyless composes it from
+    // the keyed family with no input-sized single-partition stage:
+    // time-bucket merge as-of (range-partitioned) + the per-bucket
+    // running-last carry table probed via the broadcast as-of. DuckDB
+    // answers with its NATIVE keyless ASOF JOIN — cross-engine parity
+    // of the composition. Views pre-reduce to one row per timestamp
+    // (max event_id), the operator family's determinism contract.
+    "ev08g_asof_keyless" -> { (s, d) =>
+      val ev = Tables.load(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("us").as("v_us"))
+        .agg(max(col("event_id")).as("v_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("us"))
+      graft.plans.AsofKeyless
+        .asofJoinKeyless(purchases, views, "us", "v_us")
+        .select(col("event_id"), col("us"),
+          col("v_us").as("matched_us"),
+          col("v_event_id").as("matched_event_id"))
+    },
+
     // The BROADCAST as-of variant (BroadcastAsofJoinExec): the small
     // view table ships to executors and the purchase stream is joined
     // WITHOUT being shuffled or sorted — zero exchanges on the probe
@@ -808,6 +831,18 @@ object Events {
         |           WHERE event_type = 'purchase') p
         |  ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
         |GROUP BY e.event_id""".stripMargin,
+
+    // ev08g: graft's bucket+carry keyless as-of composition vs
+    // DuckDB's native keyless ASOF JOIN.
+    "ev08g_asof_keyless" ->
+      """SELECT p.event_id, p.us,
+        |  v.v_us AS matched_us, v.v_event_id AS matched_event_id
+        |FROM (SELECT event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT epoch_us(ts) AS v_us, MAX(event_id) AS v_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1) v
+        |ON p.us >= v.v_us""".stripMargin,
 
     // ev07e: graft's bucketized keyless band operator vs DuckDB's
     // native keyless range join (IEJoin) — no key on either side.

@@ -1,0 +1,111 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The keyless as-of composition ([[AsofKeyless.asofJoinKeyless]]):
+  * exact parity with a brute-force latest-at-or-before reference
+  * across directions and tolerances, carry-table reachback across
+  * empty buckets, null handling, and the two-operator plan shape. */
+class AsofKeylessSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select("id", "b_id").collect()
+    .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    .sortBy(_._1).toSeq
+
+  test("hand-checked: latest-at-or-before across the whole table, " +
+      "including reachback far past the probe's own bucket") {
+    import spark.implicits._
+    // build times cluster at the start; probes far later must reach
+    // back across many empty buckets
+    val build = Seq((10L, 100L), (20L, 101L), (1000000L, 102L))
+      .toDF("bt", "b_id")
+    val probe = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 999999L),
+      (5L, 1000000L), (6L, 50000000L)).toDF("id", "t")
+    val got = rows(AsofKeyless.asofJoinKeyless(probe, build, "t", "bt"))
+    assert(got == Seq((1L, None), (2L, Some(100L)), (3L, Some(101L)),
+      (4L, Some(101L)), (5L, Some(102L)), (6L, Some(102L))))
+    // forward: earliest at-or-after
+    val fwd = rows(AsofKeyless.asofJoinKeyless(probe, build, "t", "bt",
+      direction = "forward"))
+    assert(fwd == Seq((1L, Some(100L)), (2L, Some(100L)), (3L, Some(102L)),
+      (4L, Some(102L)), (5L, Some(102L)), (6L, None)))
+  }
+
+  test("randomized parity with the brute-force reference, both " +
+      "directions x tolerance, times spanning zero") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val probe = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(2000).toLong - 1000L)).toDF("id", "t")
+    // unique build times (the operator contract), spanning negatives
+    val build = rnd.shuffle((0 until 250).toList).take(150).zipWithIndex
+      .map { case (t, j) => (t.toLong * 13 - 800L, 1000L + j) }
+      .toDF("bt", "b_id")
+    for (dir <- Seq("backward", "forward"); tol <- Seq(-1L, 100L)) {
+      val got = rows(AsofKeyless.asofJoinKeyless(probe, build, "t", "bt",
+        direction = dir, toleranceUs = tol))
+      val cmp = if (dir == "backward") col("bt") <= col("t")
+        else col("bt") >= col("t")
+      val dist = if (dir == "backward") col("t") - col("bt")
+        else col("bt") - col("t")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(dist)
+      val want = rows(probe.join(build,
+          cmp && (if (tol < 0) lit(true) else dist <= tol), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 || col("b_id").isNull))
+      assert(got == want, s"dir=$dir tol=$tol diverged")
+      assert(got.exists(_._2.isDefined))
+      // unmatched probes are only guaranteed below the earliest build
+      // time, which this corpus has on the backward side
+      if (dir == "backward") assert(got.exists(_._2.isEmpty))
+    }
+  }
+
+  test("null-time probes emit the null-extended row; null-time build " +
+      "rows never match; empty build yields all-null right side") {
+    import spark.implicits._
+    val probe = Seq((1L, Option(10L)), (2L, Option.empty[Long]))
+      .toDF("id", "t")
+    val build = Seq((Option(5L), 100L), (Option.empty[Long], 999L))
+      .toDF("bt", "b_id")
+    val got = AsofKeyless.asofJoinKeyless(probe, build, "t", "bt")
+      .select("id", "b_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some(100L)), (2L, None)))
+    val empty = AsofKeyless.asofJoinKeyless(probe,
+      Seq.empty[(Long, Long)].toDF("bt", "b_id"), "t", "bt")
+    assert(empty.count() == 2 && empty.select("b_id").collect()
+      .forall(_.isNullAt(0)))
+  }
+
+  test("matched rows never borrow carry-row values for their own null " +
+      "payload columns (whole-row selection, not per-column coalesce)") {
+    import spark.implicits._
+    // bucket width will be (300-10)/... = 1 -> probes and builds
+    // co-bucket; the matched row at bt=300 has a NULL payload while an
+    // earlier build row has payload 7 — the null must survive
+    val build = Seq((10L, Option(7L)), (300L, Option.empty[Long]))
+      .toDF("bt", "payload")
+    val probe = Seq((1L, 300L)).toDF("id", "t")
+    val out = AsofKeyless.asofJoinKeyless(probe, build, "t", "bt")
+      .select("bt", "payload").head
+    assert(out.getLong(0) == 300L && out.isNullAt(1),
+      s"matched row's null payload was replaced: $out")
+  }
+
+  test("plan shape: an in-bucket MERGE as-of plus a BROADCAST fallback, " +
+      "no band replication anywhere") {
+    import spark.implicits._
+    val probe = (0 until 100).map(i => (i.toLong, i.toLong * 7)).toDF("id", "t")
+    val build = (0 until 30).map(j => (j.toLong * 23, 1000L + j)).toDF("bt", "b_id")
+    val df = AsofKeyless.asofJoinKeyless(probe, build, "t", "bt")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"no AsofJoinExec in:\n$plan")
+    assert(plan.contains("BroadcastAsofJoin"),
+      s"no broadcast fallback in:\n$plan")
+  }
+}
