@@ -383,6 +383,53 @@ object AsofStress {
     val tDenseKeylessNative = math.min(dk1._2, dk2._2)
     val tDenseKeylessLoop = dl1._2
 
+    // ---- KEYLESS as-of scenario: the bucket+carry composition ----
+    // 1,000 global build rows at times 0,10..9990; probes t = id %
+    // 10000 — closed form: match = t - t%10, id = match/10, no nulls.
+    // The naive global form (union + last() over a NO-PARTITION window)
+    // serializes everything through one partition — measured once at
+    // 6M for the contrast; the composition runs at 6M and 60M.
+    def keylessAsofGate(joined: => org.apache.spark.sql.DataFrame) = timed {
+      val out = joined
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("g_id").isNull ||
+            col("g_id") =!= (col("p_us") / 10).cast("long"), 1L)
+            .otherwise(0L)).as("bad"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1))
+    }
+    def kaProbes(n: Long) = spark.range(n).select(
+      (col("id") % 10000).as("p_us"), col("id").as("p_id"))
+    def nativeKa(n: Long) = graft.plans.AsofKeyless.asofJoinKeyless(
+      kaProbes(n), gdim, "p_us", "g_us")
+    val ka1 = keylessAsofGate(nativeKa(nk)); val ka2 = keylessAsofGate(nativeKa(nk))
+    assert(ka2._1 == (nk, 0L), s"keyless asof gates: ${ka2._1}")
+    val kax1 = keylessAsofGate(nativeKa(nk * 10))
+    val kax2 = keylessAsofGate(nativeKa(nk * 10))
+    assert(kax2._1 == (nk * 10, 0L), s"keyless asof 60m gates: ${kax2._1}")
+    // the naive single-partition global window, once, at 6M
+    def naiveKa(n: Long) = {
+      val tagged = gdim
+        .select(col("g_us").as("t"), lit(0).as("side"),
+          struct(col("g_us").as("m_us"), col("g_id").as("m_id")).as("v"),
+          lit(null).cast("long").as("p_us"), lit(null).cast("long").as("p_id"))
+        .unionByName(kaProbes(n)
+          .select(col("p_us").as("t"), lit(1).as("side"),
+            lit(null).cast("struct<m_us:bigint,m_id:bigint>").as("v"),
+            col("p_us"), col("p_id")))
+      val w = Window.orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged.withColumn("last_v", last(col("v"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("p_us"), col("p_id"),
+          col("last_v.m_us").as("g_us"), col("last_v.m_id").as("g_id"))
+    }
+    val kn1n = keylessAsofGate(naiveKa(nk))
+    assert(kn1n._1 == (nk, 0L), s"naive keyless asof gates: ${kn1n._1}")
+    val tKaNative = math.min(ka1._2, ka2._2)
+    val tKaNative10x = math.min(kax1._2, kax2._2)
+    val tKaNaive = kn1n._2
+
     println(s"""{"tool":"AsofStress","users":$users,"views_per_user":$k,""" +
       s""""n_events":${users * (2 * k + 1)},"nulls":$nulls,"bad":$bad,""" +
       s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"},""" +
@@ -400,7 +447,10 @@ object AsofStress {
       s""""band_keyless_native_60m_sec":${f"$tKeylessNative10x%.1f"},""" +
       s""""band_keyless_autorewrite_6m_sec":${f"$tKeylessRewrite%.1f"},""" +
       s""""band_keyless_dense_native_600k_sec":${f"$tDenseKeylessNative%.1f"},""" +
-      s""""band_keyless_dense_nestedloop_600k_sec":${f"$tDenseKeylessLoop%.1f"}}""")
+      s""""band_keyless_dense_nestedloop_600k_sec":${f"$tDenseKeylessLoop%.1f"},""" +
+      s""""asof_keyless_native_6m_sec":${f"$tKaNative%.1f"},""" +
+      s""""asof_keyless_native_60m_sec":${f"$tKaNative10x%.1f"},""" +
+      s""""asof_keyless_globalwindow_6m_sec":${f"$tKaNaive%.1f"}}""")
     spark.stop()
   }
 }
