@@ -1,13 +1,13 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThanOrEqual, IsNotNull, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  EqualTo, Expression, GreaterThanOrEqual, IsNotNull, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
   UnresolvedFunction}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Join,
-  LogicalPlan}
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** `ASOF JOIN` SQL syntax for the as-of operator family — the
@@ -385,16 +385,50 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       }
       val (lt, rt, dir) = time.getOrElse(throw new IllegalArgumentException(
         "ASOF JOIN: ON must contain a time inequality (>= or <=)"))
-      require(lKeys.nonEmpty,
-        "ASOF JOIN: ON must contain at least one key equality")
-      // SQL semantics, not the Column API's documented raw-operator
-      // semantics: null keys/times never match (DuckDB's ASOF JOIN
-      // agrees) — BandConds.withNullHygiene filters the build side and
-      // routes null-time probes, and subsumes the inner variant's
-      // IsNotNull(build time) output filter
-      BandConds.withNullHygiene(u.left, u.right, rKeys, rt, lt,
-        u.keepUnmatched)((probe, build) =>
-        AsofJoinPlan(probe, build, lKeys, rKeys, lt, rt,
-          u.hint, dir, u.toleranceUs))
+      if (lKeys.isEmpty) {
+        // KEYLESS asof — DuckDB supports the clause without equality
+        // keys; lowered via AsofKeyless's bucket+carry composition
+        // (built with the DataFrame API around the clause's child
+        // plans, then re-aliased onto this node's expected output ids)
+        require(lt.dataType == org.apache.spark.sql.types.LongType,
+          "keyless ASOF JOIN needs BIGINT micro times — extract micros " +
+            "(unix_micros) before joining")
+        require(!u.left.isStreaming && !u.right.isStreaming,
+          "keyless ASOF JOIN is batch-only")
+        val spark = org.apache.spark.sql.SparkSession.active
+        // unique names per side: SQL join sides may share column names,
+        // while the composition works by name
+        val lNames = u.left.output.indices.map(i => s"__graft_kl_l$i")
+        val rNames = u.right.output.indices.map(i => s"__graft_kl_r$i")
+        val lProj = Project(u.left.output.zip(lNames).map {
+          case (a, n) => Alias(a, n)() }, u.left)
+        val rProj = Project(u.right.output.zip(rNames).map {
+          case (a, n) => Alias(a, n)() }, u.right)
+        val ltName = lNames(u.left.output.indexWhere(_.exprId == lt.exprId))
+        val rtName = rNames(u.right.output.indexWhere(_.exprId == rt.exprId))
+        val composed = AsofKeyless.asofJoinKeyless(
+          org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, lProj),
+          org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, rProj),
+          ltName, rtName, dir, u.toleranceUs)
+        val cPlan = composed.queryExecution.analyzed
+        val expected = u.left.output ++ u.right.output.map(_.withNullability(true))
+        val aliased = Project(expected.zip(cPlan.output).map {
+          case (exp, act) => Alias(act, exp.name)(exprId = exp.exprId)
+        }, cPlan)
+        if (u.keepUnmatched) aliased
+        else Filter(IsNotNull(aliased.output(
+          u.left.output.size +
+            u.right.output.indexWhere(_.exprId == rt.exprId))), aliased)
+      } else {
+        // SQL semantics, not the Column API's documented raw-operator
+        // semantics: null keys/times never match (DuckDB's ASOF JOIN
+        // agrees) — BandConds.withNullHygiene filters the build side and
+        // routes null-time probes, and subsumes the inner variant's
+        // IsNotNull(build time) output filter
+        BandConds.withNullHygiene(u.left, u.right, rKeys, rt, lt,
+          u.keepUnmatched)((probe, build) =>
+          AsofJoinPlan(probe, build, lKeys, rKeys, lt, rt,
+            u.hint, dir, u.toleranceUs))
+      }
   }
 }

@@ -462,6 +462,31 @@ object Events {
           col("v_event_id").as("matched_event_id"))
     },
 
+    // ev08g through the SQL SURFACE: the graft ASOF clause with NO key
+    // equality, lowered by ResolveAsofJoin onto the AsofKeyless
+    // composition — while DuckDB answers with its native keyless ASOF.
+    // Two engines, two parsers, one hash.
+    "ev08h_asof_keyless_sql" -> { (s, d) =>
+      val sx = asofSqlSession(s)
+      val ev = Tables.load(sx, d, "events").withColumn("us", unix_micros(col("ts")))
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      ev.filter(col("event_type") === "view")
+        .groupBy(col("us").as("v_us"))
+        .agg(max(col("event_id")).as("v_event_id"))
+        .createOrReplaceTempView(s"graft_ka_views_$tag")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("us"))
+        .createOrReplaceTempView(s"graft_ka_purch_$tag")
+      val out = sx.sql(
+        s"""SELECT event_id, us, v_us AS matched_us,
+           |  v_event_id AS matched_event_id
+           |FROM graft_ka_purch_$tag ASOF LEFT JOIN graft_ka_views_$tag
+           |ON us >= v_us""".stripMargin)
+      sx.catalog.dropTempView(s"graft_ka_views_$tag")
+      sx.catalog.dropTempView(s"graft_ka_purch_$tag")
+      out
+    },
+
     // The BROADCAST as-of variant (BroadcastAsofJoinExec): the small
     // view table ships to executors and the purchase stream is joined
     // WITHOUT being shuffled or sorted — zero exchanges on the probe
@@ -835,6 +860,18 @@ object Events {
     // ev08g: graft's bucket+carry keyless as-of composition vs
     // DuckDB's native keyless ASOF JOIN.
     "ev08g_asof_keyless" ->
+      """SELECT p.event_id, p.us,
+        |  v.v_us AS matched_us, v.v_event_id AS matched_event_id
+        |FROM (SELECT event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT epoch_us(ts) AS v_us, MAX(event_id) AS v_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1) v
+        |ON p.us >= v.v_us""".stripMargin,
+
+    // ev08h: the graft keyless ASOF SQL clause vs the same DuckDB
+    // native keyless ASOF as ev08g.
+    "ev08h_asof_keyless_sql" ->
       """SELECT p.event_id, p.us,
         |  v.v_us AS matched_us, v.v_event_id AS matched_event_id
         |FROM (SELECT event_id, epoch_us(ts) AS us FROM events

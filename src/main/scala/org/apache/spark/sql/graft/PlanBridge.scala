@@ -60,6 +60,13 @@ object PlanBridge {
       .asInstanceOf[SparkSession]
   }
 
+  /** A DataFrame over an analyzed logical plan — the ofRows seam for
+    * rules that lower a plan by COMPOSING DataFrame-level machinery
+    * (the keyless ASOF SQL lowering builds AsofKeyless's composition
+    * around the clause's child plans). */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Test seam: the planner strategies a config-injected session would
     * receive from `ext` (buildPlannerStrategies is package-private). */
   def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,

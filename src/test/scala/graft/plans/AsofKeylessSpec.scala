@@ -96,6 +96,50 @@ class AsofKeylessSpec extends SparkSpec {
       s"matched row's null payload was replaced: $out")
   }
 
+  test("keyless ASOF SQL clause lowers to the composition (left and " +
+      "inner variants, tolerance), matching the DataFrame API") {
+    val sql = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new GraftExtensions()(_))
+    import sql.implicits._
+    Seq((10L, 100L), (20L, 101L), (1000000L, 102L))
+      .toDF("bt", "b_id").createOrReplaceTempView("kabuild")
+    Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 1000000L))
+      .toDF("id", "t").createOrReplaceTempView("kaprobe")
+    def rs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "b_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    val left = rs(sql.sql(
+      """SELECT * FROM kaprobe p ASOF LEFT JOIN kabuild b
+        |ON p.t >= b.bt""".stripMargin))
+    assert(left == Seq((1L, None), (2L, Some(100L)), (3L, Some(101L)),
+      (4L, Some(102L))))
+    assert(left == rs(AsofKeyless.asofJoinKeyless(
+      sql.table("kaprobe"), sql.table("kabuild"), "t", "bt")))
+    // inner variant drops the unmatched probe
+    val inner = rs(sql.sql(
+      """SELECT * FROM kaprobe p ASOF JOIN kabuild b
+        |ON p.t >= b.bt""".stripMargin))
+    assert(inner == left.filter(_._2.isDefined))
+    // tolerance nulls the distant match (probe 3 is 5 from bt=20)
+    val tol = rs(sql.sql(
+      """SELECT * FROM kaprobe p ASOF LEFT JOIN kabuild b
+        |ON p.t >= b.bt TOLERANCE 5""".stripMargin))
+    assert(tol == Seq((1L, None), (2L, Some(100L)), (3L, Some(101L)),
+      (4L, Some(102L))))
+    val tol2 = rs(sql.sql(
+      """SELECT * FROM kaprobe p ASOF LEFT JOIN kabuild b
+        |ON p.t >= b.bt TOLERANCE 4""".stripMargin))
+    assert(tol2 == Seq((1L, None), (2L, Some(100L)), (3L, None),
+      (4L, Some(102L))))
+    // forward direction via <=
+    val fwd = rs(sql.sql(
+      """SELECT * FROM kaprobe p ASOF LEFT JOIN kabuild b
+        |ON p.t <= b.bt""".stripMargin))
+    assert(fwd == Seq((1L, Some(100L)), (2L, Some(100L)), (3L, Some(102L)),
+      (4L, Some(102L))))
+  }
+
   test("plan shape: an in-bucket MERGE as-of plus a BROADCAST fallback, " +
       "no band replication anywhere") {
     import spark.implicits._
