@@ -187,6 +187,42 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("STREAM-STATIC broadcast as-of enrichment: a streaming event " +
+      "feed as-of joined to a static dimension matches the batch join") {
+    import org.apache.spark.sql.graft.PlanBridge
+    // static dimension: each user's views pre-reduced per timestamp —
+    // the exchange-rate/config-history shape, broadcast per microbatch
+    val dim = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "view")
+      .withColumn("v_us", unix_micros(col("ts")))
+      .groupBy(col("user_id").as("v_user_id"), col("v_us"))
+      .agg(max(col("event_id")).as("v_event_id"))
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val joined = PlanBridge.asofJoin(stream, dim,
+      Seq("user_id" -> "v_user_id"), "us", "v_us", hint = "broadcast")
+    assert(joined.isStreaming, "stream-static as-of lost its streaming-ness")
+    val q = joined.writeStream.format("memory").queryName("ss_asof")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))
+      val streamed = spark.table("ss_asof").collect().map(key).toSet
+      val batchProbe = graft.Tables.load(spark, sf, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val batch = PlanBridge.asofJoin(batchProbe, dim,
+          Seq("user_id" -> "v_user_id"), "us", "v_us", hint = "broadcast")
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.nonEmpty)
+      assert(streamed.exists(_._4.isDefined))
+    } finally q.stop()
+  }
+
   test("streaming band join matches the oracle-checked batch ev07 exactly " +
       "(watermarked, band-occupancy state)") {
     val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
