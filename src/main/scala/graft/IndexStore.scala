@@ -199,6 +199,7 @@ object IndexStore {
             case "rebuild" =>
               acquireLock(s, base, name)
               Build(base, () => {
+                verifyOwnership(s, base)
                 writeMeta(s, base, name, table, fp)
                 releaseLock(s, base)
                 lastAction((d, name)) = "rebuilt"
@@ -214,6 +215,7 @@ object IndexStore {
         case None =>
           acquireLock(s, base, name)
           Build(base, () => {
+            verifyOwnership(s, base)
             writeMeta(s, base, name, table, fp)
             releaseLock(s, base)
             lastAction((d, name)) = "built"
@@ -250,6 +252,10 @@ object IndexStore {
     })
   private val heldLocks = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.ScheduledFuture[_]]
+  private val heldTokens = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+  private val stolenLocks = scala.collection.concurrent.TrieMap
+    .empty[String, Unit]
 
   private def lockStaleMs(s: SparkSession): Long =
     s.conf.getOption(LockStaleMsKey).map(_.toLong)
@@ -262,12 +268,12 @@ object IndexStore {
     val staleMs = lockStaleMs(s)
     f.mkdirs(new Path(base))
 
+    val token = s"pid=${ProcessHandle.current().pid()} " +
+      s"token=${java.util.UUID.randomUUID()}\n"
     def tryCreate(): Boolean =
       try {
         val out = f.create(p, false)
-        try out.write(
-          (s"pid=${ProcessHandle.current().pid()} " +
-            s"ts=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+        try out.write(token.getBytes("UTF-8"))
         finally out.close()
         true
       } catch {
@@ -312,17 +318,56 @@ object IndexStore {
             "lock is reclaimed automatically once it ages past the " +
             s"threshold (configure with $LockStaleMsKey).")
     }
-    // heartbeat while held
+    heldTokens.put(base, token)
+    stolenLocks.remove(base)
+    // Heartbeat while held: touch the mtime AND verify ownership — if
+    // the file's content is no longer OUR token, a concurrent taker won
+    // the (tiny) delete/recreate race two stale-observers can enter;
+    // flag it so commit() fails loudly instead of publishing meta over
+    // a directory another builder is also writing. Catch NonFatal, not
+    // just IOException: a FileSystem whose setTimes throws something
+    // else would otherwise permanently cancel the scheduled task
+    // (ScheduledExecutor suppresses a task after any throw) and let a
+    // LIVE builder's lock age into a takeover.
     val period = math.max(staleMs / 4, 50L)
     heldLocks.put(base, heartbeats.scheduleAtFixedRate(
-      () => try f.setTimes(p, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () },
+      () => try {
+        val current = readLock(f, p)
+        if (current != null && current != token) stolenLocks.put(base, ())
+        else f.setTimes(p, System.currentTimeMillis(), -1)
+      } catch { case scala.util.control.NonFatal(_) => () },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       .foreach(_.cancel(false))
   }
 
+  private def readLock(f: org.apache.hadoop.fs.FileSystem, p: Path): String =
+    try {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Loud-failure guard for the commit path: if our lock was taken
+    * over mid-build (the takeover race both-stale-observers window),
+    * the index directory may carry interleaved writes — refuse to
+    * publish meta over it. */
+  private def verifyOwnership(s: SparkSession, base: String): Unit = {
+    val stolenByFlag = stolenLocks.contains(base)
+    val stolenNow = heldTokens.get(base).exists { tok =>
+      val current = readLock(fs(s, lockPath(base)), lockPath(base))
+      current != null && current != tok
+    }
+    if (stolenByFlag || stolenNow)
+      throw new IllegalStateException(
+        s"graft index build at $base lost its lock to a concurrent " +
+          "takeover (this builder read as stale to a peer); the data " +
+          "directory may carry interleaved writes — NOT publishing. " +
+          "Delete the index directory and rebuild single-writer.")
+  }
+
   private def releaseLock(s: SparkSession, base: String): Unit = {
     heldLocks.remove(base).foreach(_.cancel(false))
+    heldTokens.remove(base)
+    stolenLocks.remove(base)
     val p = lockPath(base)
     fs(s, p).delete(p, false)
   }

@@ -49,8 +49,10 @@ import org.apache.spark.sql.graft.PlanBridge
   */
 object AsofKeyless {
 
-  private def floorDivCol(name: String, w: Long): Column =
-    expr(s"(`$name` - pmod(`$name`, ${w}L)) div ${w}L")
+  private def floorDivCol(name: String, w: Long): Column = {
+    val n = name.replace("`", "``") // escape backticks in odd names
+    expr(s"(`$n` - pmod(`$n`, ${w}L)) div ${w}L")
+  }
 
   /** Keyless as-of `left` (probe) to `right` (build). Column-name
     * contracts as [[PlanBridge.asofJoin]] (disjoint names); times
@@ -69,12 +71,19 @@ object AsofKeyless {
         d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
 
     val build = right.filter(col(rightTime).isNotNull)
-    // bucket width from the build side's span — one bounded collect of
-    // two longs; any positive width is exact
+    // Bucket width from the build side's span — one bounded collect of
+    // two longs, paid at PLAN-BUILD time (an EXPLAIN or a view
+    // definition triggers it; documented cost). Exactness never depends
+    // on w, only parallelism does — so an EMPTY build side gets a
+    // default width instead of a short-circuit: a plan built before
+    // data lands stays correct when data arrives (the
+    // never-pin-an-empty-verdict rule), it is merely un-tuned.
     val mm = build.agg(min(col(rightTime)), max(col(rightTime))).head
-    if (mm.isNullAt(0)) return nullExtended(left) // empty build
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val w = math.max((mm.getLong(1) - mm.getLong(0)) / math.max(16 * parts, 1), 1L)
+    val w =
+      if (mm.isNullAt(0)) 1L << 40 // ~13 days of micros — any value is exact
+      else math.max(
+        (mm.getLong(1) - mm.getLong(0)) / math.max(16 * parts, 1), 1L)
 
     // null-time probes can never match: route them around (SQL LEFT
     // JOIN shape), so the operators only ever see non-null times

@@ -61,11 +61,17 @@ object AsofSkew {
   }
 
   /** Single-column convenience over [[detectHotKeyTuples]], kept for
-    * the dominant one-Long-key shape. */
+    * the dominant one-Long-key shape. Fails loudly on a non-Long key
+    * column — silently returning no hot keys would turn the skew
+    * mitigation into a no-op. */
   def detectHotKeys(probe: DataFrame, key: String,
       sampleFraction: Double = 0.01, minShare: Double = 0.05): Seq[Long] =
-    detectHotKeyTuples(probe, Seq(key), sampleFraction, minShare)
-      .collect { case Seq(v: Long) => v }
+    detectHotKeyTuples(probe, Seq(key), sampleFraction, minShare).map {
+      case Seq(v: Long) => v
+      case other => throw new IllegalArgumentException(
+        s"detectHotKeys needs a LongType key column; '$key' yielded " +
+          s"$other — use detectHotKeyTuples for generic keys")
+    }
 
   /** OR-of-conjunct-equalities membership test: does this row's key
     * tuple equal any hot tuple? Null components compare to null (never

@@ -105,16 +105,26 @@ object AsofSqlRewrite {
       .exists(m => !mask(m.start))
   }
 
-  /** Per-character "inside a quoted region" mask — '…', "…", `…`,
-    * the same scan [[onEnd]] does. The rewrite consults it so join
-    * keywords and TOLERANCE inside literals are never rewritten. */
+  /** Per-character "inside a quoted region" mask — '…', "…", `…` —
+    * consulted by the rewrite so join keywords and TOLERANCE inside
+    * literals are never rewritten. Backslash escapes inside ' and "
+    * literals are honored (Spark's default escapedStringLiterals=false
+    * allows '\'' — treating the escaped quote as a close would
+    * desynchronize the mask for the rest of the text); backquoted
+    * identifiers have no backslash escapes. */
   private def quotedMask(sql: String): Array[Boolean] = {
     val mask = new Array[Boolean](sql.length)
     var quote: Char = 0
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (quote != 0) { mask(i) = true; if (c == quote) quote = 0 }
+      if (quote != 0) {
+        mask(i) = true
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          mask(i + 1) = true
+          i += 1
+        } else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"' || c == '`') { quote = c; mask(i) = true }
       i += 1
     }
@@ -131,7 +141,10 @@ object AsofSqlRewrite {
     var quote: Char = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) i += 1
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' => depth += 1

@@ -182,23 +182,38 @@ object EventsStream {
             state.remove()
             Iterator.empty
           } else {
-            // ascending (us, event_id) purchase buffer
-            var buf = state.getOption.getOrElse(Seq.empty)
-            var maxUs = buf.lastOption.map(_._1).getOrElse(Long.MinValue)
+            // ascending (us, event_id) purchase buffer — a mutable
+            // deque inside the trigger (O(1) append + evict, the
+            // BandScanner shape); an immutable Seq here would make a
+            // hot user's trigger quadratic in its purchase count
+            val buf = new java.util.ArrayDeque[(Long, Long)]()
+            state.getOption.foreach(_.foreach(buf.addLast))
+            var maxUs =
+              if (buf.isEmpty) Long.MinValue else buf.peekLast()._1
             val out = scala.collection.mutable.ArrayBuffer[BandCount]()
             val sorted = it.toArray.sortBy(e =>
               (micros(e), if (e.event_type == "purchase") 0 else 1, e.event_id))
             sorted.foreach { e =>
               val us = micros(e)
-              if (e.event_type == "purchase") buf = buf :+ ((us, e.event_id))
-              else out += BandCount(e.event_id, user, us,
-                buf.count(p => p._1 >= us + lowUs && p._1 <= us))
+              if (e.event_type == "purchase") buf.addLast((us, e.event_id))
+              else {
+                var n = 0L
+                val itr = buf.iterator()
+                while (itr.hasNext) {
+                  val p = itr.next()
+                  if (p._1 >= us + lowUs && p._1 <= us) n += 1
+                }
+                out += BandCount(e.event_id, user, us, n)
+              }
               if (us > maxUs) maxUs = us
               // evict below the band reach of the latest event seen —
               // state IS the band occupancy
-              buf = buf.dropWhile(_._1 < maxUs + lowUs)
+              while (!buf.isEmpty && buf.peekFirst()._1 < maxUs + lowUs)
+                buf.removeFirst()
             }
-            state.update(buf)
+            state.update(
+              scala.jdk.CollectionConverters.IteratorHasAsScala(
+                buf.iterator()).asScala.toSeq)
             if (maxUs != Long.MinValue) {
               // timeout when the watermark passes the band reach; must
               // stay above the current watermark or Spark rejects it

@@ -329,4 +329,33 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("BUILT by another"), e.getMessage)
     IndexStore.abortBuild(s1, b1.base)
   }
+
+  test("a build whose lock was taken over mid-build refuses to publish " +
+      "(ownership token guard)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idxroot9").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus9").toString
+    SparkSpec.session.read.parquet(sf + "/documents.parquet")
+      .write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    val s1 = managed(root)
+    val b = IndexStore.resolve(s1, corpus, "lock_theft", "documents") match {
+      case x: IndexStore.Build => x
+      case other => fail(s"expected Build, got $other")
+    }
+    // simulate a takeover: a peer replaces the lock with ITS token —
+    // through the Hadoop FS (as a real peer's create would), so the
+    // checksum sidecar stays consistent with the new content
+    val hp = new org.apache.hadoop.fs.Path(b.base, "_GRAFT_BUILD_LOCK")
+    val hf = hp.getFileSystem(
+      SparkSpec.session.sparkContext.hadoopConfiguration)
+    val out = hf.create(hp, true)
+    try out.write("pid=peer token=stolen\n".getBytes("UTF-8"))
+    finally out.close()
+    s1.read.parquet(corpus + "/documents.parquet").groupBy(col("lang"))
+      .count().write.mode("overwrite")
+      .parquet(IndexStore.dataPath(b.base))
+    val e = intercept[IllegalStateException] { b.commit() }
+    assert(e.getMessage.contains("lost its lock"), e.getMessage)
+    // un-wedge for other tests
+    IndexStore.abortBuild(s1, b.base)
+  }
 }

@@ -81,6 +81,33 @@ class AsofKeylessSpec extends SparkSpec {
       .forall(_.isNullAt(0)))
   }
 
+  test("a plan built over an EMPTY build side is the REAL composition " +
+      "at a default width, not a frozen all-null projection") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ka_late").toString
+    Seq.empty[(Long, Long)].toDF("bt", "b_id")
+      .write.mode("overwrite").parquet(s"$dir/build.parquet")
+    val probe = Seq((1L, 25L), (2L, 5L)).toDF("id", "t")
+    val joined = AsofKeyless.asofJoinKeyless(probe,
+      spark.read.parquet(s"$dir/build.parquet"), "t", "bt")
+    // empty-at-plan-time: all-null results, but through the OPERATOR
+    // plan (the never-pin-an-empty-verdict rule) — a literal-null
+    // short-circuit would freeze emptiness into every later use of the
+    // same logical shape
+    assert(joined.select("b_id").collect().forall(_.isNullAt(0)))
+    assert(joined.queryExecution.analyzed.toString.contains("AsofJoin"),
+      "empty build short-circuited to a literal-null projection")
+    // data lands; a fresh plan over the same path matches (Spark's own
+    // per-DataFrame file-listing snapshot is out of scope here)
+    Seq((10L, 100L), (20L, 101L)).toDF("bt", "b_id")
+      .write.mode("append").parquet(s"$dir/build.parquet")
+    spark.catalog.refreshByPath(s"$dir/build.parquet")
+    val got = rows(AsofKeyless.asofJoinKeyless(probe,
+      spark.read.parquet(s"$dir/build.parquet"), "t", "bt"))
+    assert(got == Seq((1L, Some(101L)), (2L, None)),
+      s"late-arriving build not seen: $got")
+  }
+
   test("matched rows never borrow carry-row values for their own null " +
       "payload columns (whole-row selection, not per-column coalesce)") {
     import spark.implicits._

@@ -222,4 +222,18 @@ class AsofSqlSpec extends SparkSpec {
     assert(tolApplied.find(_._1 == 4L).get._2.isEmpty)
     assert(tolApplied.forall(_._3 == "x TOLERANCE 99 y"))
   }
+
+  test("backslash-escaped quotes inside literals do not desynchronize " +
+      "the quote mask: the real clause still lowers, the literal survives") {
+    val df = sql.sql(
+      """SELECT event_id, 'it\'s ASOF JOIN x TOLERANCE 9' AS lit, v_us
+        |FROM purchases p ASOF LEFT MERGE JOIN views v
+        |ON p.user_id = v.v_user_id AND p.us >= v.v_us""".stripMargin)
+    val r = df.collect().map(x =>
+      (x.getLong(0), x.getString(1), Option(x.get(2)))).sortBy(_._1).toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.forall(_._2 == "it's ASOF JOIN x TOLERANCE 9"))
+    // the clause actually lowered (probe 1's match present)
+    assert(r.find(_._1 == 1L).get._3.contains(20L))
+  }
 }
