@@ -402,10 +402,10 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         // KEYLESS asof — DuckDB supports the clause without equality
         // keys; lowered via AsofKeyless's bucket+carry composition
         // (built with the DataFrame API around the clause's child
-        // plans, then re-aliased onto this node's expected output ids)
-        require(lt.dataType == org.apache.spark.sql.types.LongType,
-          "keyless ASOF JOIN needs BIGINT micro times — extract micros " +
-            "(unix_micros) before joining")
+        // plans, then re-aliased onto this node's expected output ids).
+        // Timestamp times ride a SHADOW micros column appended to each
+        // side (BandConds.microsOf — the exact physical longs the keyed
+        // exec merges on), so the original columns keep their types.
         require(!u.left.isStreaming && !u.right.isStreaming,
           "keyless ASOF JOIN is batch-only")
         val spark = org.apache.spark.sql.SparkSession.active
@@ -413,20 +413,26 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         // while the composition works by name
         val lNames = u.left.output.indices.map(i => s"__graft_kl_l$i")
         val rNames = u.right.output.indices.map(i => s"__graft_kl_r$i")
+        val lShadow = "__graft_kl_lt"
+        val rShadow = "__graft_kl_rt"
         val lProj = Project(u.left.output.zip(lNames).map {
-          case (a, n) => Alias(a, n)() }, u.left)
+          case (a, n) => Alias(a, n)() } :+
+          Alias(BandConds.microsOf(lt), lShadow)(), u.left)
         val rProj = Project(u.right.output.zip(rNames).map {
-          case (a, n) => Alias(a, n)() }, u.right)
-        val ltName = lNames(u.left.output.indexWhere(_.exprId == lt.exprId))
-        val rtName = rNames(u.right.output.indexWhere(_.exprId == rt.exprId))
+          case (a, n) => Alias(a, n)() } :+
+          Alias(BandConds.microsOf(rt), rShadow)(), u.right)
         val composed = AsofKeyless.asofJoinKeyless(
           org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, lProj),
           org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, rProj),
-          ltName, rtName, dir, u.toleranceUs)
+          lShadow, rShadow, dir, u.toleranceUs)
         val cPlan = composed.queryExecution.analyzed
+        // composed output = renamed left ++ [lShadow] ++ renamed right
+        // ++ [rShadow] — map expected attrs around the shadows
+        val n = u.left.output.size
         val expected = u.left.output ++ u.right.output.map(_.withNullability(true))
-        val aliased = Project(expected.zip(cPlan.output).map {
-          case (exp, act) => Alias(act, exp.name)(exprId = exp.exprId)
+        val aliased = Project(expected.zipWithIndex.map { case (exp, i) =>
+          val act = if (i < n) cPlan.output(i) else cPlan.output(i + 1)
+          Alias(act, exp.name)(exprId = exp.exprId)
         }, cPlan)
         if (u.keepUnmatched) aliased
         else Filter(IsNotNull(aliased.output(

@@ -176,8 +176,9 @@ object BandConds {
     * TIMESTAMP extracts via UnixMicros (no zone math — the physical
     * encoding IS micros since epoch); TIMESTAMP_NTZ pins the cast to
     * UTC, under which wall-clock micros map to themselves, so the
-    * extraction is deterministic and zone-independent. */
-  private def microsOf(a: Attribute): Expression = a.dataType match {
+    * extraction is deterministic and zone-independent. Shared with the
+    * keyless ASOF SQL lowering's shadow-column projection. */
+  private[plans] def microsOf(a: Attribute): Expression = a.dataType match {
     case LongType => a
     case _: org.apache.spark.sql.types.TimestampType =>
       org.apache.spark.sql.catalyst.expressions.UnixMicros(a)

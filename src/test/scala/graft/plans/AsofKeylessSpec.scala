@@ -165,6 +165,25 @@ class AsofKeylessSpec extends SparkSpec {
         |ON p.t <= b.bt""".stripMargin))
     assert(fwd == Seq((1L, Some(100L)), (2L, Some(100L)), (3L, Some(102L)),
       (4L, Some(102L))))
+    // TIMESTAMP times ride the shadow-micros projection: the output
+    // keeps the original timestamp type and the match is identical
+    Seq((1L, "2024-03-01 09:00:25"), (2L, "2024-03-01 08:59:00"))
+      .toDF("id", "s")
+      .selectExpr("id", "CAST(s AS TIMESTAMP_NTZ) AS t")
+      .createOrReplaceTempView("katprobe")
+    Seq(("2024-03-01 09:00:05", 100L), ("2024-03-01 09:00:50", 102L))
+      .toDF("s", "b_id")
+      .selectExpr("CAST(s AS TIMESTAMP_NTZ) AS bt", "b_id")
+      .createOrReplaceTempView("katbuild")
+    val ts = sql.sql(
+      """SELECT id, b_id, CAST(bt AS STRING) AS m
+        |FROM katprobe p ASOF LEFT JOIN katbuild b
+        |ON p.t >= b.bt""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        Option(r.getString(2)))).sortBy(_._1).toSeq
+    assert(ts == Seq(
+      (1L, Some(100L), Some("2024-03-01 09:00:05")),
+      (2L, None, None)), s"timestamp keyless asof: $ts")
   }
 
   test("plan shape: an in-bucket MERGE as-of plus a BROADCAST fallback, " +
