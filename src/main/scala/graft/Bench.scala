@@ -142,6 +142,19 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
       catch { case _: Throwable => () } // stdout remains the contract
+    // The driver's artifact keeps only the LAST ~2000 bytes of stdout and
+    // tries to parse a JSON line out of that window. The full line above
+    // is ~27KB, so its start is always outside the window and every
+    // round's BENCH_rN.json came back "parsed": null. Emit one final
+    // COMPACT line — same contract shape (metric/value/unit/queries/sf),
+    // but "queries" holds only the 5 slowest medians — sized well under
+    // the window so the tail always contains a complete parseable line.
+    val slow5 = results.collect { case (k, Some(med), _, _) => (k, med) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"errors":$errs,"queries":$slow5,"sf":"$sfDir","compact":true,"full":"BENCH_FULL.json"}"""
+    println(compact)
     spark.stop()
   }
 }

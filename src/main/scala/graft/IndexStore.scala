@@ -256,10 +256,44 @@ object IndexStore {
     .empty[String, String]
   private val stolenLocks = scala.collection.concurrent.TrieMap
     .empty[String, Unit]
+  private val loggedHeartbeatFailure = scala.collection.concurrent.TrieMap
+    .empty[String, Unit]
 
   private def lockStaleMs(s: SparkSession): Long =
     s.conf.getOption(LockStaleMsKey).map(_.toLong)
       .getOrElse(LockStaleMsDefault)
+
+  // Probed once per FileSystem URI: does setTimes actually advance an
+  // OBSERVED mtime? On object stores setTimes is commonly a no-op or an
+  // error, which silently breaks heartbeat liveness — a LIVE builder's
+  // lock would age past the threshold and get reclaimed while it is
+  // still writing. When the probe fails, age-based takeover is disabled
+  // on that FS and a present lock is always diagnosed loudly (the
+  // pre-heartbeat behavior): a permanent crashed lock needing a manual
+  // delete beats publishing meta over a directory a live peer writes.
+  private val setTimesWorks = scala.collection.concurrent.TrieMap
+    .empty[String, Boolean]
+
+  private def heartbeatWorks(f: org.apache.hadoop.fs.FileSystem,
+      base: String): Boolean =
+    setTimesWorks.getOrElseUpdate(f.getUri.toString, {
+      val probe = new Path(base,
+        s"_GRAFT_LOCK_PROBE_${java.util.UUID.randomUUID()}")
+      try {
+        val out = f.create(probe, false)
+        out.close()
+        // Aim 60s into the past — far beyond any FS timestamp
+        // granularity (FAT is 2s) — and require the readback to land
+        // within 5s of the target.
+        val target = f.getFileStatus(probe).getModificationTime - 60000L
+        f.setTimes(probe, target, -1)
+        math.abs(f.getFileStatus(probe).getModificationTime - target) < 5000L
+      } catch { case scala.util.control.NonFatal(_) => false }
+      finally {
+        try f.delete(probe, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    })
 
   private def acquireLock(s: SparkSession, base: String,
       name: String): Unit = {
@@ -297,7 +331,10 @@ object IndexStore {
     var acquired = tryCreate()
     if (!acquired) {
       val age = ageMs
-      if (age > staleMs) {
+      // Takeover is only safe when heartbeats are OBSERVABLE on this
+      // FileSystem — otherwise a live builder's lock looks exactly like
+      // a dead one's and "stale" means nothing.
+      if (age > staleMs && heartbeatWorks(f, base)) {
         // dead-builder takeover: the holder stopped heartbeating for
         // longer than the threshold (a live build touches the mtime at
         // staleMs/4). Re-check the age right before deleting to keep
@@ -309,14 +346,21 @@ object IndexStore {
           acquired = tryCreate()
         }
       }
-      if (!acquired)
+      if (!acquired) {
+        val reclaimNote =
+          if (heartbeatWorks(f, base))
+            "a crashed builder's lock is reclaimed automatically once " +
+              s"it ages past the threshold (configure with $LockStaleMsKey)."
+          else
+            "this FileSystem does not support observable mtime updates " +
+              "(setTimes probe failed), so age-based reclaim is DISABLED " +
+              "— if the holder crashed, delete the lock file manually."
         throw new IllegalStateException(
           s"graft index at $base ('$name') is being BUILT by another " +
             s"process (lock $p, age ${ageMs}ms, stale threshold " +
             s"${staleMs}ms). Concurrent builders would interleave " +
-            "overwrite-writes and corrupt the index; a crashed builder's " +
-            "lock is reclaimed automatically once it ages past the " +
-            s"threshold (configure with $LockStaleMsKey).")
+            "overwrite-writes and corrupt the index; " + reclaimNote)
+      }
     }
     heldTokens.put(base, token)
     stolenLocks.remove(base)
@@ -335,7 +379,16 @@ object IndexStore {
         val current = readLock(f, p)
         if (current != null && current != token) stolenLocks.put(base, ())
         else f.setTimes(p, System.currentTimeMillis(), -1)
-      } catch { case scala.util.control.NonFatal(_) => () },
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // keep the task alive, but don't discard the evidence: a
+          // persistently-failing heartbeat is exactly the signal that
+          // explains a later takeover/stolen-lock diagnosis (logged once
+          // per base — the beat fires every staleMs/4)
+          if (loggedHeartbeatFailure.putIfAbsent(base, ()).isEmpty)
+            System.err.println(
+              s"[graft] index lock heartbeat failed for $base: $e")
+      },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       .foreach(_.cancel(false))
   }

@@ -274,8 +274,14 @@ object Similarity {
       if (emb(s, d).limit(1).isEmpty) q
       else {
         val p = q.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        q8Cache.put((s, d), p)
-        p
+        // putIfAbsent, not put: two threads racing the miss path would
+        // otherwise BOTH persist, and the overwritten copy leaks
+        // DISK_ONLY storage forever. The loser unpersists its copy and
+        // adopts the winner's.
+        q8Cache.putIfAbsent((s, d), p) match {
+          case Some(winner) => p.unpersist(blocking = false); winner
+          case None => p
+        }
       }
     }
   }

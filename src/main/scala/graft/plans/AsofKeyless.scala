@@ -43,15 +43,42 @@ import org.apache.spark.sql.graft.PlanBridge
   * the null-extended row. Tolerance applies to the final match
   * distance, either source.
   *
-  * Bucket width: `(maxT − minT) / (16 × shuffle partitions)` from one
-  * bounded 2-long aggregate over the build side — exactness never
-  * depends on it, only step 2's parallelism and step 3's table size.
+  * Bucket width: `(maxT − minT) / (16 × shuffle partitions)` as a LAZY
+  * scalar subquery over the build side (`Dataset.scalar()`) — exactness
+  * never depends on it, only step 2's parallelism and step 3's table
+  * size, and deferring it means EXPLAIN / view resolution / repeated
+  * re-analysis launch ZERO jobs (the 2-long aggregate runs inside the
+  * query, once per subquery instance, deterministic so every instance
+  * agrees). Bucket ids are the bucket FLOOR VALUE `t − pmod(t, w)` —
+  * order- and equality-equivalent to the index `t div w` but computed
+  * with pure long arithmetic, so no division of a subquery column is
+  * ever needed.
   */
 object AsofKeyless {
 
-  private def floorDivCol(name: String, w: Long): Column = {
-    val n = name.replace("`", "``") // escape backticks in odd names
-    expr(s"(`$n` - pmod(`$n`, ${w}L)) div ${w}L")
+  /** `(max − min) div (16 × parts)` over the build side as a lazy
+    * scalar subquery; empty build → a default ~13-day width (any
+    * positive value is exact, merely un-tuned — the
+    * never-pin-an-empty-verdict rule holds because the subquery
+    * re-evaluates per execution). The double division is only a WIDTH
+    * (parallelism knob): a half-ulp wobble cannot occur across
+    * instances because the computation is deterministic. */
+  private def widthCol(build: DataFrame, rightTime: String,
+      parts: Int): Column = {
+    val mm = build
+      .agg(struct(min(col(rightTime)).cast("long").as("mn"),
+        max(col(rightTime)).cast("long").as("mx")).as("mm"))
+      .scalar()
+    val span = mm.getField("mx") - mm.getField("mn")
+    greatest(
+      coalesce(floor(span / lit(math.max(16 * parts, 1))).cast("long"),
+        lit(1L << 40)),
+      lit(1L))
+  }
+
+  private def bucketCol(name: String, w: Column): Column = {
+    val c = col(s"`${name.replace("`", "``")}`")
+    c - pmod(c, w)
   }
 
   /** Keyless as-of `left` (probe) to `right` (build). Column-name
@@ -71,27 +98,19 @@ object AsofKeyless {
         d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
 
     val build = right.filter(col(rightTime).isNotNull)
-    // Bucket width from the build side's span — one bounded collect of
-    // two longs, paid at PLAN-BUILD time (an EXPLAIN or a view
-    // definition triggers it; documented cost). Exactness never depends
-    // on w, only parallelism does — so an EMPTY build side gets a
-    // default width instead of a short-circuit: a plan built before
-    // data lands stays correct when data arrives (the
-    // never-pin-an-empty-verdict rule), it is merely un-tuned.
-    val mm = build.agg(min(col(rightTime)), max(col(rightTime))).head
+    // Bucket width as a LAZY scalar subquery over the build side — no
+    // job at plan-build time (EXPLAIN and re-analysis stay free); the
+    // 2-long aggregate runs inside the query itself.
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val w =
-      if (mm.isNullAt(0)) 1L << 40 // ~13 days of micros — any value is exact
-      else math.max(
-        (mm.getLong(1) - mm.getLong(0)) / math.max(16 * parts, 1), 1L)
+    val w = widthCol(build, rightTime, parts)
 
     // null-time probes can never match: route them around (SQL LEFT
     // JOIN shape), so the operators only ever see non-null times
     val lOk = left.filter(col(leftTime).isNotNull)
     val lNull = left.filter(col(leftTime).isNull)
 
-    val l2 = lOk.withColumn("__graft_ab_l", floorDivCol(leftTime, w))
-    val r2 = build.withColumn("__graft_ab_r", floorDivCol(rightTime, w))
+    val l2 = lOk.withColumn("__graft_ab_l", bucketCol(leftTime, w))
+    val r2 = build.withColumn("__graft_ab_r", bucketCol(rightTime, w))
 
     // 2) in-bucket keyed as-of (merge: both sides time-range partitioned)
     val inBucket = PlanBridge.asofJoin(l2, r2,
@@ -116,9 +135,12 @@ object AsofKeyless {
 
     // 4) fallback probe: broadcast as-of on bucket ids with a constant
     // key (the broadcast probe is a per-row index lookup — the probe
-    // side still never shuffles and the constant key costs nothing)
-    val probeBucket = if (fwd) col("__graft_ab_l") + 1L
-      else col("__graft_ab_l") - 1L
+    // side still never shuffles and the constant key costs nothing).
+    // "Bucket ∓ 1" in floor-value space is ∓ w — the neighboring
+    // bucket's floor (w instantiates its subquery again here; it is
+    // deterministic, so every instance agrees).
+    val probeBucket = if (fwd) col("__graft_ab_l") + w
+      else col("__graft_ab_l") - w
     val joined = PlanBridge.asofJoin(
       inBucket.withColumn("__graft_k1", lit(1L))
         .withColumn("__graft_fb", probeBucket),

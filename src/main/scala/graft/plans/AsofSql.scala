@@ -108,11 +108,18 @@ object AsofSqlRewrite {
   /** Per-character "inside a quoted region" mask — '…', "…", `…` —
     * consulted by the rewrite so join keywords and TOLERANCE inside
     * literals are never rewritten. Backslash escapes inside ' and "
-    * literals are honored (Spark's default escapedStringLiterals=false
-    * allows '\'' — treating the escaped quote as a close would
-    * desynchronize the mask for the rest of the text); backquoted
-    * identifiers have no backslash escapes. */
+    * literals are honored exactly when the session says they are escapes
+    * (Spark's default escapedStringLiterals=false allows '\'' — treating
+    * the escaped quote as a close would desynchronize the mask for the
+    * rest of the text; with escapedStringLiterals=true a backslash is a
+    * literal character, so honoring it would desynchronize the other
+    * way: a literal ending in \ would swallow the closing quote);
+    * backquoted identifiers have no backslash escapes either way. */
+  private def backslashEscapes: Boolean =
+    !org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals
+
   private def quotedMask(sql: String): Array[Boolean] = {
+    val esc = backslashEscapes
     val mask = new Array[Boolean](sql.length)
     var quote: Char = 0
     var i = 0
@@ -120,7 +127,7 @@ object AsofSqlRewrite {
       val c = sql.charAt(i)
       if (quote != 0) {
         mask(i) = true
-        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+        if (esc && c == '\\' && quote != '`' && i + 1 < sql.length) {
           mask(i + 1) = true
           i += 1
         } else if (c == quote) quote = 0
@@ -136,13 +143,14 @@ object AsofSqlRewrite {
     * outside quotes (subqueries between JOIN and ON may contain their
     * own ON at depth > 0). */
   private def onEnd(sql: String, from: Int): Int = {
+    val esc = backslashEscapes
     var i = from
     var depth = 0
     var quote: Char = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (quote != 0) {
-        if (c == '\\' && quote != '`' && i + 1 < sql.length) i += 1
+        if (esc && c == '\\' && quote != '`' && i + 1 < sql.length) i += 1
         else if (c == quote) quote = 0
       }
       else c match {

@@ -156,10 +156,15 @@ object EventsStream {
     * uses EventTimeTimeout — a user idle past the watermark plus the
     * band width has provably nothing left to match, so their buffer is
     * dropped entirely (the difference between bounded state and state
-    * that grows with the user population's lifetime). Within a trigger
-    * events process in event-time order (purchases before errors on
-    * ties — the band's inclusive `pts <= ets`); the standard
-    * monotone-source caveat of [[asofJoin]] applies across triggers. */
+    * that grows with the user population's lifetime). Eviction honors
+    * the watermark, not the per-user max event time: purchases drop
+    * only below `min(maxSeen, watermark) + lowUs`, so an error arriving
+    * late-but-within-watermark in a later trigger still finds its full
+    * band (the watermark bounds BOTH state and correctness). Within a
+    * trigger events process in event-time order (purchases before
+    * errors on ties — the band's inclusive `pts <= ets`); an error
+    * already emitted is never retroactively recounted when a later
+    * purchase arrives (Update-mode emit-once). */
   def bandCount(spark: SparkSession, events: DataFrame,
       lowUs: Long = -30L * 60 * 1000000,
       watermarkDelay: String = "1 hour"): Dataset[BandCount] = {
@@ -188,6 +193,10 @@ object EventsStream {
             // hot user's trigger quadratic in its purchase count
             val buf = new java.util.ArrayDeque[(Long, Long)]()
             state.getOption.foreach(_.foreach(buf.addLast))
+            // watermark at trigger start, in micros; 0 before the first
+            // watermark advance, which makes the eviction horizon
+            // negative — nothing evicts until a watermark exists
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             var maxUs =
               if (buf.isEmpty) Long.MinValue else buf.peekLast()._1
             val out = scala.collection.mutable.ArrayBuffer[BandCount]()
@@ -206,9 +215,15 @@ object EventsStream {
                 out += BandCount(e.event_id, user, us, n)
               }
               if (us > maxUs) maxUs = us
-              // evict below the band reach of the latest event seen —
-              // state IS the band occupancy
-              while (!buf.isEmpty && buf.peekFirst()._1 < maxUs + lowUs)
+              // evict below the band reach of the latest event the
+              // WATERMARK still admits — not the per-user max seen. An
+              // error arriving late-but-within-watermark in a later
+              // trigger may carry us < maxUs; evicting at maxUs + lowUs
+              // would have already dropped purchases its band needs.
+              // min(maxUs, watermark) honors the declared out-of-order
+              // tolerance while keeping state bounded by it.
+              val horizonUs = math.min(maxUs, wmUs)
+              while (!buf.isEmpty && buf.peekFirst()._1 < horizonUs + lowUs)
                 buf.removeFirst()
             }
             state.update(

@@ -186,6 +186,28 @@ class AsofKeylessSpec extends SparkSpec {
       (2L, None, None)), s"timestamp keyless asof: $ts")
   }
 
+  test("plan construction + EXPLAIN launch ZERO jobs (bucket width is a " +
+      "lazy scalar subquery, not an eager aggregate)") {
+    import spark.implicits._
+    val probe = (0 until 50).map(i => (i.toLong, i.toLong * 7)).toDF("id", "t")
+    val build = (0 until 20).map(j => (j.toLong * 23, 1000L + j)).toDF("bt", "b_id")
+    // job groups are thread-local, so parallel suites sharing the
+    // session can't pollute this group's job list
+    val group = s"graft-ka-explain-${java.util.UUID.randomUUID()}"
+    spark.sparkContext.setJobGroup(group, "keyless asof explain audit")
+    try {
+      val df = AsofKeyless.asofJoinKeyless(probe, build, "t", "bt")
+      // force analysis, optimization, physical planning, and the
+      // explain string — the full pre-execution lifecycle
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode)
+    } finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(500) // listener-bus drain (status tracker is async)
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    assert(jobs.isEmpty,
+      s"plan construction/EXPLAIN launched jobs: ${jobs.mkString(",")}")
+  }
+
   test("plan shape: an in-bucket MERGE as-of plus a BROADCAST fallback, " +
       "no band replication anywhere") {
     import spark.implicits._
