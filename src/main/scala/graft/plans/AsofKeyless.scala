@@ -89,6 +89,17 @@ object AsofKeyless {
       direction: String = "backward", toleranceUs: Long = -1L): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
+    // STREAM-STATIC: a streaming probe side works — the in-bucket join
+    // switches to the broadcast as-of (stateless per microbatch, probe
+    // never shuffles) and the carry table is a bucket-count-sized
+    // STATIC aggregate broadcast the same way. A streaming BUILD side
+    // has no bounded-state formulation here (the carry is a global
+    // running extremum) — refuse loudly.
+    require(!right.isStreaming,
+      "keyless as-of build side must be static (stream-static " +
+        "enrichment only; a streaming build side would need an " +
+        "unbounded global carry)")
+    val streaming = left.isStreaming
     val spark = left.sparkSession
     val fwd = direction == "forward"
     val rCols = right.columns.toSeq
@@ -100,9 +111,22 @@ object AsofKeyless {
     val build = right.filter(col(rightTime).isNotNull)
     // Bucket width as a LAZY scalar subquery over the build side — no
     // job at plan-build time (EXPLAIN and re-analysis stay free); the
-    // 2-long aggregate runs inside the query itself.
+    // 2-long aggregate runs inside the query itself. STREAMING probe:
+    // scalar subqueries don't belong in a streaming plan, so the width
+    // is computed eagerly from the STATIC build side instead — one
+    // bounded 2-long job at stream-definition time, the norm for
+    // streaming setup.
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val w = widthCol(build, rightTime, parts)
+    val w: Column =
+      if (!streaming) widthCol(build, rightTime, parts)
+      else {
+        val mm = build.agg(min(col(rightTime)).cast("long"),
+          max(col(rightTime)).cast("long")).head
+        lit(
+          if (mm.isNullAt(0)) 1L << 40
+          else math.max(
+            (mm.getLong(1) - mm.getLong(0)) / math.max(16 * parts, 1), 1L))
+      }
 
     // null-time probes can never match: route them around (SQL LEFT
     // JOIN shape), so the operators only ever see non-null times
@@ -112,10 +136,13 @@ object AsofKeyless {
     val l2 = lOk.withColumn("__graft_ab_l", bucketCol(leftTime, w))
     val r2 = build.withColumn("__graft_ab_r", bucketCol(rightTime, w))
 
-    // 2) in-bucket keyed as-of (merge: both sides time-range partitioned)
+    // 2) in-bucket keyed as-of (merge: both sides time-range
+    // partitioned; streaming probe: broadcast — the static build side
+    // ships to executors and each microbatch probes it statelessly)
     val inBucket = PlanBridge.asofJoin(l2, r2,
       Seq("__graft_ab_l" -> "__graft_ab_r"), leftTime, rightTime,
-      hint = "merge", direction = direction, toleranceUs = -1L)
+      hint = if (streaming) "broadcast" else "merge",
+      direction = direction, toleranceUs = -1L)
 
     // 3) per-bucket extremum, then the running carry INCLUDING the own
     // bucket (probed at bucket ∓ 1, so an empty probe bucket still

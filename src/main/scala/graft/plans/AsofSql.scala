@@ -414,8 +414,13 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         // Timestamp times ride a SHADOW micros column appended to each
         // side (BandConds.microsOf — the exact physical longs the keyed
         // exec merges on), so the original columns keep their types.
-        require(!u.left.isStreaming && !u.right.isStreaming,
-          "keyless ASOF JOIN is batch-only")
+        // stream-static works (the composition switches its in-bucket
+        // join to the broadcast as-of and computes the width eagerly
+        // from the static build); a streaming BUILD side has no bounded
+        // carry and is refused inside asofJoinKeyless
+        require(!u.right.isStreaming,
+          "keyless ASOF JOIN build side must be static " +
+            "(stream-static enrichment only)")
         val spark = org.apache.spark.sql.SparkSession.active
         // unique names per side: SQL join sides may share column names,
         // while the composition works by name

@@ -223,6 +223,39 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("STREAM-STATIC KEYLESS as-of enrichment matches the oracle-gated " +
+      "batch ev08g on the same data (broadcast in-bucket + carry)") {
+    // static build: global views pre-reduced per timestamp — the
+    // exchange-rate/config-tick shape ev08g gates against DuckDB's
+    // native keyless ASOF JOIN
+    val dim = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(unix_micros(col("ts")).as("v_us"))
+      .agg(max(col("event_id")).as("v_event_id"))
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val joined = graft.plans.AsofKeyless
+      .asofJoinKeyless(stream, dim, "us", "v_us")
+    assert(joined.isStreaming, "stream-static keyless as-of lost its streaming-ness")
+    val q = joined.writeStream.format("memory").queryName("ss_ka")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      val streamed = spark.table("ss_ka").collect().map(key).toSet
+      val batch = graft.queries.Events.queries("ev08g_asof_keyless")(spark, sf)
+        .select("event_id", "us", "matched_us", "matched_event_id")
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.nonEmpty,
+        s"keyless stream-static as-of diverged: ${streamed.size} vs ${batch.size}")
+      assert(streamed.exists(_._3.isDefined))
+    } finally q.stop()
+  }
+
   test("streaming band join matches the oracle-checked batch ev07 exactly " +
       "(watermarked, band-occupancy state)") {
     val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
