@@ -8,24 +8,37 @@ import graft.functions.VectorOps._
 
 /** Persisted IVF (inverted-file) index: build once, probe many.
   *
-  * Build trains the coarse quantizer (deterministic DataFrame k-means),
-  * assigns every vector to its nearest cell (map-only — centroids are
-  * plan-time literals), and materializes the assignment table as parquet
-  * PARTITIONED BY cell id. That partition layout IS the inverted file: a
-  * probe lists the `nprobe` cells nearest each query and scans only those
-  * partitions (static partition pruning — the scan's selected partitions
-  * and file count are ~nprobe/ncells of the table, which IvfIndexSpec
-  * pins via FileSourceScanExec metrics).
+  * Build trains the coarse quantizer, assigns every vector to its
+  * nearest cell (map-only — centroids are plan-time literals), and
+  * materializes the assignment table as parquet PARTITIONED BY cell id.
+  * That partition layout IS the inverted file: a probe lists the
+  * `nprobe` cells nearest each query and scans only those partitions
+  * (static partition pruning — the scan's selected partitions and file
+  * count are ~nprobe/ncells of the table, which IvfIndexSpec pins via
+  * FileSourceScanExec metrics).
+  *
+  * The coarse quantizer is the INTEGER one the whole ss03 family
+  * shares (ss05's per-vector int8 grid + emb03's hash-seeded
+  * truncating-integer-mean Lloyd + integer-L2 argmin, ties to the
+  * lower cid): cell membership and the probed-cell lists are exact
+  * integer decisions a cross-engine oracle replays bit-for-bit, while
+  * the REPORTED score stays the exact double cosine over the original
+  * float vectors (ss01's replayed kernel). That is what moved ss03
+  * from `no_oracle` (the float-k-means trainer was deterministic
+  * run-to-run but not practically replayable) to hash-exact, without
+  * giving up the persisted-index architecture.
   *
   * At 100 TB this is the separation that matters: index build is a
-  * one-time job whose cost amortizes over every query, and a probe's IO
-  * is proportional to the probed posting lists, not the corpus. The
-  * previous ss03 shape recomputed assignment of the full table per run.
+  * one-time job whose cost amortizes over every query, and a probe's
+  * IO is proportional to the probed posting lists, not the corpus.
   */
 object IvfIndex {
 
-  /** Built index: on-disk location + the trained centroids. */
-  final case class Index(dir: String, centroids: Seq[Seq[Double]], k: Int)
+  /** Built index: on-disk location + the trained integer centroids
+    * (cid → int8-space vector, ordered by cid). */
+  final case class Index(dir: String, centroids: Seq[(Int, Seq[Int])]) {
+    def k: Int = centroids.size
+  }
 
   // one build per (session, source dir) — probes (bench reps, repeated
   // query construction) reuse the materialized index
@@ -34,15 +47,26 @@ object IvfIndex {
   graft.SessionCaches.registerEvictor(s =>
     indexCache.keySet.toSeq.filter(_._1 eq s).foreach(indexCache.remove))
 
+  /** Assign with FIXED centroids and write the cell-partitioned
+    * postings (vec_id, embedding, c_id) — the float vector rides along
+    * so probes can score exactly without a corpus join. */
+  private def writeAssigned(df: DataFrame, cents: Seq[(Int, Seq[Int])],
+      out: String, overwrite: Boolean): Unit =
+    Similarity.quantize(df)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Assign(cents).getField("cid").as("c_id"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("c_id").parquet(out)
+
   /** Train + assign + write the cell-partitioned assignment table. */
   def build(s: SparkSession, df: DataFrame, out: String,
-      k: Int = 20, iters: Int = 3): Index = {
-    val trained = KMeans.fit(s, df, "vec_id", "embedding", k, iters)
-    df.select(col("vec_id"), col("embedding"),
-        element_at(KMeans.nearestCells(col("embedding"), trained, 1), 1)
-          .getField("c_id").as("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(out)
-    Index(out, trained, k)
+      k: Int = 16): Index = {
+    val trained = Similarity.int8LloydTrain(
+      Similarity.quantize(df).select(col("vec_id"), col("q")), k)
+    require(trained.nonEmpty,
+      "IVF build over an empty corpus — nothing to train a quantizer on")
+    writeAssigned(df, trained, out, overwrite = true)
+    Index(out, trained)
   }
 
   /** Append new vectors to an existing index: assign with the SAME
@@ -51,38 +75,50 @@ object IvfIndex {
     * only the affected cell partitions — dynamic partition append, no
     * rewrite of existing posting lists. This is the incremental-ingest
     * path: today's crawl lands in the index without touching the
-    * standing 100 TB of postings. */
+    * standing 100 TB of postings. Quantization is per-vector (ss05's
+    * grid), so new vectors quantize identically to a full rebuild. */
   def append(s: SparkSession, index: Index, df: DataFrame): Unit =
-    df.select(col("vec_id"), col("embedding"),
-        element_at(KMeans.nearestCells(col("embedding"), index.centroids, 1), 1)
-          .getField("c_id").as("c_id"))
-      .write.mode("append").partitionBy("c_id").parquet(index.dir)
+    writeAssigned(df, index.centroids, index.dir, overwrite = false)
 
   /** Memoized build over the `embeddings` table of a testdata dir.
     * With an index root configured (IndexStore), the cell-partitioned
     * postings land under the store (they are ALREADY the index's
     * on-disk form — build() writes them; resolve() only decides where
     * and whether) plus a small `centroids` parquet, so a later session
-    * reconstructs the Index from storage instead of re-training. */
+    * reconstructs the Index from storage instead of re-training.
+    * Trains through [[Similarity.ivfInt8Centroids]] — the SAME memoized
+    * K=16 centroid set ss03b/ss03c use, so all three queries probe one
+    * coarse quantizer. */
   def builtFor(s: SparkSession, d: String): Index = {
     graft.SessionCaches.track(s)
     indexCache.getOrElseUpdate((s, d), {
       def all = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      graft.IndexStore.resolve(s, d, "ivf", "embeddings") match {
+      def buildShared(out: String): Index = {
+        val cents = Similarity.ivfInt8Centroids(s, d)
+        require(cents.nonEmpty,
+          "IVF build over an empty corpus — nothing to train a quantizer on")
+        writeAssigned(all, cents, out, overwrite = true)
+        Index(out, cents)
+      }
+      // "ivf8", not the old "ivf": the store format changed with the
+      // trainer (INT centroid arrays, int8-assigned postings) — a new
+      // name keeps a pre-rewrite persisted index from being read back
+      // as the wrong schema
+      graft.IndexStore.resolve(s, d, "ivf8", "embeddings") match {
         case graft.IndexStore.Unmanaged =>
           val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-          build(s, all, out)
+          buildShared(out)
         case graft.IndexStore.Fresh(base) =>
           val cents = s.read.parquet(base + "/centroids").collect()
-            .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
-          Index(graft.IndexStore.dataPath(base), cents, cents.size)
+            .sortBy(_.getInt(0))
+            .map(r => (r.getInt(0), r.getSeq[Int](1).toSeq)).toSeq
+          Index(graft.IndexStore.dataPath(base), cents)
         case graft.IndexStore.Build(base, commit) =>
           try {
-            val idx = build(s, all, graft.IndexStore.dataPath(base))
+            val idx = buildShared(graft.IndexStore.dataPath(base))
             import s.implicits._
-            idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
-              .toDF("c_id", "c")
+            idx.centroids.toDF("c_id", "c")
               .write.mode("overwrite").parquet(base + "/centroids")
             commit()
             idx
@@ -93,17 +129,19 @@ object IvfIndex {
     })
   }
 
-  /** Top-k probe: assign each query vector to its `nprobe` nearest cells,
+  /** Top-k probe: assign each query vector to its `nprobe` nearest
+    * cells (exact integer L2 in int8 space — the replayable decision),
     * collect the bounded probed-cell set (|queries| × nprobe ids — the
-    * posting lists to open), and scan ONLY those partitions of the index.
-    */
+    * posting lists to open), scan ONLY those partitions of the index,
+    * and rank candidates by the EXACT double cosine over the original
+    * float vectors. */
   def probe(s: SparkSession, index: Index, queries: DataFrame,
       nprobe: Int = 3, topk: Int = 10): DataFrame = {
-    val probes = queries
+    val probes = Similarity.quantize(queries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        explode(KMeans.nearestCells(col("embedding"), index.centroids, nprobe))
+        explode(Similarity.nearestCellsInt8(index.centroids, nprobe))
           .as("cell"))
-      .select(col("q_id"), col("q_vec"), col("cell.c_id").as("c_id"))
+      .select(col("q_id"), col("q_vec"), col("cell.cid").as("c_id"))
     // bounded collect: the distinct probed cell ids become literals, so
     // the parquet scan below prunes partitions statically
     val cellIds = probes.select(col("c_id")).distinct()

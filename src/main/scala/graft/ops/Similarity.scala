@@ -258,15 +258,22 @@ object Similarity {
   graft.SessionCaches.registerEvictor(s =>
     encCache.keySet.toSeq.filter(_._1 eq s).foreach(encCache.remove))
 
+  /** ss05's symmetric int8 grid appended to an arbitrary
+    * (…, embedding) frame as `q` — the stateless kernel shared by the
+    * session memo below and IvfIndex's build/append/probe quantization
+    * (per-row scale, so any subset quantizes identically to the whole). */
+  private[ops] def quantize(df: DataFrame): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    df.withColumn("scale", maxabs / 127.0)
+      .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
+      .drop("scale")
+  }
+
   private def quantized(s: SparkSession, d: String): DataFrame = {
     graft.SessionCaches.track(s)
     q8Cache.get((s, d)).getOrElse {
-      val xd = transform(col("embedding"), x => x.cast("double"))
-      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      val q = emb(s, d)
-        .withColumn("scale", maxabs / 127.0)
-        .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
-        .select(col("vec_id"), col("q"))
+      val q = quantize(emb(s, d)).select(col("vec_id"), col("q"))
       // Empty corpus → return the un-persisted plan WITHOUT caching
       // (the scatterSolve/pcaSolve rule): a persisted-empty memo would
       // freeze every quantized-corpus query at the dir even after data
@@ -300,10 +307,20 @@ object Similarity {
 
   /** argmin over in-plan literal centroids as a zero-shuffle map
     * expression: struct(dist, cid) array_min ties to the lower cid. */
-  private def int8Assign(
+  private[ops] def int8Assign(
       cs: Seq[(Int, Seq[Int])]): org.apache.spark.sql.Column =
     array_min(array(cs.map { case (cid, c) =>
       struct(int8SqDist(c).as("dist"), lit(cid).as("cid")) }: _*))
+
+  /** The `keep` nearest centroids by exact integer L2 (ties to the
+    * lower cid — int8Assign's rule extended past the minimum), as an
+    * ordered array of struct(dist, cid). Map-only like int8Assign:
+    * centroids are in-plan literals, per-row work is k fused integer
+    * folds plus a k-element sort. */
+  private[ops] def nearestCellsInt8(cs: Seq[(Int, Seq[Int])],
+      keep: Int): org.apache.spark.sql.Column =
+    slice(array_sort(array(cs.map { case (cid, c) =>
+      struct(int8SqDist(c).as("dist"), lit(cid).as("cid")) }: _*)), 1, keep)
 
   // The K=16 integer IVF coarse quantizer SHARED by ss03b (one-stage
   // probe) and ss03c (ADC shortlist + exact re-rank): emb03's Lloyd
@@ -318,28 +335,35 @@ object Similarity {
   graft.SessionCaches.registerEvictor(s =>
     ivfCentCache.keySet.toSeq.filter(_._1 eq s).foreach(ivfCentCache.remove))
 
-  private def ivfInt8Centroids(s: SparkSession,
+  /** emb03's integer Lloyd chain over an arbitrary quantized
+    * (vec_id, q) frame: hash-ordered seeds, one truncating-integer-mean
+    * round — the stateless trainer shared by the memoized table-level
+    * quantizer below and IvfIndex.build's per-corpus training. Returns
+    * Nil on an empty frame. */
+  private[ops] def int8LloydTrain(q8: DataFrame,
+      k: Int): Seq[(Int, Seq[Int])] = {
+    val seeds = q8
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k).collect()
+      .map(r => r.getSeq[Int](r.fieldIndex("q")))
+      .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    if (seeds.isEmpty) Nil
+    else Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
+      assignId = (_, cs) => int8Assign(cs).getField("cid"),
+      meanExpr = ((sum(col("v").cast("long")) -
+        (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
+        .cast("int"),
+      decode = _.getInt(2),
+      fillEmpty = false)
+  }
+
+  private[ops] def ivfInt8Centroids(s: SparkSession,
       d: String): Seq[(Int, Seq[Int])] = {
     graft.SessionCaches.track(s)
     ivfCentCache.get((s, d)).getOrElse {
-      val q8 = quantized(s, d)
-      val seeds = q8
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(IvfK).collect()
-        .map(r => r.getSeq[Int](r.fieldIndex("q")))
-        .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      if (seeds.isEmpty) Nil
-      else {
-        val cents = Lloyd.iterate[Int](q8, "q", seeds, rounds = 1,
-          assignId = (_, cs) => int8Assign(cs).getField("cid"),
-          meanExpr = ((sum(col("v").cast("long")) -
-            (sum(col("v").cast("long")) % count(lit(1)))) / count(lit(1)))
-            .cast("int"),
-          decode = _.getInt(2),
-          fillEmpty = false)
-        ivfCentCache.putIfAbsent((s, d), cents)
-        cents
-      }
+      val cents = int8LloydTrain(quantized(s, d), IvfK)
+      if (cents.nonEmpty) ivfCentCache.putIfAbsent((s, d), cents)
+      cents
     }
   }
 
@@ -517,8 +541,16 @@ object Similarity {
     // materializes the cell-partitioned assignment table; the probe
     // assigns the 10 query vectors to their 3 nearest cells and scans
     // only those partitions (static partition pruning — IvfIndexSpec
-    // pins selectedPartitions/numFiles ∝ nprobe/ncells). Same centroids,
-    // same candidate set, same results as the inline formulation.
+    // pins selectedPartitions/numFiles ∝ nprobe/ncells). HASH-EXACT as
+    // of round 13: the coarse quantizer is the shared INTEGER one
+    // (ss05 grid + emb03 Lloyd + integer-L2 argmin — ss03b's replayed
+    // chain at nprobe=3) while the reported score is the exact double
+    // cosine over the original float vectors (ss01's replayed kernel),
+    // so the DuckDB oracle replays index build, probe-set selection,
+    // AND scoring bit-for-bit. The persisted-index architecture is
+    // unchanged — only the trainer moved from float k-means (stable
+    // run-to-run, but not practically replayable cross-engine) to the
+    // integer family the rest of the ss03 tier already gates on.
     "ss03_ivf_topk" -> { (s, d) =>
       val e = emb(s, d)
       // empty corpus: nothing to train an IVF on (and a 0-row
@@ -1655,6 +1687,86 @@ object Similarity {
         |        + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
         |  FROM q8 x, newc c) z
         |WHERE rn = 1""".stripMargin,
+
+    // ss03: the PERSISTED-index probe replayed end-to-end — ss03b's
+    // integer chain (same K=16 Lloyd, same argmin ties) decides cell
+    // membership and the nprobe=3 probed cells, then the exact double
+    // cosine over the original FLOAT vectors (ss01's kernel: DuckDB's
+    // list_dot_product equals Spark's sequential VecDot fold) ranks
+    // the candidates. Build/probe decisions integer, score float —
+    // both replayable, so the persisted-index query is hash-exact.
+    "ss03_ivf_topk" ->
+      """WITH q8 AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(
+        |      CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+        |    ) AS INT)) AS q
+        |  FROM embeddings
+        |),
+        |seeds AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid, q
+        |  FROM (SELECT vec_id, q FROM q8
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) t
+        |),
+        |a1 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT x.vec_id, x.q, s.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(x.q, s.q) AS BIGINT)
+        |          + CAST(list_dot_product(s.q, s.q) AS BIGINT), s.cid) AS rn
+        |    FROM q8 x, seeds s) z
+        |  WHERE rn = 1
+        |),
+        |sums AS (
+        |  SELECT cid, u.i AS pos, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a1, UNNEST(range(0, len(q))) AS u(i)
+        |  GROUP BY cid, u.i
+        |),
+        |newc AS MATERIALIZED (
+        |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
+        |  FROM sums GROUP BY cid
+        |),
+        |cells AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT x.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(x.q, c.q) AS BIGINT)
+        |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+        |    FROM q8 x, newc c) z
+        |  WHERE rn = 1
+        |),
+        |probe AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT qv.vec_id AS q_id, c.cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+        |        CAST(list_dot_product(qv.q, qv.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(qv.q, c.q) AS BIGINT)
+        |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+        |    FROM (SELECT vec_id, q FROM q8 WHERE vec_id < 10) qv, newc c) z
+        |  WHERE rn <= 3
+        |),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT p.q_id, c.vec_id,
+        |    list_dot_product(x.v, qv.v) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+        |  FROM probe p
+        |  JOIN cells c ON c.cell = p.cell AND c.vec_id != p.q_id
+        |  JOIN e x ON x.vec_id = c.vec_id
+        |  JOIN e qv ON qv.vec_id = p.q_id
+        |)
+        |SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rank FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored) z
+        |WHERE rn <= 10""".stripMargin,
 
     // ss03b: the IVF build + probe replayed end-to-end — emb03's Lloyd
     // chain at K=16 (same hash-ordered seeds, same truncating integer

@@ -58,14 +58,14 @@ class IvfIndexSpec extends SparkSpec {
     val index = IvfIndex.builtFor(spark, sf)
     val persisted = IvfIndex.probe(spark, index, emb.filter(col("vec_id") < 10))
     // the pre-index ss03 shape: assign the full table inline, same
-    // centroids, same candidate semantics
-    def assign(df: DataFrame, keep: Int): DataFrame =
-      df.select(col("vec_id"), col("embedding"),
-          explode(KMeans.nearestCells(col("embedding"), index.centroids, keep)).as("cell"))
-        .select(col("vec_id"), col("embedding"), col("cell.c_id").as("c_id"))
-    val cells = assign(emb, 1)
-    val probes = assign(emb.filter(col("vec_id") < 10), 3)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("c_id"))
+    // (integer) centroids, same candidate semantics
+    val cells = Similarity.quantize(emb)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Assign(index.centroids).getField("cid").as("c_id"))
+    val probes = Similarity.quantize(emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(Similarity.nearestCellsInt8(index.centroids, 3)).as("cell"))
+      .select(col("q_id"), col("q_vec"), col("cell.cid").as("c_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     val inline = cells.join(probes, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
