@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute,
   AttributeReference, AttributeSet, EqualTo, Explode, Expression,
   GreaterThanOrEqual, IntegralDivide, IsNotNull, IsNull, LessThanOrEqual,
   Literal, Pmod, Sequence, Subtract}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join,
   LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -300,6 +300,39 @@ object BandJoinAutoRewrite extends Rule[LogicalPlan] {
             else
               BandConds.lowerBandKeyless(probe, build, p, physHint,
                 keepUnmatched = jt == LeftOuter)
+          case _ => j
+        }
+
+      // RIGHT OUTER: the band operator preserves its PROBE side, so a
+      // right-outer band is the left-outer lowering with the sides
+      // swapped — classify from the swapped perspective (the band
+      // condition is symmetric: rt ∈ [lt+lo, lt+hi] ⟺
+      // lt ∈ [rt−hi, rt−lo], and classify re-derives the bounds), then
+      // a Project restores the original l ++ r column order. Same
+      // legality rule as LeftOuter, mirrored: conjuncts on the
+      // PRESERVED (right) side are not filters, so their presence
+      // leaves the plan unclaimed; build-only (left) conjuncts push.
+      case j @ Join(l, r, RightOuter, Some(cond), hint)
+          if !l.isStreaming && !r.isStreaming =>
+        BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
+            r.outputSet, l.outputSet) match {
+          case Some(p) if p.probeOnly.isEmpty =>
+            val build = if (p.buildOnly.nonEmpty)
+              Filter(p.buildOnly.reduce(And(_, _)), l) else l
+            // the build side is the original LEFT, so the user's
+            // broadcast hint for it is the leftHint
+            val physHint =
+              if (hint.leftHint.flatMap(_.strategy).contains(
+                  org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+                "broadcast" else "auto"
+            val lowered =
+              if (p.lKeys.nonEmpty)
+                BandConds.lowerBand(r, build, p, physHint,
+                  keepUnmatched = true)
+              else
+                BandConds.lowerBandKeyless(r, build, p, physHint,
+                  keepUnmatched = true)
+            Project(j.output, lowered)
           case _ => j
         }
     }

@@ -278,6 +278,34 @@ object Events {
       out
     },
 
+    // RIGHT OUTER through the auto-rewrite: the same stock plain-SQL
+    // band as ev07d written with the sides flipped — purchases RIGHT
+    // JOIN errors. The band operator preserves its PROBE side, so the
+    // optimizer rule claims a right-outer band by SIDE-SWAPPING into
+    // the left-outer lowering (the band condition is symmetric) and
+    // restoring the original column order with a Project. Same
+    // O(input + output) merge, same null hygiene; BandSqlSpec pins
+    // that the rewrite fires on this exact shape.
+    "ev07f_band_right_outer" -> { (s, d) =>
+      val sx = asofSqlSession(s)
+      val ev = Tables.load(sx, d, "events").withColumn("us", unix_micros(col("ts")))
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("eu"), col("us").as("eus"))
+        .createOrReplaceTempView(s"graft_ro_errors_$tag")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("us").as("pus"))
+        .createOrReplaceTempView(s"graft_ro_purch_$tag")
+      val out = sx.sql(
+        s"""SELECT event_id, COUNT(pu) AS n_prior_purchases
+           |FROM graft_ro_purch_$tag p RIGHT JOIN graft_ro_errors_$tag e
+           |ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
+           |GROUP BY event_id""".stripMargin)
+      sx.catalog.dropTempView(s"graft_ro_errors_$tag")
+      sx.catalog.dropTempView(s"graft_ro_purch_$tag")
+      out
+    },
+
     // The KEYLESS range join — global time-window correlation with NO
     // equi-key (how many purchases by ANYONE in the 5 minutes before
     // each error): the family member round 11 deliberately refused,
@@ -854,6 +882,17 @@ object Events {
         |      WHERE event_type = 'error') e
         |LEFT JOIN (SELECT user_id AS pu, epoch_us(ts) AS pus FROM events
         |           WHERE event_type = 'purchase') p
+        |  ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
+        |GROUP BY e.event_id""".stripMargin,
+
+    // ev07f: the side-swapped right-outer lowering vs DuckDB's stock
+    // RIGHT JOIN of the identical text.
+    "ev07f_band_right_outer" ->
+      """SELECT e.event_id, COUNT(p.pu) AS n_prior_purchases
+        |FROM (SELECT user_id AS pu, epoch_us(ts) AS pus FROM events
+        |      WHERE event_type = 'purchase') p
+        |RIGHT JOIN (SELECT event_id, user_id AS eu, epoch_us(ts) AS eus FROM events
+        |            WHERE event_type = 'error') e
         |  ON e.eu = p.pu AND p.pus BETWEEN e.eus - 1800000000 AND e.eus
         |GROUP BY e.event_id""".stripMargin,
 

@@ -138,6 +138,54 @@ class BandSqlSpec extends SparkSpec {
     finally sql.conf.set(BandJoinAutoRewrite.ConfKey, "true")
   }
 
+  test("auto-rewrite claims a RIGHT OUTER band by side-swapping: " +
+      "native operator, rows identical to the stock plan") {
+    val text =
+      """SELECT event_id, b_us, b_event_id
+        |FROM build b RIGHT JOIN probe p
+        |ON p.user_id = b.b_user_id AND b.b_us BETWEEN p.us - 10 AND p.us
+        |""".stripMargin
+    val on = sql.sql(text)
+    assert(planOf(on).contains("BandJoin"), s"not rewritten:\n${planOf(on)}")
+    assert(rows(on) == wantLeft)
+    sql.conf.set(BandJoinAutoRewrite.ConfKey, "false")
+    try {
+      val off = sql.sql(text)
+      assert(!planOf(off).contains("BandJoin"),
+        s"rewrite fired with the conf off:\n${planOf(off)}")
+      assert(rows(off) == wantLeft)
+    } finally sql.conf.set(BandJoinAutoRewrite.ConfKey, "true")
+  }
+
+  test("KEYLESS RIGHT OUTER band is claimed too (bucketized side-swap); " +
+      "rows match the stock plan") {
+    val text =
+      """SELECT event_id, b_us, b_event_id
+        |FROM build b RIGHT JOIN probe p
+        |ON b.b_us BETWEEN p.us - 10 AND p.us
+        |""".stripMargin
+    val on = sql.sql(text)
+    assert(planOf(on).contains("BandJoin"), s"not rewritten:\n${planOf(on)}")
+    sql.conf.set(BandJoinAutoRewrite.ConfKey, "false")
+    val want = try rows(sql.sql(text))
+      finally sql.conf.set(BandJoinAutoRewrite.ConfKey, "true")
+    assert(rows(on) == want && want.nonEmpty)
+  }
+
+  test("RIGHT JOIN with a conjunct on the PRESERVED side is NOT " +
+      "rewritten (it is not a filter) and stays correct") {
+    val text =
+      """SELECT event_id, b_us, b_event_id
+        |FROM build b RIGHT JOIN probe p
+        |ON p.user_id = b.b_user_id AND p.event_id < 150
+        |  AND b.b_us BETWEEN p.us - 10 AND p.us
+        |""".stripMargin
+    val df = sql.sql(text)
+    val got = rows(df)
+    assert(!planOf(df).contains("BandJoin"))
+    assert(got == wantLeft.map(r => if (r._1 < 150L) r else (r._1, None, None)))
+  }
+
   test("LEFT JOIN with a probe-side ON conjunct is NOT rewritten " +
       "(it is not a filter) and stays correct") {
     val text =
