@@ -130,5 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ResolveAsofJoin)
     ext.injectOptimizerRule(_ => BandJoinAutoRewrite)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // AQE runtime skew split for the merge execs — Spark's own
+    // OptimizeSkewedJoin mechanism (probe partitions sliced by mapper
+    // ranges from MapOutputStatistics, build partitions replicated per
+    // slice), in the same query-stage-prep phase that rule runs in
+    ext.injectQueryStagePrepRule(_ =>
+      org.apache.spark.sql.graft.OptimizeSkewedGraftJoin())
   }
 }

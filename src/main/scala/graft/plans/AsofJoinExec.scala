@@ -207,7 +207,8 @@ case class AsofJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     direction: String = "backward",
-    toleranceUs: Long = -1L) extends SparkPlan with BinaryExecNode
+    toleranceUs: Long = -1L,
+    isSkewJoin: Boolean = false) extends SparkPlan with BinaryExecNode
     with org.apache.spark.sql.execution.CodegenSupport {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
@@ -225,12 +226,25 @@ case class AsofJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // isSkewJoin: the AQE skew rule replaced the children's shuffle reads
+  // with per-partition splits (probe sliced by mapper ranges, build
+  // partition replicated per slice) — the 1:1 reducer alignment it
+  // builds IS the clustering, but no Partitioning object describes it,
+  // so requirements switch off exactly as SortMergeJoinExec's do
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (isSkewJoin)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+        org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def stringArgs: Iterator[Any] =
+    super.stringArgs.toSeq.dropRight(1).iterator ++
+      (if (isSkewJoin) Iterator("isSkewJoin=true") else Iterator.empty)
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 

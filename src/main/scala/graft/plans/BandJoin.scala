@@ -140,7 +140,8 @@ case class BandJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     lowUs: Long,
-    highUs: Long) extends SparkPlan with BinaryExecNode
+    highUs: Long,
+    isSkewJoin: Boolean = false) extends SparkPlan with BinaryExecNode
     with org.apache.spark.sql.execution.CodegenSupport {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
@@ -157,14 +158,25 @@ case class BandJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // isSkewJoin: see AsofJoinExec — the AQE skew rule's per-partition
+  // reads are 1:1 aligned but carry no Partitioning, so requirements
+  // switch off exactly as SortMergeJoinExec's do
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (isSkewJoin)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+        org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override def stringArgs: Iterator[Any] =
+    super.stringArgs.toSeq.dropRight(1).iterator ++
+      (if (isSkewJoin) Iterator("isSkewJoin=true") else Iterator.empty)
 
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =

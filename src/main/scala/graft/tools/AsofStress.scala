@@ -33,12 +33,23 @@ object AsofStress {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the config-injected extensions carry the AQE skew-split rule
+      // (OptimizeSkewedGraftJoin) the skew scenario measures
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // local[32] skew tuning: the hot partition (~20% of 60M rows)
+      // must read as skewed against the ~2.5%-of-rows median (factor 5
+      // catches it) and split to ~advisory-sized slices
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the residual-form baselines below must stay STOCK joins even if
     // this JVM's session carries the graft extensions — the whole
     // point is measuring the operator against what Spark does without it
     spark.conf.set(graft.plans.BandJoinAutoRewrite.ConfKey, "false")
+    // same isolation for the AQE skew split: baselines measure the raw
+    // operator; the skew scenario flips this on for its AQE leg only
+    spark.conf.set(org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "false")
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -194,6 +205,16 @@ object AsofStress {
       s"skew gates: rows $skRows bad $skBad nulls $skNulls")
     val tU = math.min(u1._2, u2._2)
     val tS = math.min(s1._2, s2._2)
+
+    // the SAME stock call with the AQE skew split on: zero user action,
+    // the runtime rule slices the hot probe partition by mapper ranges
+    // (OptimizeSkewedGraftJoin) — must match the unsalted gates exactly
+    // and land at salted-level time
+    spark.conf.set(org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "true")
+    val a1 = skewGates(unsaltedJoin); val a2 = skewGates(unsaltedJoin)
+    spark.conf.set(org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "false")
+    assert(a2._1 == u2._1, s"AQE skew gates diverge: ${a2._1} vs ${u2._1}")
+    val tA = math.min(a1._2, a2._2)
 
     // ---- band scenario: BandJoinExec vs the equi-join + residual ----
     // Same dim side, band [-199, 0]: every probe matches the multiples
@@ -435,6 +456,7 @@ object AsofStress {
       s""""native_sec":${f"$tNative%.1f"},"window_sec":${f"$tWindow%.1f"},""" +
       s""""dim_broadcast_sec":${f"$tB%.1f"},"dim_merge_sec":${f"$tM%.1f"},""" +
       s""""skew_unsalted_sec":${f"$tU%.1f"},"skew_salted_sec":${f"$tS%.1f"},""" +
+      s""""skew_aqe_sec":${f"$tA%.1f"},""" +
       s""""band_native_60m_sec":${f"$tBandFull%.1f"},""" +
       s""""band_native_6m_sec":${f"$tBandTenth%.1f"},""" +
       s""""band_residual_6m_sec":${f"$tResTenth%.1f"},""" +

@@ -32,7 +32,7 @@ class IndexStoreSpec extends SparkSpec {
     "the persisted indexes, bit-identically, without rebuilding") {
     val root = java.nio.file.Files.createTempDirectory("graft_idxroot").toString
     val names = Seq("lsh_pairs", "cluster_map", "span_table",
-      "pq_codebooks", "ivf", "standing_bloom")
+      "pq_codebooks", "ivf8", "standing_bloom")
     def runAll(s: SparkSession): Map[String, Seq[String]] = Map(
       "dd08" -> sortedRows(ops.Dedup.queries("dd08_cc_clusters")(s, sf)),
       "dd12" -> sortedRows(ops.Dedup.queries("dd12_exact_substring")(s, sf)),

@@ -149,4 +149,96 @@ class AsofSkewSpec extends SparkSpec {
     assert(AsofSkew.detectHotKeyTuples(sProbe.limit(0),
       Seq("tenant", "shard"), sampleFraction = 1.0).isEmpty)
   }
+
+  // ---- AQE runtime skew split (OptimizeSkewedGraftJoin) -------------
+
+  private def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: walk(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: walk(q.plan)
+    case _ => p +: p.children.flatMap(walk)
+  }
+
+  // a config-injected session with AQE on and skew thresholds tiny
+  // enough that the 60%-on-one-key probe shuffle below trips them
+  private lazy val aqe = {
+    val s = PlanBridge.sessionWithExtensions(spark, new GraftExtensions()(_))
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2000")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1000")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s
+  }
+
+  private lazy val (bigProbe, bigBuild) = {
+    import aqe.implicits._
+    val rnd = new scala.util.Random(17)
+    val probes = (0 until 20000).map { i =>
+      val key = if (i % 10 < 6) 1L else (i % 97).toLong + 2L
+      (i.toLong, key, rnd.nextInt(100000).toLong)
+    }
+    val builds = (0 until 500).map { j =>
+      ((j % 99).toLong + 1L, (j * 211 % 100000).toLong, 1000L + j)
+    }
+    (probes.toDF("event_id", "user_id", "us"),
+      builds.toDF("b_key", "b_us", "b_id"))
+  }
+
+  test("AQE skew split: the stock as-of call splits the hot probe " +
+      "partition at runtime — isSkewJoin plan, rows identical to the " +
+      "un-split join") {
+    val df = PlanBridge.asofJoin(bigProbe, bigBuild,
+      Seq("user_id" -> "b_key"), "us", "b_us", hint = "merge")
+    df.collect() // drive THIS QueryExecution so its adaptive plan finalizes
+    val got = rows(df)
+    val plans = walk(df.queryExecution.executedPlan)
+    val join = plans.collectFirst { case j: AsofJoinExec => j }
+    assert(join.exists(_.isSkewJoin),
+      s"skew rule never fired:\n${df.queryExecution.executedPlan}")
+    val probeRead = walk(join.get.left).collectFirst {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(probeRead.exists(_.partitionSpecs.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])),
+      "probe side has no mapper-range slices")
+    // build side must NEVER be sliced — only replicated whole
+    val buildRead = walk(join.get.right).collectFirst {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(buildRead.exists(_.partitionSpecs.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.CoalescedPartitionSpec])),
+      "build side was sliced — that scatters a key's build rows")
+    // rows identical to the same join with the rule off
+    aqe.conf.set(org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "false")
+    val want = try rows(PlanBridge.asofJoin(bigProbe, bigBuild,
+        Seq("user_id" -> "b_key"), "us", "b_us", hint = "merge"))
+      finally aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "true")
+    assert(got == want && got.size == 20000)
+  }
+
+  test("AQE skew split: band join, same contract") {
+    def bandAgg(on: Boolean) = {
+      aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, on.toString)
+      try {
+        val df = PlanBridge.bandJoin(bigProbe, bigBuild,
+          Seq("user_id" -> "b_key"), "us", "b_us", -5000L, 5000L, hint = "merge")
+        df.collect() // finalize THIS QueryExecution's adaptive plan
+        (df, df.groupBy(col("event_id")).agg(count(col("b_id")).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+      } finally aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "true")
+    }
+    val (df, got) = bandAgg(on = true)
+    val join = walk(df.queryExecution.executedPlan)
+      .collectFirst { case j: BandJoinExec => j }
+    assert(join.exists(_.isSkewJoin),
+      s"band skew rule never fired:\n${df.queryExecution.executedPlan}")
+    val (_, want) = bandAgg(on = false)
+    assert(got == want && got.size == 20000)
+  }
 }
