@@ -256,6 +256,44 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyless ASOF SQL clause accepts a STREAMING probe (stream-static " +
+      "enrichment through the parser + analyzer rule)") {
+    val sqlS = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    graft.Tables.load(sqlS, sf, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(unix_micros(col("ts")).as("v_us"))
+      .agg(max(col("event_id")).as("v_event_id"))
+      .createOrReplaceTempView("ka_static_dim")
+    EventsStream.readEvents(sqlS, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .createOrReplaceTempView("ka_stream_probe")
+    val joined = sqlS.sql(
+      """SELECT event_id, us, v_us AS matched_us, v_event_id AS matched_event_id
+        |FROM ka_stream_probe ASOF LEFT JOIN ka_static_dim
+        |ON us >= v_us""".stripMargin)
+    assert(joined.isStreaming, "SQL keyless as-of lost its streaming-ness")
+    val q = joined.writeStream.format("memory").queryName("ka_sql_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      val streamed = sqlS.table("ka_sql_stream").collect().map(key).toSet
+      val batch = graft.queries.Events.queries("ev08g_asof_keyless")(spark, sf)
+        .select("event_id", "us", "matched_us", "matched_event_id")
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally {
+      q.stop()
+      sqlS.catalog.dropTempView("ka_static_dim")
+      sqlS.catalog.dropTempView("ka_stream_probe")
+    }
+  }
+
   test("streaming band join matches the oracle-checked batch ev07 exactly " +
       "(watermarked, band-occupancy state)") {
     val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
