@@ -151,7 +151,13 @@ object Bench {
     // the window so the tail always contains a complete parseable line.
     val slow5 = results.collect { case (k, Some(med), _, _) => (k, med) }
       .sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+      // comma-decimal locale would render 1.234 as "1,234" — invalid JSON,
+      // defeating the compact line's whole purpose. Every other number on
+      // the line goes through Double.toString, which is locale-independent.
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v)) }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n":${results.size},"errors":$errs,"queries":$slow5,"sf":"$sfDir","compact":true,"full":"BENCH_FULL.json"}"""
     println(compact)

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{CoalescedPartitionSpec, ShufflePartitionSpec, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, ShufflePartitionsUtil, ShuffleQueryStageExec}
-import org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS
+import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ValidateRequirements}
 import org.apache.spark.sql.internal.SQLConf
 import graft.plans.{AsofJoinExec, BandJoinExec}
 
@@ -64,29 +64,49 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
     if (!conf.getConf(SQLConf.SKEW_JOIN_ENABLED) ||
         !conf.getConfString(OptimizeSkewedGraftJoin.ConfKey, "true").toBoolean)
       return plan
-    plan.transformUp {
+    val optimized = plan.transformUp {
       case j: AsofJoinExec if !j.isSkewJoin =>
-        (j.left, j.right) match {
-          case (s1 @ SortExec(_, _, ShuffleStage(probe), _),
-              s2 @ SortExec(_, _, ShuffleStage(build), _)) =>
-            split(probe, build).map { case (pRead, bRead) =>
-              j.copy(left = s1.copy(child = pRead),
-                right = s2.copy(child = bRead), isSkewJoin = true)
-            }.getOrElse(j)
-          case _ => j
-        }
+        trySplit(j.left, j.right)((l, r) =>
+          j.copy(left = l, right = r, isSkewJoin = true)).getOrElse(j)
       case j: BandJoinExec if !j.isSkewJoin =>
-        (j.left, j.right) match {
-          case (s1 @ SortExec(_, _, ShuffleStage(probe), _),
-              s2 @ SortExec(_, _, ShuffleStage(build), _)) =>
-            split(probe, build).map { case (pRead, bRead) =>
-              j.copy(left = s1.copy(child = pRead),
-                right = s2.copy(child = bRead), isSkewJoin = true)
-            }.getOrElse(j)
-          case _ => j
-        }
+        trySplit(j.left, j.right)((l, r) =>
+          j.copy(left = l, right = r, isSkewJoin = true)).getOrElse(j)
+    }
+    if (optimized.fastEquals(plan)) plan
+    // Splitting scatters a key's probe rows across slices: the join's
+    // outputPartitioning degrades to Unknown (the skewed AQEShuffleRead
+    // carries no Partitioning), so any downstream operator that was
+    // colocated on the join keys — an exchange-free aggregate, a second
+    // merge join — would silently see partial groups. EnsureRequirements
+    // has already run this phase and will NOT re-insert the exchange, so
+    // do what Spark's OptimizeSkewedJoin does: re-validate every node's
+    // required distribution/ordering against the split plan and revert
+    // wholesale if anything no longer holds. (Spark's rule also checks a
+    // root requiredDistribution for distribution-required writes; that
+    // field isn't visible to injected stage-prep rules — but such plans
+    // carry their own shuffle above the join unless the join partitioning
+    // satisfied the write, in which case validate-free Spark would have
+    // the same gap with its own joins.)
+    else if (ValidateRequirements.validate(optimized)) optimized
+    else {
+      logWarning("graft skew join: split would break a downstream " +
+        "distribution/ordering requirement; reverting to the unsplit plan")
+      plan
     }
   }
+
+  /** Match the exec's two sorted-shuffle-stage children and rebuild with
+    * split reads; None when the shape or the stats don't warrant it. */
+  private def trySplit(left: SparkPlan, right: SparkPlan)(
+      rebuild: (SparkPlan, SparkPlan) => SparkPlan): Option[SparkPlan] =
+    (left, right) match {
+      case (s1 @ SortExec(_, _, ShuffleStage(probe), _),
+          s2 @ SortExec(_, _, ShuffleStage(build), _)) =>
+        split(probe, build).map { case (pRead, bRead) =>
+          rebuild(s1.copy(child = pRead), s2.copy(child = bRead))
+        }
+      case _ => None
+    }
 
   /** Probe-side skew split: None when nothing is skewed (leave the
     * plan untouched — no AQEShuffleRead wrapper, no isSkewJoin). */

@@ -220,6 +220,37 @@ class AsofSkewSpec extends SparkSpec {
     assert(got == want && got.size == 20000)
   }
 
+  test("AQE skew split reverts under a colocated downstream aggregate " +
+      "(exchange-free groupBy on the join key would see partial groups)") {
+    // groupBy on the JOIN key: EnsureRequirements sees the join's
+    // HashPartitioning(user_id) and inserts NO exchange before the final
+    // aggregate. Splitting the hot probe partition would scatter one
+    // user's rows across slices and the aggregate would emit partial
+    // counts — the rule must detect the broken requirement
+    // (ValidateRequirements) and revert to the unsplit plan.
+    def agg(on: Boolean) = {
+      aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, on.toString)
+      try {
+        val df = PlanBridge.asofJoin(bigProbe, bigBuild,
+            Seq("user_id" -> "b_key"), "us", "b_us", hint = "merge")
+          .groupBy(col("user_id")).agg(count(col("b_id")).as("n"))
+        (df, df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).toSeq)
+      } finally aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "true")
+    }
+    val (df, got) = agg(on = true)
+    val join = walk(df.queryExecution.executedPlan)
+      .collectFirst { case j: AsofJoinExec => j }
+    assert(join.isDefined, "join not found in executed plan")
+    assert(!join.get.isSkewJoin,
+      s"split NOT reverted under a colocated aggregate — one user's rows " +
+        s"are scattered across slices:\n${df.queryExecution.executedPlan}")
+    val (_, want) = agg(on = false)
+    assert(got == want && got.nonEmpty)
+  }
+
   test("AQE skew split: band join, same contract") {
     def bandAgg(on: Boolean) = {
       aqe.conf.set(
