@@ -42,6 +42,14 @@ case class AsofJoinPlan(
     s"${AsofJoinPlan.hints.mkString("/")}, got '$hint'")
   require(AsofJoinPlan.directions(direction), s"asof direction must be one " +
     s"of ${AsofJoinPlan.directions.mkString("/")}, got '$direction'")
+  // streaming BUILD: a per-microbatch join sees only that batch's build
+  // rows, silently dropping every cross-batch match — no bounded-state
+  // formulation exists for this operator, so refuse at definition time.
+  // (Streaming PROBE is the supported stream-static shape. The check is
+  // harmless during microbatch re-planning: by then the streaming leaf
+  // has been replaced with that trigger's batch relation.)
+  require(!right.isStreaming,
+    "as-of build side must be static (stream-static enrichment only)")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

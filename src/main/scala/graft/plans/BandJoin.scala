@@ -44,6 +44,9 @@ case class BandJoinPlan(
   require(lowUs <= highUs, s"band bounds inverted: [$lowUs, $highUs]")
   require(AsofJoinPlan.hints(hint), s"band hint must be one of " +
     s"${AsofJoinPlan.hints.mkString("/")}, got '$hint'")
+  // see AsofJoinPlan: a streaming build would lose cross-batch matches
+  require(!right.isStreaming,
+    "band build side must be static (stream-static enrichment only)")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

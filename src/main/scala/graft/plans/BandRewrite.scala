@@ -159,10 +159,19 @@ object BandConds {
     * hygiene above. `probeOnly`/`buildOnly` extras are the caller's
     * to apply — they are semantically different per join type. */
   def lowerBand(left: LogicalPlan, right: LogicalPlan, p: Parts,
-      hint: String, keepUnmatched: Boolean): LogicalPlan =
+      hint: String, keepUnmatched: Boolean): LogicalPlan = {
+    // streaming build: see lowerBandKeyless — a per-microbatch join
+    // sees only that batch's build rows, silently losing cross-batch
+    // matches. Streaming PROBE: stream-static enrichment — force the
+    // broadcast operator so the unbounded side never shuffles.
+    require(!right.isStreaming,
+      "band build side must be static (stream-static enrichment only; " +
+        "stream-stream bands need watermarked state)")
+    val physHint = if (left.isStreaming) "broadcast" else hint
     withNullHygiene(left, right, p.rKeys, p.rTime, p.lTime, keepUnmatched)(
       (probe, build) => BandJoinPlan(probe, build,
-        p.lKeys, p.rKeys, p.lTime, p.rTime, p.lowUs, p.highUs, hint))
+        p.lKeys, p.rKeys, p.lTime, p.rTime, p.lowUs, p.highUs, physHint))
+  }
 
   /** Exact floor division `e div w` for LongType `e` and positive `w` —
     * `(e − pmod(e, w)) div w`. IntegralDivide alone truncates toward
@@ -222,6 +231,18 @@ object BandConds {
       hint: String, keepUnmatched: Boolean): LogicalPlan = {
     require(p.lKeys.isEmpty && p.rKeys.isEmpty,
       "lowerBandKeyless is the keyless lowering; use lowerBand with keys")
+    // STREAM-STATIC: a streaming PROBE works — the bucket projection is
+    // stateless, the build explode runs on the static side, and the
+    // in-bucket keyed band switches to the BROADCAST operator so each
+    // microbatch probes the shipped build statelessly (the probe never
+    // shuffles). A streaming BUILD is refused: a per-microbatch join
+    // would only ever see that batch's build rows, silently dropping
+    // every cross-batch match (the stream-stream band lives in
+    // EventsStream.bandCount's watermarked state instead).
+    require(!right.isStreaming,
+      "keyless band build side must be static (stream-static " +
+        "enrichment only; stream-stream bands need watermarked state)")
+    val physHint = if (left.isStreaming) "broadcast" else hint
     val w = math.max(p.highUs - p.lowUs, 1L)
     withNullHygiene(left, right, Nil, p.rTime, p.lTime, keepUnmatched) {
       (probe, build) =>
@@ -240,7 +261,7 @@ object BandConds {
           nullable = gen.elementSchema.head.nullable)()
         val build2 = Generate(gen, Nil, outer = false, None, Seq(rb), build)
         val band = BandJoinPlan(probe2, build2, Seq(lb), Seq(rb),
-          p.lTime, p.rTime, p.lowUs, p.highUs, hint)
+          p.lTime, p.rTime, p.lowUs, p.highUs, physHint)
         Project(band.output.filterNot(a =>
           a.exprId == lb.exprId || a.exprId == rb.exprId), band)
     }

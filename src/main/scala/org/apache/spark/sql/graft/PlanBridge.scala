@@ -101,6 +101,12 @@ object PlanBridge {
       .intersect(rPlan.output.map(_.name).toSet)
     require(shared.isEmpty,
       s"asofJoin sides must have disjoint column names; shared: $shared")
+    // streaming BUILD has no bounded-state formulation here: each
+    // microbatch would join against only that batch's build rows and
+    // silently drop every cross-batch match. Streaming PROBE is the
+    // supported stream-static shape (pass hint="broadcast").
+    require(!right.isStreaming,
+      "asofJoin build side must be static (stream-static enrichment only)")
 
     def resolve(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
@@ -132,6 +138,8 @@ object PlanBridge {
       .intersect(rPlan.output.map(_.name).toSet)
     require(shared.isEmpty,
       s"bandJoin sides must have disjoint column names; shared: $shared")
+    require(!right.isStreaming, // see asofJoin — cross-batch matches lost
+      "bandJoin build side must be static (stream-static enrichment only)")
 
     def resolve(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(

@@ -294,6 +294,97 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("STREAM-STATIC KEYLESS band enrichment matches the oracle-gated " +
+      "batch ev07e on the same data (broadcast in-bucket band)") {
+    import org.apache.spark.sql.graft.PlanBridge
+    // static build: all purchases; streaming probe: the error feed —
+    // ev07e's exact question ("purchases by ANYONE in the 5 minutes
+    // before each error") asked of a live stream
+    val p = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("pus"), col("event_id").as("p_id"))
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("eus"))
+    val joined = PlanBridge.bandJoinKeyless(stream, p, "eus", "pus",
+      lowUs = -5L * 60 * 1000000, highUs = 0L)
+    assert(joined.isStreaming, "stream-static keyless band lost its streaming-ness")
+    val q = joined.writeStream.format("memory").queryName("ss_kb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // output = (event_id, eus, pus, p_id); count non-null matches per
+      // probe driver-side and compare against the oracle-gated aggregate
+      val streamed = spark.table("ss_kb").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) 0L else 1L))
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      val batch = graft.queries.Events.queries("ev07e_band_keyless")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch && batch.nonEmpty,
+        s"keyless stream-static band diverged: ${streamed.size} vs ${batch.size}")
+      assert(streamed.values.exists(_ > 0L), "no error ever saw a purchase")
+    } finally q.stop()
+  }
+
+  test("keyless BAND SQL clause accepts a STREAMING probe (stream-static " +
+      "enrichment through the parser + resolution rule)") {
+    val sqlS = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    graft.Tables.load(sqlS, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("pus"), col("event_id").as("p_id"))
+      .createOrReplaceTempView("kb_static_dim")
+    EventsStream.readEvents(sqlS, eventsDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("eus"))
+      .createOrReplaceTempView("kb_stream_probe")
+    val joined = sqlS.sql(
+      """SELECT event_id, eus, pus, p_id
+        |FROM kb_stream_probe BAND LEFT JOIN kb_static_dim
+        |ON pus BETWEEN eus - 300000000 AND eus""".stripMargin)
+    assert(joined.isStreaming, "SQL keyless band lost its streaming-ness")
+    val q = joined.writeStream.format("memory").queryName("kb_sql_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = sqlS.table("kb_sql_stream").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) 0L else 1L))
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      val batch = graft.queries.Events.queries("ev07e_band_keyless")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally {
+      q.stop()
+      sqlS.catalog.dropTempView("kb_static_dim")
+      sqlS.catalog.dropTempView("kb_stream_probe")
+    }
+  }
+
+  test("a streaming BUILD side is refused loudly — as-of and band, keyed " +
+      "and keyless (a per-microbatch join would lose cross-batch matches)") {
+    import org.apache.spark.sql.graft.PlanBridge
+    val streamBuild = EventsStream.readEvents(spark, eventsDir)
+      .select(col("user_id").as("b_key"), unix_micros(col("ts")).as("bus"),
+        col("event_id").as("b_id"))
+    val probe = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id").as("p_id2"), col("user_id").as("p_key"),
+        unix_micros(col("ts")).as("pus2"))
+    val e1 = intercept[IllegalArgumentException] {
+      PlanBridge.asofJoin(probe, streamBuild,
+        Seq("p_key" -> "b_key"), "pus2", "bus")
+    }
+    assert(e1.getMessage.contains("static"))
+    val e2 = intercept[IllegalArgumentException] {
+      PlanBridge.bandJoin(probe, streamBuild,
+        Seq("p_key" -> "b_key"), "pus2", "bus", -10L, 0L)
+    }
+    assert(e2.getMessage.contains("static"))
+    val e3 = intercept[IllegalArgumentException] {
+      PlanBridge.bandJoinKeyless(probe, streamBuild, "pus2", "bus", -10L, 0L)
+    }
+    assert(e3.getMessage.contains("static"))
+  }
+
   test("streaming band join matches the oracle-checked batch ev07 exactly " +
       "(watermarked, band-occupancy state)") {
     val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
