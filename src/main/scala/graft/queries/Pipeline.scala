@@ -295,6 +295,55 @@ object Pipeline {
         spans)
     },
 
+    // SEMANTIC decontamination — the embedding-space sibling of dc01's
+    // n-gram sweep (paraphrased or translated benchmark items share no
+    // 5-gram with the eval set; they DO sit next to it in embedding
+    // space). Flag every corpus vector whose max cosine against any
+    // eval vector clears the threshold, reporting the nearest eval item
+    // (argmax, ties to the smaller id) as the removal's evidence trail.
+    //
+    // Scale shape — ZERO corpus shuffle: the eval set is tiny by
+    // construction (benchmarks are MBs against a 100 TB corpus), so it
+    // ships as ONE broadcast row holding the whole set; the per-vector
+    // max is a fold (`aggregate`) over that array — map-only, no
+    // groupBy, where the crossJoin+window alternative shuffles a row
+    // per corpus vector. The corpus norm is computed ONCE per row
+    // (not per eval item, 50× the flops at 100 TB), eval norms once at
+    // broadcast build. The fold keeps (max cos, min id on ties), which
+    // is order-independent, so collect_list's nondeterministic order
+    // never reaches the result. Exactness: VecDot's sequential double
+    // fold replays DuckDB's list_dot_product bit-for-bit (dd06/ss01's
+    // established kernel) and max/tie-compare are exact on doubles.
+    "dc04_decontaminate_embed" -> { (s, d) =>
+      import graft.functions.VectorOps.{vecDot, vecNorm}
+      val all = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // deterministic pseudo-random eval set, dd06's md5-order sample
+      val eval = all
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(50)
+        .select(col("vec_id").as("e_id"), col("embedding").as("e_vec"))
+      val evalRow = eval.agg(collect_list(struct(col("e_id"),
+        col("e_vec"), vecNorm(col("e_vec")).as("e_norm"))).as("evals"))
+      val corpus = all.join(broadcast(eval.select(col("e_id"))),
+        col("vec_id") === col("e_id"), "left_anti")
+      val init = struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("id"))
+      corpus
+        .withColumn("nv", vecNorm(col("embedding")))
+        .crossJoin(broadcast(evalRow))
+        .withColumn("best", aggregate(col("evals"), init, (acc, e) => {
+          val c = vecDot(col("embedding"), e.getField("e_vec")) /
+            (col("nv") * e.getField("e_norm"))
+          val better = c > acc.getField("cos") ||
+            (c === acc.getField("cos") &&
+              e.getField("e_id") < acc.getField("id"))
+          when(better, struct(c.as("cos"), e.getField("e_id").as("id")))
+            .otherwise(acc)
+        }))
+        .filter(col("best.cos") >= 0.35)
+        .select(col("vec_id"), col("best.id").as("nearest_eval_id"),
+          col("best.cos").as("cos"))
+    },
+
     // Temperature-scaled language resampling (the LLM data-mixture op:
     // flatten the language distribution TOWARD uniform, τ = 0.5 — the
     // multilingual rebalance every multilingual training mix applies).
@@ -643,6 +692,30 @@ object Pipeline {
         |  COALESCE(kc.clean_md5, md5('')) AS clean_md5
         |FROM t d LEFT JOIN kc USING (doc_id)
         |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    // dc04: list_dot_product is the same sequential double fold as
+    // VecDot (dd06's replayed kernel); ROW_NUMBER (cos DESC, e_id) is
+    // the fold's (max cos, ties to smaller id).
+    "dc04_decontaminate_embed" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS e_id, CAST(embedding AS DOUBLE[]) AS evv
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 50
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT e_id FROM ev)
+        |), scored AS (
+        |  SELECT c.vec_id, ev.e_id,
+        |    list_dot_product(v, evv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(evv, evv))) AS cos
+        |  FROM c CROSS JOIN ev
+        |), best AS (
+        |  SELECT vec_id, e_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, e_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id, e_id AS nearest_eval_id, cos
+        |FROM best WHERE rn = 1 AND cos >= 0.35""".stripMargin,
 
     // pp11's uniform is the first 13 md5 hex digits as a 52-bit integer
     // (hex-digit arithmetic, the dd04 technique) over 2^52; the rate is
