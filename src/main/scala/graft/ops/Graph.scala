@@ -203,20 +203,21 @@ object Graph {
     //    3755 InMemoryTableScan nodes in the 4-round plan, 9.2s spent
     //    mostly in the driver). Checkpointing truncates the plan to a
     //    scan of the materialized partitions (eager, node-sized), the
-    //    standard treatment for iterative algorithms; on a real
-    //    cluster a reliable checkpoint dir replaces the local form
-    //    (local checkpoints don't survive executor loss).
-    var frontier = nodes.filter(seedPred).withColumn("dist", lit(0))
-      .localCheckpoint()
+    //    standard treatment for iterative algorithms; Lineage.truncate
+    //    upgrades to a RELIABLE checkpoint automatically when the
+    //    session has a checkpoint dir configured (local checkpoints
+    //    don't survive executor loss).
+    var frontier = Lineage.truncate(
+      nodes.filter(seedPred).withColumn("dist", lit(0)))
     var dist = frontier
     for (i <- 1 to iters) {
       val next = adj.join(frontier, adj("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(i))
-        .localCheckpoint()
-      frontier = next
-      dist = dist.unionByName(next)
+      val nextT = Lineage.truncate(next)
+      frontier = nextT
+      dist = dist.unionByName(nextT)
     }
     // unreached nodes surface as dist = -1 (the audit a plain BFS
     // silently drops); the anti-join runs once, against the final state

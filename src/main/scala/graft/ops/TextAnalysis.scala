@@ -576,7 +576,7 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         regexp_extract_all(col("word"), lit("."), lit(0)).as("s"))
-      .localCheckpoint()
+      .transform(Lineage.truncate)
 
   /** Adjacent-pair counts over the current word-symbol table, sorted by
     * the merge-selection order (cnt DESC, l, r). */
@@ -620,7 +620,7 @@ object TextAnalysis {
             concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
             .otherwise(concat(acc, array(c)))
         }).as("s"))
-      .localCheckpoint()
+      .transform(Lineage.truncate)
   }
 
   /** Select the longest batch of merges, from the (cnt DESC, l, r)

@@ -153,6 +153,32 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) == 4 && got(5L) == -1 && got(10L) == -1)
   }
 
+  test("Lineage.truncate upgrades to a RELIABLE checkpoint when the " +
+      "session has a checkpoint dir (same results, files on disk)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test session unexpectedly has a dir")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val path = (0L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      val got = Graph.bfsHops(path.toDF("src", "dst"), col("node") === 0L, 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == refBfs(path, Set(0L), 4))
+      // the frontier rounds actually wrote reliable checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no reliable checkpoint files under $dir")
+    } finally {
+      // SparkContext has no unsetCheckpointDir; reflectively clear the
+      // option so later tests see the pristine session
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("bfsHops takes the MIN over multiple seeds and over multiple paths") {
     import spark.implicits._
     // diamond: 0-1, 0-2, 1-3, 2-3 symmetrized — node 3 reachable two

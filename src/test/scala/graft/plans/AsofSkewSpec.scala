@@ -220,6 +220,44 @@ class AsofSkewSpec extends SparkSpec {
     assert(got == want && got.size == 20000)
   }
 
+  test("AQE skew split reaches the KEYLESS composition's inner merge " +
+      "for free (hot time bucket = hot probe partition)") {
+    import aqe.implicits._
+    // 60% of probe times land inside one bucket of the derived width
+    // ((max−min)/(16×32) ≈ 1953 on this span): the keyless lowering's
+    // inner keyed merge on bucket floors sees one hot partition, which
+    // is exactly what the runtime split handles — no keyless-specific
+    // code anywhere in the rule.
+    val rnd = new scala.util.Random(23)
+    val probes = (0 until 20000).map { i =>
+      val t = if (i % 10 < 6) rnd.nextInt(50).toLong
+        else rnd.nextInt(1000000).toLong
+      (i.toLong, t)
+    }.toDF("id", "t")
+    val builds = (0 until 500).map(j => (j * 2000L + 3L, 5000L + j))
+      .toDF("bt", "b_id")
+    def run(on: Boolean) = {
+      aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, on.toString)
+      try {
+        val df = AsofKeyless.asofJoinKeyless(probes, builds, "t", "bt")
+        df.collect() // drive THIS QueryExecution so its adaptive plan finalizes
+        (df, df.select("id", "b_id").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq)
+      } finally aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "true")
+    }
+    val (df, got) = run(on = true)
+    val join = walk(df.queryExecution.executedPlan)
+      .collectFirst { case j: AsofJoinExec => j }
+    assert(join.exists(_.isSkewJoin),
+      s"skew rule never reached the keyless inner merge:\n" +
+        s"${df.queryExecution.executedPlan}")
+    val (_, want) = run(on = false)
+    assert(got == want && got.size == 20000)
+    assert(got.exists(_._2.isDefined))
+  }
+
   test("AQE skew split reverts under a colocated downstream aggregate " +
       "(exchange-free groupBy on the join key would see partial groups)") {
     // groupBy on the JOIN key: EnsureRequirements sees the join's

@@ -27,5 +27,20 @@ if [ "$total" -gt "$BUDGET_S" ]; then
 fi
 echo "OK: sf0.01 sweep ${total}s within budget ${BUDGET_S}s"
 echo "== bench sf0.1 =="
+bench_log=$(mktemp)
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  tools/run.sh graft.Bench 2>/dev/null | tail -1
+  tools/run.sh graft.Bench 2>/dev/null > "$bench_log"
+tail -1 "$bench_log"
+# Assert the driver's artifact contract: it keeps only the LAST ~2000
+# bytes of stdout and parses a JSON line out of that window. Every round
+# before 13 shipped a bench artifact with parsed:null because the full
+# line outgrew the window — keep the compact final line inside it.
+python3 - "$bench_log" <<'PYEOF'
+import json, sys
+tail = open(sys.argv[1], "rb").read()[-2000:].decode("utf-8", "replace")
+lines = [l for l in tail.splitlines() if l.strip().startswith("{")]
+assert lines, "no complete JSON line inside the 2000-byte tail window"
+d = json.loads(lines[-1])
+assert d.get("errors") == [], f"bench errors: {d.get('errors')}"
+print(f"OK: bench tail parses (n={d.get('n')}, total={d.get('value'):.1f}s)")
+PYEOF
