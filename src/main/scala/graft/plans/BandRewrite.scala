@@ -167,7 +167,12 @@ object BandConds {
     require(!right.isStreaming,
       "band build side must be static (stream-static enrichment only; " +
         "stream-stream bands need watermarked state)")
-    val physHint = if (left.isStreaming) "broadcast" else hint
+    // streaming probe defaults to broadcast (the stream never shuffles);
+    // an EXPLICIT merge hint is honored — a static build too large to
+    // broadcast shuffles the microbatch instead, a legal stateless
+    // per-trigger exchange
+    val physHint =
+      if (left.isStreaming && hint != "merge") "broadcast" else hint
     withNullHygiene(left, right, p.rKeys, p.rTime, p.lTime, keepUnmatched)(
       (probe, build) => BandJoinPlan(probe, build,
         p.lKeys, p.rKeys, p.lTime, p.rTime, p.lowUs, p.highUs, physHint))
@@ -242,7 +247,9 @@ object BandConds {
     require(!right.isStreaming,
       "keyless band build side must be static (stream-static " +
         "enrichment only; stream-stream bands need watermarked state)")
-    val physHint = if (left.isStreaming) "broadcast" else hint
+    // see lowerBand: broadcast by default, explicit merge honored
+    val physHint =
+      if (left.isStreaming && hint != "merge") "broadcast" else hint
     val w = math.max(p.highUs - p.lowUs, 1L)
     withNullHygiene(left, right, Nil, p.rTime, p.lTime, keepUnmatched) {
       (probe, build) =>

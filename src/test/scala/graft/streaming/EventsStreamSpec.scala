@@ -360,6 +360,44 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("KEYED BAND SQL clause accepts a STREAMING probe — broadcast by " +
+      "default, explicit MERGE honored (microbatch shuffles, same rows); " +
+      "both match the oracle-gated batch ev07") {
+    val sqlS = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    graft.Tables.load(sqlS, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("pus"))
+      .createOrReplaceTempView("kbk_static_purch")
+    EventsStream.readEvents(sqlS, eventsDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("eu"),
+        unix_micros(col("ts")).as("eus"))
+      .createOrReplaceTempView("kbk_stream_err")
+    val batch = graft.queries.Events.queries("ev07_interval_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (joinText <- Seq("BAND LEFT JOIN", "BAND LEFT MERGE JOIN")) {
+      val name = s"kbk_${if (joinText.contains("MERGE")) "m" else "b"}"
+      val joined = sqlS.sql(
+        s"""SELECT event_id, eus, pus
+           |FROM kbk_stream_err $joinText kbk_static_purch
+           |ON eu = pu AND pus BETWEEN eus - 1800000000 AND eus""".stripMargin)
+      assert(joined.isStreaming, s"$joinText lost its streaming-ness")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = sqlS.table(name).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(2)) 0L else 1L))
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+        assert(streamed == batch && batch.nonEmpty,
+          s"$joinText diverged: ${streamed.size} vs ${batch.size}")
+      } finally q.stop()
+    }
+    sqlS.catalog.dropTempView("kbk_static_purch")
+    sqlS.catalog.dropTempView("kbk_stream_err")
+  }
+
   test("a streaming BUILD side is refused loudly — as-of and band, keyed " +
       "and keyless (a per-microbatch join would lose cross-batch matches)") {
     import org.apache.spark.sql.graft.PlanBridge
