@@ -83,12 +83,21 @@ object AsofKeyless {
 
   /** Keyless as-of `left` (probe) to `right` (build). Column-name
     * contracts as [[PlanBridge.asofJoin]] (disjoint names); times
-    * LongType micros. */
+    * LongType micros. `hint` steers the IN-BUCKET join: batch defaults
+    * to merge ("broadcast" ships the whole bucketed build instead);
+    * a streaming probe defaults to broadcast (the stream never
+    * shuffles) with an explicit "merge" honored — a build too large to
+    * broadcast shuffles the microbatch, a legal stateless per-trigger
+    * exchange. The carry fallback join is ALWAYS broadcast: the carry
+    * table is bucket-count-sized by construction. */
   def asofJoinKeyless(left: DataFrame, right: DataFrame,
       leftTime: String, rightTime: String,
-      direction: String = "backward", toleranceUs: Long = -1L): DataFrame = {
+      direction: String = "backward", toleranceUs: Long = -1L,
+      hint: String = "auto"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
+    require(AsofJoinPlan.hints(hint),
+      s"hint must be one of ${AsofJoinPlan.hints.mkString("/")}, got '$hint'")
     // STREAM-STATIC: a streaming probe side works — the in-bucket join
     // switches to the broadcast as-of (stateless per microbatch, probe
     // never shuffles) and the carry table is a bucket-count-sized
@@ -139,10 +148,12 @@ object AsofKeyless {
     // 2) in-bucket keyed as-of (merge: both sides time-range
     // partitioned; streaming probe: broadcast — the static build side
     // ships to executors and each microbatch probes it statelessly)
+    val inBucketHint =
+      if (streaming) { if (hint == "merge") "merge" else "broadcast" }
+      else { if (hint == "broadcast") "broadcast" else "merge" }
     val inBucket = PlanBridge.asofJoin(l2, r2,
       Seq("__graft_ab_l" -> "__graft_ab_r"), leftTime, rightTime,
-      hint = if (streaming) "broadcast" else "merge",
-      direction = direction, toleranceUs = -1L)
+      hint = inBucketHint, direction = direction, toleranceUs = -1L)
 
     // 3) per-bucket extremum, then the running carry INCLUDING the own
     // bucket (probed at bucket ∓ 1, so an empty probe bucket still

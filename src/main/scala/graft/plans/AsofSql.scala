@@ -437,7 +437,7 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         val composed = AsofKeyless.asofJoinKeyless(
           org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, lProj),
           org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, rProj),
-          lShadow, rShadow, dir, u.toleranceUs)
+          lShadow, rShadow, dir, u.toleranceUs, u.hint)
         val cPlan = composed.queryExecution.analyzed
         // composed output = renamed left ++ [lShadow] ++ renamed right
         // ++ [rShadow] — map expected attrs around the shadows

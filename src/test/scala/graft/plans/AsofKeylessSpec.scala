@@ -64,6 +64,36 @@ class AsofKeylessSpec extends SparkSpec {
     }
   }
 
+  test("hint steers the IN-BUCKET join: broadcast parity with the " +
+      "default merge, bad hints refused") {
+    import spark.implicits._
+    val build = Seq((10L, 100L), (20L, 101L), (1000000L, 102L))
+      .toDF("bt", "b_id")
+    val probe = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 999999L),
+      (5L, 1000000L), (6L, 50000000L)).toDF("id", "t")
+    val want = rows(AsofKeyless.asofJoinKeyless(probe, build, "t", "bt"))
+    val bc = AsofKeyless.asofJoinKeyless(probe, build, "t", "bt",
+      hint = "broadcast")
+    assert(rows(bc) == want)
+    // the in-bucket operator really is the broadcast exec
+    bc.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val plans = walk(bc.queryExecution.executedPlan)
+    assert(plans.count(_.isInstanceOf[BroadcastAsofJoinExec]) == 2,
+      "expected BOTH joins broadcast under the broadcast hint")
+    assert(!plans.exists(_.isInstanceOf[AsofJoinExec]))
+    intercept[IllegalArgumentException] {
+      AsofKeyless.asofJoinKeyless(probe, build, "t", "bt", hint = "hash")
+    }
+  }
+
   test("null-time probes emit the null-extended row; null-time build " +
       "rows never match; empty build yields all-null right side") {
     import spark.implicits._

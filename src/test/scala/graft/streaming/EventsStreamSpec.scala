@@ -269,30 +269,35 @@ class EventsStreamSpec extends SparkSpec {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
       .createOrReplaceTempView("ka_stream_probe")
-    val joined = sqlS.sql(
-      """SELECT event_id, us, v_us AS matched_us, v_event_id AS matched_event_id
-        |FROM ka_stream_probe ASOF LEFT JOIN ka_static_dim
-        |ON us >= v_us""".stripMargin)
-    assert(joined.isStreaming, "SQL keyless as-of lost its streaming-ness")
-    val q = joined.writeStream.format("memory").queryName("ka_sql_stream")
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      def key(r: org.apache.spark.sql.Row) =
-        (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)),
-          if (r.isNullAt(3)) None else Some(r.getLong(3)))
-      val streamed = sqlS.table("ka_sql_stream").collect().map(key).toSet
-      val batch = graft.queries.Events.queries("ev08g_asof_keyless")(spark, sf)
-        .select("event_id", "us", "matched_us", "matched_event_id")
-        .collect().map(key).toSet
-      assert(streamed == batch && batch.nonEmpty)
+    val batch = graft.queries.Events.queries("ev08g_asof_keyless")(spark, sf)
+      .select("event_id", "us", "matched_us", "matched_event_id")
+      .collect().map(keyKa).toSet
+    // default (broadcast in-bucket) and EXPLICIT MERGE (microbatch
+    // shuffles instead — the too-big-to-broadcast-build escape hatch)
+    try for (joinText <- Seq("ASOF LEFT JOIN", "ASOF LEFT MERGE JOIN")) {
+      val name = s"ka_sql_${if (joinText.contains("MERGE")) "m" else "b"}"
+      val joined = sqlS.sql(
+        s"""SELECT event_id, us, v_us AS matched_us, v_event_id AS matched_event_id
+           |FROM ka_stream_probe $joinText ka_static_dim
+           |ON us >= v_us""".stripMargin)
+      assert(joined.isStreaming, s"$joinText lost its streaming-ness")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = sqlS.table(name).collect().map(keyKa).toSet
+        assert(streamed == batch && batch.nonEmpty, s"$joinText diverged")
+      } finally q.stop()
     } finally {
-      q.stop()
       sqlS.catalog.dropTempView("ka_static_dim")
       sqlS.catalog.dropTempView("ka_stream_probe")
     }
   }
+
+  private def keyKa(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))
 
   test("STREAM-STATIC KEYLESS band enrichment matches the oracle-gated " +
       "batch ev07e on the same data (broadcast in-bucket band)") {
