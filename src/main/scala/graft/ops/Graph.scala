@@ -176,6 +176,46 @@ object Graph {
   private def kind(node: Column): Column =
     when(node % 2 === 0, lit("customer")).otherwise(lit("supplier"))
 
+  /** PERSONALIZED PageRank — teleport mass lands only on the seed set
+    * (0.15·scale per seed, un-normalized: the seed-relative ordering is
+    * what PPR consumers use, and skipping the ÷|S| keeps every operation
+    * the same floor arithmetic as [[pagerank]]), so rank measures
+    * proximity-weighted influence FROM the seeds — the graph-based
+    * data-selection primitive ("take documents/entities most connected
+    * to this trusted set"). Integer-exact by gr01's argument: the
+    * recurrence is r_i = 0.15·scale·1_S + (85·inbound) DIV 100 with the
+    * same derived overflow-safe scale (total mass ≤ |S|·scale ≤
+    * N·scale, the enforced 2^63 headroom bound). Rank support grows
+    * like a BFS frontier: only reached nodes appear, which is the
+    * useful output (everything else is rank 0).
+    *
+    * Scale shape = [[pagerank]]'s, plus one detail: each round's state
+    * is a FULL OUTER join of the dst-aggregated contributions (already
+    * hash-partitioned on dst by the groupBy — no re-shuffle) with the
+    * small seed table, because a seed must keep emitting teleport mass
+    * even in rounds where nothing flows back into it yet. */
+  def personalizedPagerank(edges: DataFrame, seedPred: Column,
+      iters: Int = Iters): DataFrame = {
+    val (adj, nodes) = adjNodes(edges)
+    val n = nodes.count()
+    val scale = scaleFor(n)
+    val tps = 15L * scale / 100
+    val seeds = nodes.filter(seedPred).select(col("node").as("s_node"))
+    var ranks = seeds.select(col("s_node").as("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("rank DIV deg").as("share"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("contrib"))
+      ranks = contrib
+        .join(seeds, col("dst") === col("s_node"), "full_outer")
+        .select(coalesce(col("dst"), col("s_node")).as("node"),
+          (when(col("s_node").isNotNull, lit(tps)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("rank"))
+    }
+    ranks
+  }
+
   /** Multi-source BFS: minimum hop distance from a seed set, `iters`
     * rounds — the reachability / blast-radius primitive (how far does
     * an entity's influence extend through the trade graph). Trivially
@@ -355,6 +395,19 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"))
     },
 
+    // Personalized PageRank from the gr03 seed customers through the
+    // trade graph, 4 rounds: proximity-weighted influence of the
+    // trusted seed set — the "select entities closest to this known-good
+    // set" primitive. Support set only (unreached nodes are rank 0 and
+    // never materialize), replayed in DuckDB as unrolled CTEs with the
+    // identical floor arithmetic.
+    "gr05_ppr" -> { (s, d) =>
+      personalizedPagerank(tradeEdges(s, d),
+          col("node") % 2 === 0 && col("node") < 20, iters = 4)
+        .select(col("node").as("node_id"), col("rank"))
+        .withColumn("kind", kind(col("node_id")))
+    },
+
     // Community census of the trade graph after 3 deterministic LPA
     // rounds: communities are label-keyed, and the (label, kind) split
     // shows each community's customer/supplier composition (communities
@@ -450,6 +503,50 @@ object Graph {
        |FROM r$Iters""".stripMargin
   }
 
+  // PPR unrolled like pagerank, with two differences: r0 is the seed
+  // set at full scale, and each round FULL OUTER joins the inbound
+  // aggregate with the seed set so a seed keeps its teleport mass in
+  // rounds with no inbound yet. Same derived scale, same BIGINT floor
+  // arithmetic, same HUGEINT-narrowing cast.
+  private def pprSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT COALESCE(c.dst, s.node) AS node,
+         |    CAST(CASE WHEN s.node IS NOT NULL THEN (SELECT t FROM sc) ELSE 0 END
+         |      + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT e.dst, SUM(r.rank // d.d) AS contrib
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c
+         |  FULL OUTER JOIN seeds s ON c.dst = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |sc AS (
+       |  SELECT scale, 15 * scale // 100 AS t FROM (
+       |    SELECT CASE
+       |      WHEN length(CAST(GREATEST(COUNT(*), 1) AS VARCHAR)) > 15
+       |      THEN CAST('ppr oracle: node count exceeds the 10^15 integer-exactness ceiling' AS BIGINT)
+       |      ELSE CAST(POWER(10, LEAST(12,
+       |        17 - length(CAST(GREATEST(COUNT(*), 1) AS VARCHAR)))) AS BIGINT)
+       |      END AS scale FROM deg) z),
+       |seeds AS (
+       |  SELECT src AS node FROM deg WHERE src % 2 = 0 AND src < 20),
+       |r0 AS (SELECT node, (SELECT scale FROM sc) AS rank FROM seeds),
+       |$rounds
+       |SELECT node AS node_id, rank,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+       |FROM r$iters""".stripMargin
+  }
+
   // BFS unrolled the same way as pagerank: round i = min over (round
   // i−1) ∪ (neighbors of round i−1, +1) — min is the only aggregate,
   // so every round is a plain GROUP BY and the replay is integer-exact.
@@ -520,6 +617,8 @@ object Graph {
 
   def oracle: Map[String, String] = Map(
     "gr01_pagerank" -> pagerankSql,
+
+    "gr05_ppr" -> pprSql(4),
 
     "gr03_bfs_hops" -> bfsSql(4),
 

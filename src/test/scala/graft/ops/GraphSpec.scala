@@ -140,6 +140,28 @@ class GraphSpec extends SparkSpec {
     dist ++ nodes.filterNot(dist.contains).map(_ -> -1)
   }
 
+  test("personalizedPagerank hand-checked on a path: seed keeps teleport, " +
+      "mass spreads like a frontier, floor arithmetic exact") {
+    import spark.implicits._
+    // path 0-1-2 symmetrized; seed {0}; scale 1e12 (3 nodes), tps 0.15e12
+    // r1: 0 -> tps; 1 -> 85% of 1e12
+    // r2: 0 -> tps + 85% of (0.85e12 DIV 2); 1 -> 85% of tps;
+    //     2 -> 85% of (0.85e12 DIV 2)
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.personalizedPagerank(e, col("node") === 0L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      0L -> 511250000000L,  // 150e9*1000/1000... 0.15e12 + (85*425e9) DIV 100
+      1L -> 127500000000L,  // (85 * 0.15e12) DIV 100
+      2L -> 361250000000L)) // (85 * 425e9) DIV 100
+    // support set only: no rank-0 tail materializes on a bigger graph
+    val e2 = (Seq((0L, 1L), (1L, 0L)) ++ Seq((10L, 11L), (11L, 10L)))
+      .toDF("src", "dst")
+    val far = Graph.personalizedPagerank(e2, col("node") === 0L, iters = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(far == Set(0L, 1L), s"disconnected component leaked: $far")
+  }
+
   test("bfsHops matches the reference on a path with an unreachable component") {
     import spark.implicits._
     // path 0-1-2-3-4-5 (symmetrized) + disconnected pair 10-11; seed 0.
