@@ -17,6 +17,40 @@ object Pipeline {
   graft.SessionCaches.registerEvictor(s =>
     bloomCache.keySet.toSeq.filter(_._1 eq s).foreach(bloomCache.remove))
 
+  /** The dc04 kernel: flag every corpus vector (`vec_id`, `embedding`)
+    * whose max cosine against any eval vector (`e_id`, `e_vec`) reaches
+    * `tau`, reporting the nearest eval item (argmax, ties to the
+    * smaller id). Map-only: the eval set ships as ONE broadcast row and
+    * the per-vector max is an order-independent `aggregate` fold over
+    * it — zero corpus shuffle, corpus norm computed once per row, eval
+    * norms once at broadcast build. Works UNCHANGED on a STREAMING
+    * corpus: every operator here is stateless, so each microbatch is
+    * decontaminated against the same static eval broadcast. Exactness:
+    * VecDot's sequential double fold replays DuckDB's list_dot_product
+    * bit-for-bit (dd06/ss01's established kernel). */
+  def decontaminateEmbed(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double): DataFrame = {
+    import graft.functions.VectorOps.{vecDot, vecNorm}
+    val evalRow = evalSet.agg(collect_list(struct(col("e_id"),
+      col("e_vec"), vecNorm(col("e_vec")).as("e_norm"))).as("evals"))
+    val init = struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("id"))
+    corpus
+      .withColumn("nv", vecNorm(col("embedding")))
+      .crossJoin(broadcast(evalRow))
+      .withColumn("best", aggregate(col("evals"), init, (acc, e) => {
+        val c = vecDot(col("embedding"), e.getField("e_vec")) /
+          (col("nv") * e.getField("e_norm"))
+        val better = c > acc.getField("cos") ||
+          (c === acc.getField("cos") &&
+            e.getField("e_id") < acc.getField("id"))
+        when(better, struct(c.as("cos"), e.getField("e_id").as("id")))
+          .otherwise(acc)
+      }))
+      .filter(col("best.cos") >= tau)
+      .select(col("vec_id"), col("best.id").as("nearest_eval_id"),
+        col("best.cos").as("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The canonical cleaning pipeline: corpus (with planted duplicates) →
     // quality gate → exact-dedup keep-first → surviving docs + stats.
@@ -315,33 +349,15 @@ object Pipeline {
     // fold replays DuckDB's list_dot_product bit-for-bit (dd06/ss01's
     // established kernel) and max/tie-compare are exact on doubles.
     "dc04_decontaminate_embed" -> { (s, d) =>
-      import graft.functions.VectorOps.{vecDot, vecNorm}
       val all = Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
       // deterministic pseudo-random eval set, dd06's md5-order sample
       val eval = all
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(50)
         .select(col("vec_id").as("e_id"), col("embedding").as("e_vec"))
-      val evalRow = eval.agg(collect_list(struct(col("e_id"),
-        col("e_vec"), vecNorm(col("e_vec")).as("e_norm"))).as("evals"))
       val corpus = all.join(broadcast(eval.select(col("e_id"))),
         col("vec_id") === col("e_id"), "left_anti")
-      val init = struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("id"))
-      corpus
-        .withColumn("nv", vecNorm(col("embedding")))
-        .crossJoin(broadcast(evalRow))
-        .withColumn("best", aggregate(col("evals"), init, (acc, e) => {
-          val c = vecDot(col("embedding"), e.getField("e_vec")) /
-            (col("nv") * e.getField("e_norm"))
-          val better = c > acc.getField("cos") ||
-            (c === acc.getField("cos") &&
-              e.getField("e_id") < acc.getField("id"))
-          when(better, struct(c.as("cos"), e.getField("e_id").as("id")))
-            .otherwise(acc)
-        }))
-        .filter(col("best.cos") >= 0.35)
-        .select(col("vec_id"), col("best.id").as("nearest_eval_id"),
-          col("best.cos").as("cos"))
+      decontaminateEmbed(corpus, eval, tau = 0.35)
     },
 
     // Temperature-scaled language resampling (the LLM data-mixture op:

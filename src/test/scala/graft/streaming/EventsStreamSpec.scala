@@ -403,6 +403,37 @@ class EventsStreamSpec extends SparkSpec {
     sqlS.catalog.dropTempView("kbk_stream_err")
   }
 
+  test("STREAMING corpus semantic decontamination matches the " +
+      "oracle-gated batch dc04 (stateless fold per microbatch)") {
+    val dir = java.nio.file.Files.createTempDirectory("emb_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val all = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val eval = all
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(50)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_vec"))
+    val stream = spark.readStream.schema(all.schema).parquet(dir.toString)
+      .join(broadcast(eval.select(col("e_id"))),
+        col("vec_id") === col("e_id"), "left_anti")
+    val flagged = graft.queries.Pipeline.decontaminateEmbed(stream, eval, 0.35)
+    assert(flagged.isStreaming, "streaming decontamination lost its streaming-ness")
+    val q = flagged.writeStream.format("memory").queryName("dc04s")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val streamed = spark.table("dc04s").collect().map(key).toSet
+      val batch = graft.queries.Pipeline
+        .queries("dc04_decontaminate_embed")(spark, sf)
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.nonEmpty,
+        s"streaming dc04 diverged: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("a streaming BUILD side is refused loudly — as-of and band, keyed " +
       "and keyless (a per-microbatch join would lose cross-batch matches)") {
     import org.apache.spark.sql.graft.PlanBridge
