@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage truncation for iterative-state tables (BFS frontiers, BPE
   * symbol tables): the logical plan of round i references round i−1, so
@@ -10,14 +12,58 @@ import org.apache.spark.sql.DataFrame
   * Catalyst still walks the full tree even when the DATA is cached. */
 object Lineage {
 
+  // reliable checkpoint files created through truncate, per session.
+  // Spark does NOT clean reliable checkpoints itself (only under
+  // spark.cleaner.referenceTracking.cleanCheckpoints=true, GC-driven,
+  // default false), so without this a long-lived session grows the
+  // checkpoint dir by the full state size per round per invocation.
+  // Deleting per-round as the loop advances would be WRONG here: BFS
+  // unions every round's frontier into its result, so earlier rounds'
+  // files are still read at the end — the safe point is session end.
+  private val files = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.Queue[String]]()
+  graft.SessionCaches.registerEvictor { s =>
+    Option(files.remove(s)).foreach { q =>
+      val conf = s.sparkContext.hadoopConfiguration
+      q.forEach { p =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(conf).delete(path, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
+  /** Checkpoint files anywhere in `r`'s dependency tree. */
+  private def ckptFiles(r: RDD[_]): Seq[String] =
+    r.getCheckpointFile.toSeq ++ r.dependencies.flatMap(d => ckptFiles(d.rdd))
+
   /** Truncate `df`'s plan to a scan of materialized partitions: a
     * RELIABLE checkpoint when the session has a checkpoint directory
     * configured (`SparkContext.setCheckpointDir` — survives executor
     * loss, the cluster deployment), else an eager local checkpoint
     * (the local[*] form; local checkpoints die with their executors,
-    * which a single-JVM test session cannot lose). */
-  def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    * which a single-JVM test session cannot lose).
+    *
+    * Reliable path details: the input is persisted around the
+    * checkpoint because `Dataset.checkpoint(eager)` runs one job to
+    * materialize and the checkpoint WRITE then re-traverses the
+    * lineage (the `RDD.checkpoint` contract) — the cache turns that
+    * second traversal into a cache read instead of a full recompute.
+    * The written files are tracked and deleted at session end (see
+    * above). */
+  def truncate(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out =
+        try cached.checkpoint()
+        finally cached.unpersist(blocking = false)
+      graft.SessionCaches.track(s)
+      val q = files.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+      ckptFiles(out.queryExecution.toRdd).foreach(q.add)
+      out
+    } else df.localCheckpoint()
+  }
 }

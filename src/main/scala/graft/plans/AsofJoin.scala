@@ -63,6 +63,18 @@ object AsofJoinPlan {
   val hints: Set[String] = Set("auto", "merge", "broadcast")
   val directions: Set[String] = Set("backward", "forward")
 
+  /** A streaming PROBE defaults to the broadcast operator (the
+    * unbounded side never shuffles); an EXPLICIT merge is honored —
+    * a static build too large to broadcast shuffles the microbatch
+    * instead, a legal stateless per-trigger exchange. Applied at
+    * ANALYSIS time by every as-of/band entry point because that is the
+    * only place streaming-ness is visible: per-microbatch replanning
+    * replaces the streaming leaf with that trigger's batch relation,
+    * so the physical strategy's "auto" case can never see it (and
+    * would re-decide from the static build's stats every trigger). */
+  def steerHint(probeIsStreaming: Boolean, hint: String): String =
+    if (probeIsStreaming && hint != "merge") "broadcast" else hint
+
   /** Wrap an operator's output iterator with the `numOutputRows`
     * SQLMetric — the one observability hook every production Spark
     * operator exposes (UI / AQE runtime stats read it). One virtual

@@ -149,7 +149,7 @@ object AsofKeyless {
     // partitioned; streaming probe: broadcast — the static build side
     // ships to executors and each microbatch probes it statelessly)
     val inBucketHint =
-      if (streaming) { if (hint == "merge") "merge" else "broadcast" }
+      if (streaming) AsofJoinPlan.steerHint(probeIsStreaming = true, hint)
       else { if (hint == "broadcast") "broadcast" else "merge" }
     val inBucket = PlanBridge.asofJoin(l2, r2,
       Seq("__graft_ab_l" -> "__graft_ab_r"), leftTime, rightTime,

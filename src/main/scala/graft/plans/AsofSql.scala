@@ -460,7 +460,8 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         BandConds.withNullHygiene(u.left, u.right, rKeys, rt, lt,
           u.keepUnmatched)((probe, build) =>
           AsofJoinPlan(probe, build, lKeys, rKeys, lt, rt,
-            u.hint, dir, u.toleranceUs))
+            AsofJoinPlan.steerHint(u.left.isStreaming, u.hint), dir,
+            u.toleranceUs))
       }
   }
 }

@@ -162,17 +162,12 @@ object BandConds {
       hint: String, keepUnmatched: Boolean): LogicalPlan = {
     // streaming build: see lowerBandKeyless — a per-microbatch join
     // sees only that batch's build rows, silently losing cross-batch
-    // matches. Streaming PROBE: stream-static enrichment — force the
-    // broadcast operator so the unbounded side never shuffles.
+    // matches. Streaming PROBE: stream-static enrichment — steerHint
+    // defaults it to broadcast so the unbounded side never shuffles.
     require(!right.isStreaming,
       "band build side must be static (stream-static enrichment only; " +
         "stream-stream bands need watermarked state)")
-    // streaming probe defaults to broadcast (the stream never shuffles);
-    // an EXPLICIT merge hint is honored — a static build too large to
-    // broadcast shuffles the microbatch instead, a legal stateless
-    // per-trigger exchange
-    val physHint =
-      if (left.isStreaming && hint != "merge") "broadcast" else hint
+    val physHint = AsofJoinPlan.steerHint(left.isStreaming, hint)
     withNullHygiene(left, right, p.rKeys, p.rTime, p.lTime, keepUnmatched)(
       (probe, build) => BandJoinPlan(probe, build,
         p.lKeys, p.rKeys, p.lTime, p.rTime, p.lowUs, p.highUs, physHint))
@@ -247,9 +242,7 @@ object BandConds {
     require(!right.isStreaming,
       "keyless band build side must be static (stream-static " +
         "enrichment only; stream-stream bands need watermarked state)")
-    // see lowerBand: broadcast by default, explicit merge honored
-    val physHint =
-      if (left.isStreaming && hint != "merge") "broadcast" else hint
+    val physHint = AsofJoinPlan.steerHint(left.isStreaming, hint)
     val w = math.max(p.highUs - p.lowUs, 1L)
     withNullHygiene(left, right, Nil, p.rTime, p.lTime, keepUnmatched) {
       (probe, build) =>

@@ -115,7 +115,8 @@ object PlanBridge {
 
     classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
       keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime), hint, direction,
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
+      AsofJoinPlan.steerHint(lPlan.isStreaming, hint), direction,
       toleranceUs))
   }
 
@@ -149,7 +150,7 @@ object PlanBridge {
     classic.Dataset.ofRows(spark, graft.plans.BandJoinPlan(lPlan, rPlan,
       keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime), lowUs, highUs,
-      hint))
+      AsofJoinPlan.steerHint(lPlan.isStreaming, hint)))
   }
 
   /** KEYLESS banded join — every (left, right) pair with `rightTime`

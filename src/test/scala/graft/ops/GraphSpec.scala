@@ -188,8 +188,10 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(got == refBfs(path, Set(0L), 4))
       // the frontier rounds actually wrote reliable checkpoint files
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val wrote = try walk.filter(
+        p => java.nio.file.Files.isRegularFile(p)).count()
+      finally walk.close()
       assert(wrote > 0, s"no reliable checkpoint files under $dir")
     } finally {
       // SparkContext has no unsetCheckpointDir; reflectively clear the
@@ -198,6 +200,11 @@ class GraphSpec extends SparkSpec {
       f.setAccessible(true)
       f.set(sc, None)
       assert(sc.getCheckpointDir.isEmpty)
+      // don't leave frontier copies in /tmp across CI runs
+      val rm = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try rm.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally rm.close()
     }
   }
 

@@ -381,7 +381,7 @@ class EventsStreamSpec extends SparkSpec {
       .createOrReplaceTempView("kbk_stream_err")
     val batch = graft.queries.Events.queries("ev07_interval_join")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    for (joinText <- Seq("BAND LEFT JOIN", "BAND LEFT MERGE JOIN")) {
+    try for (joinText <- Seq("BAND LEFT JOIN", "BAND LEFT MERGE JOIN")) {
       val name = s"kbk_${if (joinText.contains("MERGE")) "m" else "b"}"
       val joined = sqlS.sql(
         s"""SELECT event_id, eus, pus
@@ -398,9 +398,10 @@ class EventsStreamSpec extends SparkSpec {
         assert(streamed == batch && batch.nonEmpty,
           s"$joinText diverged: ${streamed.size} vs ${batch.size}")
       } finally q.stop()
+    } finally {
+      sqlS.catalog.dropTempView("kbk_static_purch")
+      sqlS.catalog.dropTempView("kbk_stream_err")
     }
-    sqlS.catalog.dropTempView("kbk_static_purch")
-    sqlS.catalog.dropTempView("kbk_stream_err")
   }
 
   test("STREAMING corpus semantic decontamination matches the " +
@@ -432,6 +433,48 @@ class EventsStreamSpec extends SparkSpec {
       assert(streamed == batch && batch.nonEmpty,
         s"streaming dc04 diverged: ${streamed.size} vs ${batch.size}")
     } finally q.stop()
+  }
+
+  test("a streaming probe steers the DEFAULT hint to broadcast on every " +
+      "keyed surface (PlanBridge, ASOF SQL); explicit merge preserved") {
+    import org.apache.spark.sql.graft.PlanBridge
+    val dim = graft.Tables.load(spark, sf, "events").limit(10)
+      .select(col("user_id").as("v_uid"), unix_micros(col("ts")).as("v_us"))
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    def asofHint(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.analyzed.collectFirst {
+        case a: graft.plans.AsofJoinPlan => a.hint }.get
+    def bandHint(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.analyzed.collectFirst {
+        case b: graft.plans.BandJoinPlan => b.hint }.get
+    // the physical strategy can't see streaming-ness (per-microbatch
+    // replanning replaces the leaf), so the default must be decided at
+    // analysis time — pin it on each entry point
+    assert(asofHint(PlanBridge.asofJoin(stream, dim,
+      Seq("user_id" -> "v_uid"), "us", "v_us")) == "broadcast")
+    assert(asofHint(PlanBridge.asofJoin(stream, dim,
+      Seq("user_id" -> "v_uid"), "us", "v_us", hint = "merge")) == "merge")
+    assert(bandHint(PlanBridge.bandJoin(stream, dim,
+      Seq("user_id" -> "v_uid"), "us", "v_us", -10L, 0L)) == "broadcast")
+    val sqlS = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    graft.Tables.load(sqlS, sf, "events").limit(10)
+      .select(col("user_id").as("v_uid"), unix_micros(col("ts")).as("v_us"))
+      .createOrReplaceTempView("sh_dim")
+    EventsStream.readEvents(sqlS, eventsDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .createOrReplaceTempView("sh_stream")
+    try {
+      val viaSql = sqlS.sql(
+        """SELECT event_id FROM sh_stream ASOF LEFT JOIN sh_dim
+          |ON user_id = v_uid AND us >= v_us""".stripMargin)
+      assert(asofHint(viaSql) == "broadcast",
+        "keyed ASOF SQL clause did not steer the default hint")
+    } finally {
+      sqlS.catalog.dropTempView("sh_dim")
+      sqlS.catalog.dropTempView("sh_stream")
+    }
   }
 
   test("a streaming BUILD side is refused loudly — as-of and band, keyed " +
