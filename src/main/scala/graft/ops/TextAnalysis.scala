@@ -380,6 +380,48 @@ object TextAnalysis {
           round(avg(log2(col("p"))), 4).as("lm_score"))
     },
 
+    // Kneser–Ney smoothed bigram LM scoring (Kneser & Ney 1995 — the
+    // smoothing CCNet/KenLM-style perplexity quality filters actually
+    // ship): tx12's MLE model leaves no mass for unseen continuations;
+    // interpolated KN discounts every observed bigram by D=0.75 and
+    // redistributes the withheld mass through the CONTINUATION
+    // probability — how many distinct contexts a word follows, over
+    // the number of bigram types:
+    //   p(w2|w1) = (max(c12−D, 0) + D·N1+(w1·)·N1+(·w2)/types) / c1.
+    // Same two-pass scale shape as tx12 — one (doc_id, w1, w2) explode
+    // persisted DISK_ONLY, vocab-cardinality count tables whose joins
+    // AQE decides (never hint-broadcast) — and the continuation counts
+    // derive from the SAME bigram table, so KN costs two extra
+    // vocab-row aggregates but NO extra corpus scan. Determinism: every
+    // p term is an exact integer ratio and D=0.75 is exactly binary;
+    // the identical expression tree runs in both engines, and the
+    // per-doc average rounds to 4 decimals (tx12's noise-vs-boundary
+    // argument).
+    "tx21_kn_lm_score" -> { (s, d) =>
+      val pairs = docs(s, d)
+        .withColumn("t", toks(lower(col("text"))))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode_outer(wordGrams(col("t"), 2)).as("g"))
+        .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val uni = big.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w"))
+      val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+      val types = big.agg(count(lit(1)).as("n_types"))
+      val lm = big.join(uni, "w1").join(cont, "w2")
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"),
+          ((greatest(col("c12").cast("double") - 0.75, lit(0.0)) +
+            lit(0.75) * col("n1w") * col("nc") / col("n_types")) /
+            col("c1")).as("p"))
+      pairs.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log2(col("p"))), 4).as("kn_score"))
+    },
+
     // TF-IDF top-3 terms per document. IDF uses the rational form
     // n_docs/df (not log) so scores are exact integer ratios in double —
     // bit-identical across engines; log-idf only reorders monotonically
@@ -1400,6 +1442,36 @@ object TextAnalysis {
         |)
         |SELECT pairs.doc_id, count(*) AS n_bigrams,
         |  round(avg(log2(lm.p)), 4) AS lm_score
+        |FROM pairs JOIN lm USING (w1, w2)
+        |GROUP BY pairs.doc_id""".stripMargin,
+
+    // tx12's replay plus the KN terms: discount, per-head continuation
+    // fan-out n1w, per-tail continuation count nc, bigram-type total —
+    // all exact integer counts; the p expression tree matches the
+    // Column form operator-for-operator.
+    "tx21_kn_lm_score" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents) z,
+        |       unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), big AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+        |), uni AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1w
+        |  FROM big GROUP BY w1
+        |), cont AS (
+        |  SELECT w2, count(*) AS nc FROM big GROUP BY w2
+        |), types AS (SELECT count(*) AS n_types FROM big),
+        |lm AS (
+        |  SELECT w1, w2,
+        |    (greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) +
+        |     0.75 * n1w * nc / n_types) / c1 AS p
+        |  FROM big JOIN uni USING (w1) JOIN cont USING (w2) CROSS JOIN types
+        |)
+        |SELECT pairs.doc_id, count(*) AS n_bigrams,
+        |  round(avg(log2(lm.p)), 4) AS kn_score
         |FROM pairs JOIN lm USING (w1, w2)
         |GROUP BY pairs.doc_id""".stripMargin,
 

@@ -423,6 +423,68 @@ object Pipeline {
         .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
     },
 
+    // DSIR importance resampling (Xie et al. 2023, "Data Selection via
+    // Importance Resampling"): score each document by how much its
+    // hashed-feature distribution resembles a TARGET corpus (the
+    // English slice — the trusted-set stand-in) versus the RAW corpus,
+    // and select docs whose per-token log-likelihood ratio is positive.
+    // The scale property that distinguishes this from a vocabulary LM
+    // filter (tx12): token features hash into B=1024 FIXED buckets, so
+    // the learned log-ratio table λ is 1024 rows REGARDLESS of corpus
+    // size — it broadcasts at 100 TB where a vocab-sized table cannot,
+    // and the whole selector is one explode+agg shuffle on
+    // (doc_id, lang, bucket) with map-side combine, two B-row bucket
+    // marginals, a broadcast λ join back, and one agg on doc_id.
+    // Determinism: bucket = md5-derived (ev16's conv idiom, replayed in
+    // DuckDB digit-by-digit); each λ term is an exact integer ratio fed
+    // to log2 with an identical expression tree in both engines; the
+    // per-token weight rounds to 4 decimals (tx12's noise-vs-boundary
+    // argument: closest weight sits 3.8e-9 from a boundary at sf0.001,
+    // noise ~1e-13). `selected` compares ROUNDED weight to the ROUNDED
+    // corpus mean (the absolute-zero threshold is degenerate here —
+    // the synthetic langs share most vocabulary, so every per-token
+    // ratio is slightly negative); the mean sits ≥1.5e-5 from its own
+    // round boundary at both SFs, and rounded-vs-rounded comparison is
+    // then engine-independent. Selects ~48% of the corpus, en-skewed.
+    "pp15_dsir_sample" -> { (s, d) =>
+      val B = 1024
+      val feats = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("w")), 1, 5), 16, 10)
+            .cast("long") % B).as("b"))
+        .agg(count(lit(1)).as("c"))
+        // two consumers — λ training and per-doc scoring — one
+        // tokenize+hash pass (tx12's persist rationale; DISK_ONLY
+        // because per-doc features scale with the corpus)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // both marginals in ONE pass over feats (conditional agg beats a
+      // raw/target groupBy pair + left join: half the feats scans, and
+      // a bucket absent from RAW cannot appear in feats at all, so one
+      // B-row table covers every scored bucket by construction)
+      val buckets = feats.groupBy(col("b"))
+        .agg(sum(col("c")).as("rc"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tc"))
+      val tot = buckets.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+      // Laplace-smoothed per-bucket log-ratio; a bucket no target token
+      // hashed into still scores (smoothing mass).
+      val lam = buckets.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log2((col("tc") + 1).cast("double") / (col("tt") + B)) -
+            log2((col("rc") + 1).cast("double") / (col("rt") + B))).as("lam"))
+      val wdoc = feats.join(broadcast(lam), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).as("n_tokens"),
+          (sum(col("c") * col("lam")) / sum(col("c")).cast("double"))
+            .as("raw_w"))
+      val mean = wdoc.agg(round(avg(col("raw_w")), 4).as("mean_w"))
+      wdoc.crossJoin(broadcast(mean))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("raw_w"), 4).as("dsir_w"),
+          (round(col("raw_w"), 4) > col("mean_w")).as("selected"))
+    },
+
     // Decontamination at web scale: dc01's broadcast of the benchmark
     // GRAM STRINGS caps out when the benchmark suite grows (the same
     // unbounded-broadcast class as the tx09 vocabulary hint). Here the
@@ -786,6 +848,45 @@ object Pipeline {
          |  FROM k) t
          |WHERE rank <= 10""".stripMargin
     },
+
+    // full pipeline replay: md5 bucket hashing (ev16's hex-digit
+    // arithmetic), Laplace-smoothed log2 ratios over exact integer
+    // counts, round-4 per-token weight — selected compares the ROUNDED
+    // weight, so both engines make the same call.
+    "pp15_dsir_sample" ->
+      """WITH toksr AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, lang,
+        |    list_sum([ CAST(strpos('0123456789abcdef',
+        |        substr(md5(w), i, 1)) - 1 AS BIGINT)
+        |      * ([65536,4096,256,16,1])[i] FOR i IN range(1, 6) ]) % 1024 AS b,
+        |    COUNT(*) AS c
+        |  FROM toksr GROUP BY 1, 2, 3
+        |), buckets AS (
+        |  SELECT b, CAST(SUM(c) AS BIGINT) AS rc,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tc
+        |  FROM feats GROUP BY b
+        |), tot AS (
+        |  SELECT CAST(SUM(rc) AS BIGINT) AS rt,
+        |         CAST(SUM(tc) AS BIGINT) AS tt
+        |  FROM buckets
+        |), lam AS (
+        |  SELECT b,
+        |    log2(CAST(tc + 1 AS DOUBLE) / (tt + 1024)) -
+        |    log2(CAST(rc + 1 AS DOUBLE) / (rt + 1024)) AS lam
+        |  FROM buckets CROSS JOIN tot
+        |)
+        |, wdoc AS (
+        |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    SUM(c * lam) / CAST(SUM(c) AS DOUBLE) AS raw_w
+        |  FROM feats JOIN lam USING (b)
+        |  GROUP BY doc_id, lang
+        |), m AS (SELECT round(avg(raw_w), 4) AS mean_w FROM wdoc)
+        |SELECT doc_id, lang, n_tokens, round(raw_w, 4) AS dsir_w,
+        |  round(raw_w, 4) > mean_w AS selected
+        |FROM wdoc CROSS JOIN m""".stripMargin,
 
     // dc02's bloom prefilter is exact after the confirm join, so the
     // oracle is dc01's byte-for-byte: the bloom is an optimization, not

@@ -182,4 +182,45 @@ class TextOpsSpec extends SparkSpec {
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
+
+  test("tx21 Kneser–Ney: proper distribution per head, scores ≤ 0, " +
+    "and a model recompute matches on a sample") {
+    // rebuild the KN model in plain Scala from the raw corpus
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val pairs = texts.flatMap { case (id, t) =>
+      if (t.size >= 2) t.sliding(2).map(w => (id, w.head, w(1))) else Nil
+    }
+    val c12 = pairs.groupBy(p => (p._2, p._3)).view.mapValues(_.size).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1w = c12.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val nc = c12.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val types = c12.size
+    def pkn(w1: String, w2: String): Double =
+      (math.max(c12((w1, w2)) - 0.75, 0.0) +
+        0.75 * n1w(w1) * nc(w2) / types) / c1(w1)
+    // the KN property MLE lacks: unseen-continuation mass exists, yet
+    // observed mass still sums below 1 per head (the full distribution
+    // including unseen w2 sums to exactly 1)
+    c1.keys.take(200).foreach { w1 =>
+      val seen = c12.keys.filter(_._1 == w1)
+        .map { case (a, b) => pkn(a, b) }.sum
+      assert(seen <= 1.0 + 1e-9, s"head $w1 observed mass $seen > 1")
+      assert(seen > 0.0, s"head $w1 zero mass")
+    }
+    val out = TextAnalysis.queries("tx21_kn_lm_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (_, s) => assert(s <= 0.0) }
+    // model recompute of the per-doc score on a sample
+    texts.filter(_._2.size >= 2).take(25).foreach { case (id, t) =>
+      val ps = t.sliding(2).map(w => pkn(w.head, w(1))).toSeq
+      val want = BigDecimal(ps.map(p => math.log(p) / math.log(2.0)).sum / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, s) = out(id)
+      assert(n == ps.size, s"doc $id n_bigrams")
+      assert(math.abs(s - want) <= 1e-4 + 1e-9, s"doc $id: got $s want $want")
+    }
+  }
 }

@@ -163,6 +163,37 @@ class PipelineSpec extends SparkSpec {
       s"weighted sample not length-biased: $sampleMean vs $corpusMean")
   }
 
+  test("pp15 DSIR: threshold consistency, token accounting, and the " +
+    "target slice selects at a higher rate") {
+    val out = Pipeline.queries("pp15_dsir_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[String]("text")))
+      .toMap
+    assert(out.length == docs.size, "one weight row per document")
+    // token accounting: n_tokens is the whitespace token count
+    out.foreach { case (id, lang, n, _, _) =>
+      assert(lang == docs(id)._1)
+      assert(n == docs(id)._2.toLowerCase.split(" ", -1).length, s"doc $id")
+    }
+    // selection is a consistent global threshold on the rounded weight:
+    // every selected weight strictly exceeds every unselected one's
+    val (sel, unsel) = out.partition(_._5)
+    assert(sel.nonEmpty && unsel.nonEmpty, "mean threshold is degenerate")
+    assert(sel.map(_._4).min > unsel.map(_._4).max,
+      "selected/unselected weights interleave — not a single threshold")
+    // the DSIR point: docs from the target slice (en) are closer to the
+    // target distribution, so they select at a visibly higher rate
+    def rate(rows: Array[(Long, String, Long, Double, Boolean)]) =
+      rows.count(_._5).toDouble / rows.length
+    val en = out.filter(_._2 == "en")
+    val rest = out.filter(_._2 != "en")
+    assert(rate(en) > rate(rest) + 0.1,
+      s"no target lean: en ${rate(en)} vs rest ${rate(rest)}")
+  }
+
   test("mm03 resize: constant output size, correct kept-byte accounting") {
     val df = graft.ops.Multimodal.queries("mm03_resize_payload")(spark, sf).cache()
     assert(df.filter(col("resized_bytes") =!= 1024).count() == 0)
