@@ -51,6 +51,105 @@ object Pipeline {
         col("best.cos").as("cos"))
   }
 
+  /** Fixed DSIR feature-space size: tokens hash into this many buckets,
+    * so the learned model is DsirB rows/doubles REGARDLESS of corpus
+    * size — the property that lets it broadcast at 100 TB. */
+  val DsirB = 1024
+
+  /** pp15's bucketized feature table — one row per (doc, lang, bucket)
+    * with its token count; md5-derived bucket (ev16's conv idiom).
+    * Persisted DISK_ONLY: two consumers (λ training and per-doc
+    * scoring), one tokenize+hash pass (tx12's rationale), and per-doc
+    * features scale with the corpus. */
+  private def dsirFeats(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 5), 16, 10)
+          .cast("long") % DsirB).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+  /** Both bucket marginals in ONE pass over the features (conditional
+    * agg beats a raw/target groupBy pair + left join: half the feats
+    * scans, and a bucket absent from RAW cannot appear in feats at
+    * all, so one B-row table covers every scored bucket). */
+  private def dsirBuckets(feats: DataFrame): DataFrame =
+    feats.groupBy(col("b"))
+      .agg(sum(col("c")).as("rc"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tc"))
+
+  /** Laplace-smoothed per-bucket log2 likelihood ratio (target vs raw);
+    * a bucket no target token hashed into still scores (smoothing
+    * mass). B-row output — broadcasts at any corpus size. */
+  private def dsirLam(buckets: DataFrame): DataFrame = {
+    val tot = buckets.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log2((col("tc") + 1).cast("double") / (col("tt") + DsirB)) -
+          log2((col("rc") + 1).cast("double") / (col("rt") + DsirB))).as("lam"))
+  }
+
+  /** Per-doc importance weight: mean per-token log ratio. */
+  private def dsirWdoc(feats: DataFrame, lam: DataFrame): DataFrame =
+    feats.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        (sum(col("c") * col("lam")) / sum(col("c")).cast("double"))
+          .as("raw_w"))
+
+  /** The trained DSIR model in its broadcastable local form: λ as a
+    * DENSE DsirB-length array indexed by bucket (buckets unseen in the
+    * reference corpus get the all-smoothing value — the λ the Laplace
+    * terms assign a zero-count bucket), plus pp15's round-4 corpus-mean
+    * selection threshold. Bounded by construction: 1024 doubles — this
+    * pair is the artifact a production pipeline trains once on the
+    * reference corpus and ships to every scorer. */
+  def dsirModel(s: SparkSession, d: String): (Array[Double], Double) = {
+    val feats = dsirFeats(s, d)
+    val buckets = dsirBuckets(feats)
+    val lamT = dsirLam(buckets)
+    val totRow = buckets
+      .agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt")).head()
+    val (rt, tt) =
+      if (totRow.isNullAt(0)) (0L, 0L)
+      else (totRow.getLong(0), totRow.getLong(1))
+    val dflt = (math.log(1.0 / (tt + DsirB)) -
+      math.log(1.0 / (rt + DsirB))) / math.log(2.0)
+    val arr = Array.fill(DsirB)(dflt)
+    lamT.collect().foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+    val meanRow = dsirWdoc(feats, lamT)
+      .agg(round(avg(col("raw_w")), 4).as("mean_w")).head()
+    val mean = if (meanRow.isNullAt(0)) 0.0 else meanRow.getDouble(0)
+    (arr, mean)
+  }
+
+  /** Stateless DSIR scorer: the per-doc weight as ONE map-only
+    * expression over the token array — λ lookups are O(1) element_at
+    * into the dense array literal, no shuffle, no state — so it runs
+    * UNCHANGED on a STREAMING corpus ("score the crawl as it lands",
+    * the production shape pp15's trained model exists for). Weight
+    * arithmetic differs from the batch query only in float-summation
+    * order (sequential over tokens vs grouped per bucket); the round-4
+    * output absorbs that (documented margins ≥3.8e-9 vs ~1e-12
+    * accumulation noise), and PipelineSpec + DsirStreamSpec pin batch-
+    * and stream-parity against the oracle-gated pp15. */
+  def dsirScore(docs: DataFrame, lam: Array[Double], meanW: Double): DataFrame = {
+    val lamLit = lit(lam)
+    val t = split(lower(col("text")), " ")
+    docs
+      .withColumn("raw_w",
+        aggregate(t, lit(0.0), (acc, w) =>
+          acc + element_at(lamLit,
+            ((conv(substring(md5(w), 1, 5), 16, 10).cast("long") % DsirB)
+              + 1).cast("int"))) / size(t).cast("double"))
+      .select(col("doc_id"), col("lang"),
+        size(t).cast("long").as("n_tokens"),
+        round(col("raw_w"), 4).as("dsir_w"),
+        (round(col("raw_w"), 4) > meanW).as("selected"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The canonical cleaning pipeline: corpus (with planted duplicates) →
     // quality gate → exact-dedup keep-first → surviving docs + stats.
@@ -447,37 +546,8 @@ object Pipeline {
     // round boundary at both SFs, and rounded-vs-rounded comparison is
     // then engine-independent. Selects ~48% of the corpus, en-skewed.
     "pp15_dsir_sample" -> { (s, d) =>
-      val B = 1024
-      val feats = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          explode(split(lower(col("text")), " ")).as("w"))
-        .groupBy(col("doc_id"), col("lang"),
-          (conv(substring(md5(col("w")), 1, 5), 16, 10)
-            .cast("long") % B).as("b"))
-        .agg(count(lit(1)).as("c"))
-        // two consumers — λ training and per-doc scoring — one
-        // tokenize+hash pass (tx12's persist rationale; DISK_ONLY
-        // because per-doc features scale with the corpus)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      // both marginals in ONE pass over feats (conditional agg beats a
-      // raw/target groupBy pair + left join: half the feats scans, and
-      // a bucket absent from RAW cannot appear in feats at all, so one
-      // B-row table covers every scored bucket by construction)
-      val buckets = feats.groupBy(col("b"))
-        .agg(sum(col("c")).as("rc"),
-          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tc"))
-      val tot = buckets.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
-      // Laplace-smoothed per-bucket log-ratio; a bucket no target token
-      // hashed into still scores (smoothing mass).
-      val lam = buckets.crossJoin(broadcast(tot))
-        .select(col("b"),
-          (log2((col("tc") + 1).cast("double") / (col("tt") + B)) -
-            log2((col("rc") + 1).cast("double") / (col("rt") + B))).as("lam"))
-      val wdoc = feats.join(broadcast(lam), "b")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("c")).as("n_tokens"),
-          (sum(col("c") * col("lam")) / sum(col("c")).cast("double"))
-            .as("raw_w"))
+      val feats = dsirFeats(s, d)
+      val wdoc = dsirWdoc(feats, dsirLam(dsirBuckets(feats)))
       val mean = wdoc.agg(round(avg(col("raw_w")), 4).as("mean_w"))
       wdoc.crossJoin(broadcast(mean))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
