@@ -1010,6 +1010,59 @@ object Similarity {
       }
     },
 
+    // k-center greedy coreset selection (Gonzalez 1985 farthest-point
+    // traversal — the "k-Center-Greedy" diverse-subset selector of
+    // Sener & Savarese 2018): grow a center set by repeatedly taking
+    // the vector FARTHEST (max-min integer L2 on the shared int8 grid)
+    // from the centers chosen so far — the classic 2-approximation of
+    // the k-center cover, and the training-data op for "pick a small
+    // diverse exemplar set". Scale shape: K=8 BOUNDED driver rounds,
+    // each ONE map-only corpus scan against ≤K in-plan literal centers
+    // (emb03's idiom) topped by orderBy+limit(1) — planned as
+    // TakeOrderedAndProject, top-1 per partition and one row per
+    // partition to the driver, NO corpus shuffle at any round.
+    // Determinism: all-integer distances, seed = hash-ordered first
+    // vector (emb03's fairness rule), argmax ties to the smaller
+    // vec_id; the oracle unrolls the identical 8 rounds. The emitted
+    // radius is the coverage bound k-center is about: round r's radius
+    // = the max-min distance² the first r−1 centers left uncovered (a
+    // non-increasing sequence, pinned in SimilaritySpec).
+    "emb10_kcenter" -> { (s, d) =>
+      import s.implicits._
+      val K = 8
+      val q8 = quantized(s, d)
+      def sqDist(c: Seq[Int]): org.apache.spark.sql.Column =
+        expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+          "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val seed = q8
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(1).collect()
+      if (seed.isEmpty)
+        Seq.empty[(Int, Long, Long)].toDF("round", "vec_id", "radius")
+      else {
+        var picked = Vector((1, seed(0).getLong(seed(0).fieldIndex("vec_id")), 0L))
+        var centers = Vector(seed(0).getSeq[Int](seed(0).fieldIndex("q")))
+        var r = 2
+        var exhausted = false
+        while (r <= K && !exhausted) {
+          val mind = array_min(array(centers.map(sqDist): _*))
+          val next = q8
+            .filter(!col("vec_id").isin(picked.map(_._2): _*))
+            .withColumn("mind", mind)
+            .orderBy(col("mind").desc, col("vec_id"))
+            .limit(1).collect()
+          if (next.isEmpty) exhausted = true
+          else {
+            picked :+= ((r, next(0).getLong(next(0).fieldIndex("vec_id")),
+              next(0).getLong(next(0).fieldIndex("mind"))))
+            centers :+= next(0).getSeq[Int](next(0).fieldIndex("q"))
+            r += 1
+          }
+        }
+        picked.toDF("round", "vec_id", "radius")
+      }
+    },
+
     // Product-quantization ANN (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search") — the memory-bounded
     // ANN tier: the 64-dim int8 vector is split into M=32 subspaces of
@@ -1329,9 +1382,51 @@ object Similarity {
           s"  MAX(CASE WHEN j = ${j - 1} THEN y END) AS y$j").mkString(",\n")}
        |FROM proj GROUP BY vec_id""".stripMargin
 
+  // emb10 oracle: the same 8 farthest-point rounds UNROLLED (gr05's
+  // unrolled-iteration idiom) — per round, min integer L2 against the
+  // accumulated center set via the expansion x·x − 2x·c + c·c (exactly
+  // the Column form's Σ(a−b)² in integers), argmax with ties to the
+  // smaller vec_id, centers carried forward by UNION ALL.
+  private lazy val emb10Sql: String = {
+    val K = 8
+    val l2 = "CAST(list_dot_product(f.q, f.q) AS BIGINT) - " +
+      "2 * CAST(list_dot_product(f.q, c.q) AS BIGINT) + " +
+      "CAST(list_dot_product(c.q, c.q) AS BIGINT)"
+    val rounds = (2 to K).map { r =>
+      s"""m$r AS (
+         |  SELECT f.vec_id, MIN($l2) AS radius
+         |  FROM q8 f CROSS JOIN cents${r - 1} c
+         |  WHERE f.vec_id NOT IN (SELECT vec_id FROM cents${r - 1})
+         |  GROUP BY f.vec_id
+         |), p$r AS (SELECT vec_id, radius FROM m$r
+         |  ORDER BY radius DESC, vec_id LIMIT 1),
+         |cents$r AS (SELECT vec_id, q FROM cents${r - 1}
+         |  UNION ALL SELECT q8.vec_id, q8.q FROM q8 JOIN p$r USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val outs = (2 to K)
+      .map(r => s"SELECT CAST($r AS INT) AS round, vec_id, radius FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH q8 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(
+       |      CAST(x AS DOUBLE) /
+       |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+       |    ) AS INT)) AS q
+       |  FROM embeddings
+       |),
+       |c1 AS (SELECT vec_id, q FROM q8
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |cents1 AS (SELECT vec_id, q FROM c1),
+       |$rounds
+       |SELECT CAST(1 AS INT) AS round, vec_id, CAST(0 AS BIGINT) AS radius FROM c1
+       |UNION ALL $outs""".stripMargin
+  }
+
   // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
   // the sequential double fold of VecDot (validated empirically).
   def oracle: Map[String, String] = Map(
+    "emb10_kcenter" -> emb10Sql,
     "emb07_pca_topk" -> emb07Sql,
     "emb08_jl_project" -> emb08Sql,
     "emb09_whiten" -> emb09Sql,

@@ -311,4 +311,39 @@ class SimilaritySpec extends SparkSpec {
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
+
+  test("emb10 k-center: matches a driver-side farthest-point replay, " +
+    "radii non-increasing, centers distinct") {
+    val out = Similarity.queries("emb10_kcenter")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.length == 8)
+    assert(out.map(_._2).distinct.length == 8, "centers not distinct")
+    // the k-center invariant: each new center is chosen at the max-min
+    // distance the previous set left uncovered, which can only shrink
+    out.drop(1).sliding(2).foreach { w =>
+      assert(w(1)._3 <= w(0)._3, s"radius grew: round ${w(1)._1}")
+    }
+    // full model replay in plain Scala (independent quantize + greedy)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val scale = v.map(math.abs).max / 127.0
+        r.getLong(0) -> v.map(x => math.round(x / scale).toInt).toArray
+      }.toMap
+    def l2(a: Array[Int], b: Array[Int]): Long =
+      a.indices.map(i => (a(i) - b(i)).toLong * (a(i) - b(i))).sum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val seedId = vecs.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).head
+    var picked = Vector((1, seedId, 0L))
+    while (picked.length < 8) {
+      val chosen = picked.map(_._2).toSet
+      val (id, rad) = vecs.filterNot(kv => chosen(kv._1))
+        .map { case (id, q) => id -> picked.map(p => l2(q, vecs(p._2))).min }
+        .minBy { case (id, rad) => (-rad, id) }
+      picked :+= ((picked.length + 1, id, rad))
+    }
+    assert(out.toSeq == picked, s"traversal diverged:\n$out\nvs\n$picked")
+  }
 }
