@@ -555,6 +555,38 @@ object Pipeline {
           (round(col("raw_w"), 4) > col("mean_w")).as("selected"))
     },
 
+    // Selection-shift QA over pp15 (the report a mixing dashboard
+    // shows before anyone trains on the selected corpus): per language,
+    // docs and tokens before/after DSIR selection, plus each language's
+    // token SHARE of the raw vs the selected corpus — the quantity that
+    // says how hard the selector reshaped the mix. Derived entirely
+    // from pp15's (already oracle-gated) output: one per-lang agg and a
+    // 1-row broadcast of the corpus totals. Integer counts; the shares
+    // are exact integer ratios in double (tx09's bit-identical
+    // rationale — no rounding needed).
+    "qa08_dsir_shift" -> { (s, d) =>
+      val w = queries("pp15_dsir_sample")(s, d)
+      val tot = w.agg(sum(col("n_tokens")).as("tok_all"),
+        sum(when(col("selected"), col("n_tokens")).otherwise(0L)).as("tok_sel"))
+      w.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_sel"),
+          sum(col("n_tokens")).as("toks"),
+          sum(when(col("selected"), col("n_tokens")).otherwise(0L))
+            .as("toks_sel"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_sel"),
+          col("toks"), col("toks_sel"),
+          (col("toks").cast("double") / col("tok_all").cast("double"))
+            .as("share_before"),
+          // NULL when nothing selected (a 1-row corpus selects zero
+          // docs) — DuckDB's division-by-zero convention, and ANSI
+          // Spark would otherwise throw
+          when(col("tok_sel") === 0L, lit(null).cast("double"))
+            .otherwise(col("toks_sel").cast("double") /
+              col("tok_sel").cast("double")).as("share_after"))
+    },
+
     // Decontamination at web scale: dc01's broadcast of the benchmark
     // GRAM STRINGS caps out when the benchmark suite grows (the same
     // unbounded-broadcast class as the tx09 vocabulary hint). Here the
@@ -633,6 +665,46 @@ object Pipeline {
           col("frame_len").cast("int").as("frame_len"))
     }
   )
+
+  // The DSIR replay's CTE chain, shared by pp15 and qa08 so the
+  // pipeline SQL (bucket md5, λ arithmetic, mean threshold) exists
+  // exactly once (the Dedup.pp02OracleSql precedent).
+  private lazy val dsirCtes: String =
+    """toksr AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents
+      |), feats AS (
+      |  SELECT doc_id, lang,
+      |    list_sum([ CAST(strpos('0123456789abcdef',
+      |        substr(md5(w), i, 1)) - 1 AS BIGINT)
+      |      * ([65536,4096,256,16,1])[i] FOR i IN range(1, 6) ]) % 1024 AS b,
+      |    COUNT(*) AS c
+      |  FROM toksr GROUP BY 1, 2, 3
+      |), buckets AS (
+      |  SELECT b, CAST(SUM(c) AS BIGINT) AS rc,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tc
+      |  FROM feats GROUP BY b
+      |), tot AS (
+      |  SELECT CAST(SUM(rc) AS BIGINT) AS rt,
+      |         CAST(SUM(tc) AS BIGINT) AS tt
+      |  FROM buckets
+      |), lam AS (
+      |  SELECT b,
+      |    log2(CAST(tc + 1 AS DOUBLE) / (tt + 1024)) -
+      |    log2(CAST(rc + 1 AS DOUBLE) / (rt + 1024)) AS lam
+      |  FROM buckets CROSS JOIN tot
+      |), wdoc AS (
+      |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    SUM(c * lam) / CAST(SUM(c) AS DOUBLE) AS raw_w
+      |  FROM feats JOIN lam USING (b)
+      |  GROUP BY doc_id, lang
+      |), m AS (SELECT round(avg(raw_w), 4) AS mean_w FROM wdoc)""".stripMargin
+
+  private lazy val pp15Sql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, lang, n_tokens, round(raw_w, 4) AS dsir_w,
+       |  round(raw_w, 4) > mean_w AS selected
+       |FROM wdoc CROSS JOIN m""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // full LSH-pipeline replay + survivor rule; built in Dedup so the
@@ -923,40 +995,32 @@ object Pipeline {
     // arithmetic), Laplace-smoothed log2 ratios over exact integer
     // counts, round-4 per-token weight — selected compares the ROUNDED
     // weight, so both engines make the same call.
-    "pp15_dsir_sample" ->
-      """WITH toksr AS (
-        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
-        |  FROM documents
-        |), feats AS (
-        |  SELECT doc_id, lang,
-        |    list_sum([ CAST(strpos('0123456789abcdef',
-        |        substr(md5(w), i, 1)) - 1 AS BIGINT)
-        |      * ([65536,4096,256,16,1])[i] FOR i IN range(1, 6) ]) % 1024 AS b,
-        |    COUNT(*) AS c
-        |  FROM toksr GROUP BY 1, 2, 3
-        |), buckets AS (
-        |  SELECT b, CAST(SUM(c) AS BIGINT) AS rc,
-        |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tc
-        |  FROM feats GROUP BY b
-        |), tot AS (
-        |  SELECT CAST(SUM(rc) AS BIGINT) AS rt,
-        |         CAST(SUM(tc) AS BIGINT) AS tt
-        |  FROM buckets
-        |), lam AS (
-        |  SELECT b,
-        |    log2(CAST(tc + 1 AS DOUBLE) / (tt + 1024)) -
-        |    log2(CAST(rc + 1 AS DOUBLE) / (rt + 1024)) AS lam
-        |  FROM buckets CROSS JOIN tot
-        |)
-        |, wdoc AS (
-        |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |    SUM(c * lam) / CAST(SUM(c) AS DOUBLE) AS raw_w
-        |  FROM feats JOIN lam USING (b)
-        |  GROUP BY doc_id, lang
-        |), m AS (SELECT round(avg(raw_w), 4) AS mean_w FROM wdoc)
-        |SELECT doc_id, lang, n_tokens, round(raw_w, 4) AS dsir_w,
-        |  round(raw_w, 4) > mean_w AS selected
-        |FROM wdoc CROSS JOIN m""".stripMargin,
+    "pp15_dsir_sample" -> pp15Sql,
+
+    // the pp15 chain + selection flags re-derived, then one per-lang
+    // rollup; shares divide exact integer sums (no rounding needed)
+    "qa08_dsir_shift" ->
+      s"""WITH $dsirCtes,
+         |sel AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    round(raw_w, 4) > mean_w AS selected
+         |  FROM wdoc CROSS JOIN m
+         |), stot AS (
+         |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_all,
+         |    CAST(SUM(CASE WHEN selected THEN n_tokens ELSE 0 END)
+         |      AS BIGINT) AS tok_sel
+         |  FROM sel
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS toks,
+         |  CAST(SUM(CASE WHEN selected THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS toks_sel,
+         |  CAST(SUM(n_tokens) AS DOUBLE) / tok_all AS share_before,
+         |  CAST(SUM(CASE WHEN selected THEN n_tokens ELSE 0 END) AS DOUBLE)
+         |    / tok_sel AS share_after
+         |FROM sel CROSS JOIN stot
+         |GROUP BY lang, tok_all, tok_sel""".stripMargin,
 
     // dc02's bloom prefilter is exact after the confirm join, so the
     // oracle is dc01's byte-for-byte: the bloom is an optimization, not

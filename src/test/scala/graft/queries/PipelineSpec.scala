@@ -194,6 +194,33 @@ class PipelineSpec extends SparkSpec {
       s"no target lean: en ${rate(en)} vs rest ${rate(rest)}")
   }
 
+  test("qa08 selection shift: shares sum to 1, counts nest, and the " +
+    "selected mix shifts toward the target language") {
+    val rows = Pipeline.queries("qa08_dsir_shift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nSel, toks, toksSel, _, _) =>
+      assert(nSel <= nDocs, s"$lang selected more docs than it has")
+      assert(toksSel <= toks, s"$lang selected more tokens than it has")
+    }
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-9, "before-shares != 1")
+    assert(math.abs(rows.map(_._7).sum - 1.0) < 1e-9, "after-shares != 1")
+    // the shift the report exists to show: the target language's token
+    // share GROWS under selection, so some other language's shrinks
+    val en = rows.find(_._1 == "en").get
+    assert(en._7 > en._6, s"en share did not grow: ${en._6} -> ${en._7}")
+    assert(rows.exists(r => r._1 != "en" && r._7 < r._6),
+      "no non-target language lost share")
+    // consistency with pp15 itself
+    assert(rows.map(_._2).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count(),
+      "n_docs sum diverges from the corpus")
+    val sel = Pipeline.queries("pp15_dsir_sample")(spark, sf)
+      .filter(col("selected")).count()
+    assert(rows.map(_._3).sum == sel, "n_sel sum diverges from pp15")
+  }
+
   test("mm03 resize: constant output size, correct kept-byte accounting") {
     val df = graft.ops.Multimodal.queries("mm03_resize_payload")(spark, sf).cache()
     assert(df.filter(col("resized_bytes") =!= 1024).count() == 0)
