@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -268,6 +268,48 @@ object Similarity {
     df.withColumn("scale", maxabs / 127.0)
       .withColumn("q", transform(xd, x => round(x / col("scale")).cast("int")))
       .drop("scale")
+  }
+
+  /** emb10's farthest-point traversal (Gonzalez greedy) over any
+    * (vec_id, q) integer-vector frame — shared by the query and
+    * tools.SelectStress. K bounded driver rounds; each round is one
+    * map-only scan against ≤K in-plan literal centers topped by
+    * orderBy+limit(1) (TakeOrderedAndProject — top-1 per partition, one
+    * row per partition to the driver, no shuffle). Returns (round,
+    * vec_id, radius) — radius = the max-min distance² the previous
+    * center set left uncovered, non-increasing by construction. */
+  def kcenterGreedy(s: SparkSession, q8: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    def sqDist(c: Seq[Int]): Column =
+      expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+        "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val seed = q8
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(1).collect()
+    if (seed.isEmpty)
+      Seq.empty[(Int, Long, Long)].toDF("round", "vec_id", "radius")
+    else {
+      var picked = Vector((1, seed(0).getLong(seed(0).fieldIndex("vec_id")), 0L))
+      var centers = Vector(seed(0).getSeq[Int](seed(0).fieldIndex("q")))
+      var r = 2
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val mind = array_min(array(centers.map(sqDist): _*))
+        val next = q8
+          .filter(!col("vec_id").isin(picked.map(_._2): _*))
+          .withColumn("mind", mind)
+          .orderBy(col("mind").desc, col("vec_id"))
+          .limit(1).collect()
+        if (next.isEmpty) exhausted = true
+        else {
+          picked :+= ((r, next(0).getLong(next(0).fieldIndex("vec_id")),
+            next(0).getLong(next(0).fieldIndex("mind"))))
+          centers :+= next(0).getSeq[Int](next(0).fieldIndex("q"))
+          r += 1
+        }
+      }
+      picked.toDF("round", "vec_id", "radius")
+    }
   }
 
   private def quantized(s: SparkSession, d: String): DataFrame = {
@@ -1028,39 +1070,7 @@ object Similarity {
     // = the max-min distance² the first r−1 centers left uncovered (a
     // non-increasing sequence, pinned in SimilaritySpec).
     "emb10_kcenter" -> { (s, d) =>
-      import s.implicits._
-      val K = 8
-      val q8 = quantized(s, d)
-      def sqDist(c: Seq[Int]): org.apache.spark.sql.Column =
-        expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
-          "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
-      val seed = q8
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(1).collect()
-      if (seed.isEmpty)
-        Seq.empty[(Int, Long, Long)].toDF("round", "vec_id", "radius")
-      else {
-        var picked = Vector((1, seed(0).getLong(seed(0).fieldIndex("vec_id")), 0L))
-        var centers = Vector(seed(0).getSeq[Int](seed(0).fieldIndex("q")))
-        var r = 2
-        var exhausted = false
-        while (r <= K && !exhausted) {
-          val mind = array_min(array(centers.map(sqDist): _*))
-          val next = q8
-            .filter(!col("vec_id").isin(picked.map(_._2): _*))
-            .withColumn("mind", mind)
-            .orderBy(col("mind").desc, col("vec_id"))
-            .limit(1).collect()
-          if (next.isEmpty) exhausted = true
-          else {
-            picked :+= ((r, next(0).getLong(next(0).fieldIndex("vec_id")),
-              next(0).getLong(next(0).fieldIndex("mind"))))
-            centers :+= next(0).getSeq[Int](next(0).fieldIndex("q"))
-            r += 1
-          }
-        }
-        picked.toDF("round", "vec_id", "radius")
-      }
+      kcenterGreedy(s, quantized(s, d), 8)
     },
 
     // Product-quantization ANN (Jégou et al. 2011, "Product

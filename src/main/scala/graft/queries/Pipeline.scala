@@ -75,7 +75,7 @@ object Pipeline {
     * agg beats a raw/target groupBy pair + left join: half the feats
     * scans, and a bucket absent from RAW cannot appear in feats at
     * all, so one B-row table covers every scored bucket). */
-  private def dsirBuckets(feats: DataFrame): DataFrame =
+  private[graft] def dsirBuckets(feats: DataFrame): DataFrame =
     feats.groupBy(col("b"))
       .agg(sum(col("c")).as("rc"),
         sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tc"))
@@ -83,7 +83,7 @@ object Pipeline {
   /** Laplace-smoothed per-bucket log2 likelihood ratio (target vs raw);
     * a bucket no target token hashed into still scores (smoothing
     * mass). B-row output — broadcasts at any corpus size. */
-  private def dsirLam(buckets: DataFrame): DataFrame = {
+  private[graft] def dsirLam(buckets: DataFrame): DataFrame = {
     val tot = buckets.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
     buckets.crossJoin(broadcast(tot))
       .select(col("b"),
@@ -92,7 +92,7 @@ object Pipeline {
   }
 
   /** Per-doc importance weight: mean per-token log ratio. */
-  private def dsirWdoc(feats: DataFrame, lam: DataFrame): DataFrame =
+  private[graft] def dsirWdoc(feats: DataFrame, lam: DataFrame): DataFrame =
     feats.join(broadcast(lam), "b")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).as("n_tokens"),
