@@ -149,6 +149,42 @@ object Graph {
   graft.SessionCaches.registerEvictor(s =>
     copurchaseCache.keySet.toSeq.filter(_._1 eq s).foreach(copurchaseCache.remove))
 
+  // gr06's directed adjacency pair: the customer→supplier half of the
+  // memoized symmetrized trade graph (even src) and its transpose (odd
+  // src — on a symmetrized table the transpose IS the other half), each
+  // repartitioned on src and persisted DISK_ONLY. HITS joins the static
+  // edges from BOTH sides every round, so each direction gets its own
+  // partitioning and only the (node, score) state shuffles per round.
+  // Filtering tradeEdges (not re-extracting) shares the
+  // IndexStore-materialized extraction with gr01/gr03/gr05. putIfAbsent
+  // + loser-unpersist: the quantized-cache race discipline.
+  private val hitsAdjCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  graft.SessionCaches.registerEvictor(s =>
+    hitsAdjCache.keySet.toSeq.filter(_._1 eq s).foreach(hitsAdjCache.remove))
+
+  private def hitsAdj(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.SessionCaches.track(s)
+    hitsAdjCache.get((s, d)).getOrElse {
+      val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+      val parts = s.sessionState.conf.numShufflePartitions
+      val te = tradeEdges(s, d)
+      def half(parity: Int): DataFrame =
+        te.filter(col("src") % 2 === parity)
+          .repartition(parts, col("src")).persist(disk)
+      val pair = (half(0), half(1))
+      hitsAdjCache.putIfAbsent((s, d), pair) match {
+        case Some(winner) =>
+          pair._1.unpersist(blocking = false)
+          pair._2.unpersist(blocking = false)
+          winner
+        case None =>
+          pair._1.count(); pair._2.count()
+          pair
+      }
+    }
+  }
+
   /** Fixed-iteration integer PageRank over a directed edge list with
     * columns (src, dst). Returns (node, rank); every node that appears
     * as a source gets a rank (on a symmetrized graph: every node). */
@@ -214,6 +250,83 @@ object Graph {
             expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("rank"))
     }
     ranks
+  }
+
+  /** HITS (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    * environment") over a DIRECTED edge list — hubs point at good
+    * authorities, authorities are pointed at by good hubs. Unlike
+    * gr01's PageRank (which runs on the symmetrized graph and assigns
+    * one score), HITS keeps the direction: on the bipartite trade
+    * graph the hub vector lives on customers (who buy from many
+    * well-connected suppliers) and the authority vector on suppliers —
+    * two DIFFERENT rankings PageRank's single symmetric score cannot
+    * express.
+    *
+    * Exactness — integer MAX-normalization (the textbook variant that
+    * normalizes scores into [0, 1] by the largest entry, here [0,
+    * ~scale] in integers): each half-step is a raw integer sum over
+    * in-edges followed by `v DIV q` with q = max(1, max(v) DIV scale).
+    * Everything is integral and positive, so the fixed recurrence is
+    * bit-exact in any engine and the DuckDB oracle replays it with
+    * unrolled CTEs (gr01's argument). L2 normalization — the other
+    * textbook choice — needs a square root, which no integer engine
+    * replays exactly; max-normalization preserves the same ordering
+    * and ratio structure per vector.
+    *
+    * Overflow headroom, ENFORCED by the same derived scale as gr01
+    * (scaleFor: N·scale ≤ 1e17 < 2^63, require'd below 10^15 nodes):
+    * after a norm step every score is < 2·scale (if max ≥ scale then
+    * q ≥ max DIV scale ≥ max/(2·scale) so v/q ≤ 2·scale; else q = 1
+    * and v ≤ max < scale), and the init h⁰ = scale satisfies the same
+    * invariant — so every raw sum is < N·2·scale ≤ 2e17, no value ever
+    * nears 2^63, and the only global statistic per half-step is a MAX
+    * (never a full-mass SUM, which could reach E·scale on a dense
+    * graph and overflow a 64-bit accumulator).
+    *
+    * Scale shape = pagerank's, doubled: the static adjacency is
+    * materialized TWICE — once partitioned on src (the hub→authority
+    * sum joins it from the src side) and once transposed (the
+    * authority→hub sum) — so per iteration only the two small (node,
+    * score) state tables shuffle; each agg's output partitioning
+    * already matches the next join's key. The per-half-step max is a
+    * 1-row aggregate crossJoined back as a broadcast.
+    *
+    * Returns (authorities, hubs) as two (node, a|h) frames: generic
+    * directed graphs score every node on both sides, and gluing them
+    * into one row per node would cost a full-outer join no consumer of
+    * a bipartite graph needs. */
+  def hits(fwd: DataFrame, rev: DataFrame, nodes: DataFrame,
+      iters: Int): (DataFrame, DataFrame) = {
+    val n = nodes.count()
+    val scale = scaleFor(n)
+    // raw is consumed TWICE per half-step (the max and the divide), so
+    // without truncation the join chain re-executes 2^half-steps times
+    // — the gr03 plan-doubling class, measured 45.9 s → ~1 s at sf0.01.
+    // The checkpoint is node-sized (one score per node), never
+    // edge-sized.
+    def norm(raw: DataFrame, c: String): DataFrame = {
+      val t = Lineage.truncate(raw)
+      val q = t.agg(expr(s"greatest(1L, max($c) DIV ${scale}L)").as("q"))
+      t.crossJoin(broadcast(q))
+        .select(col("node"), expr(s"$c DIV q").as(c))
+    }
+    def halfStep(adj: DataFrame, state: DataFrame,
+        in: String, out: String): DataFrame =
+      norm(adj.join(state, adj("src") === state("node"))
+        .select(col("dst"), col(in))
+        .groupBy(col("dst"))
+        .agg(sum(col(in)).as(out))
+        .select(col("dst").as("node"), col(out)), out)
+    // classic init: every node a hub at full scale; nodes with no
+    // out-edges drop out of h after round 1 by construction (they
+    // never appear as a fwd src), exactly as the oracle's join does
+    var h = nodes.withColumn("h", lit(scale))
+    var a = h.select(col("node"), lit(0L).as("a")).limit(0)
+    for (_ <- 1 to iters) {
+      a = halfStep(fwd, h, "h", "a")
+      h = halfStep(rev, a, "a", "h")
+    }
+    (a, h)
   }
 
   /** Multi-source BFS: minimum hop distance from a seed set, `iters`
@@ -417,6 +530,23 @@ object Graph {
       labelProp(tradeEdges(s, d), iters = 3)
         .groupBy(col("label"), kind(col("node")).as("kind"))
         .agg(count(lit(1)).as("n_nodes"))
+    },
+
+    // HITS on the DIRECTED customer→supplier graph, 3 rounds: hub
+    // scores rank customers by how well-connected the suppliers they
+    // buy from are; authority scores rank suppliers by the quality of
+    // the customers buying from them — the two-sided ranking gr01's
+    // symmetric PageRank cannot express. Bipartite structure makes the
+    // (kind, score) union exact: authorities live on odd (supplier)
+    // nodes, hubs on even (customer) nodes, never both.
+    "gr06_hits" -> { (s, d) =>
+      val (_, nodes) = adjNodes(tradeEdges(s, d))
+      val (fwd, rev) = hitsAdj(s, d)
+      val (a, h) = hits(fwd, rev, nodes, iters = 3)
+      a.select(col("node").as("node_id"), lit("supplier").as("kind"),
+          col("a").as("score"))
+        .unionByName(h.select(col("node").as("node_id"),
+          lit("customer").as("kind"), col("h").as("score")))
     }
   )
 
@@ -615,8 +745,58 @@ object Graph {
        |FROM l$iters GROUP BY 1, 2""".stripMargin
   }
 
+  // HITS unrolled: per round one in-edge sum + MAX-normalization per
+  // side, all BIGINT floor arithmetic (DuckDB's SUM widens to HUGEINT;
+  // the cast narrows it back — per-node sums stay < N·2·scale ≤ 2e17 by
+  // the enforced headroom argument on `hits`). The scale derivation
+  // mirrors scaleFor digit-for-digit, ceiling included (gr01's loudly
+  // failing CASE branch).
+  private def hitsSql(iters: Int): String = {
+    // ar$i/hr$i are each consumed twice (the MAX scalar subquery and
+    // the normalize), so without AS MATERIALIZED the inliner
+    // re-expands the whole round prefix per reference — exponential in
+    // the round count (measured 62 s → 0.1 s at sf0.01; the emb10/
+    // recursive-CTE lesson)
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a
+         |  FROM e0 e JOIN h${i - 1} h ON e.src = h.node
+         |  GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, CAST(a // GREATEST(1,
+         |    (SELECT MAX(a) FROM ar$i) // (SELECT scale FROM sc)) AS BIGINT) AS a
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+         |  FROM e0 e JOIN a$i a ON e.dst = a.node
+         |  GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, CAST(h // GREATEST(1,
+         |    (SELECT MAX(h) FROM hr$i) // (SELECT scale FROM sc)) AS BIGINT) AS h
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |sc AS MATERIALIZED (
+       |  SELECT CASE
+       |    WHEN length(CAST(GREATEST(COUNT(*), 1) AS VARCHAR)) > 15
+       |    THEN CAST('hits oracle: node count exceeds the 10^15 integer-exactness ceiling (scaleFor would require-fail)' AS BIGINT)
+       |    ELSE CAST(POWER(10, LEAST(12,
+       |      17 - length(CAST(GREATEST(COUNT(*), 1) AS VARCHAR)))) AS BIGINT)
+       |    END AS scale FROM nodes),
+       |h0 AS (SELECT node, (SELECT scale FROM sc) AS h FROM nodes),
+       |$rounds
+       |SELECT node AS node_id, 'supplier' AS kind, a AS score FROM a$iters
+       |UNION ALL
+       |SELECT node AS node_id, 'customer' AS kind, h AS score FROM h$iters""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "gr01_pagerank" -> pagerankSql,
+
+    "gr06_hits" -> hitsSql(3),
 
     "gr05_ppr" -> pprSql(4),
 

@@ -278,11 +278,14 @@ object Similarity {
     * row per partition to the driver, no shuffle). Returns (round,
     * vec_id, radius) — radius = the max-min distance² the previous
     * center set left uncovered, non-increasing by construction. */
+  /** Integer L2 distance² from a q8 row's `q` column to an in-plan
+    * literal center — emb10's kernel, shared with qa09's assignment. */
+  private def sqDist(c: Seq[Int]): Column =
+    expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+      "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
+
   def kcenterGreedy(s: SparkSession, q8: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    def sqDist(c: Seq[Int]): Column =
-      expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
-        "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
     val seed = q8
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(1).collect()
@@ -1073,6 +1076,40 @@ object Similarity {
       kcenterGreedy(s, quantized(s, d), 8)
     },
 
+    // Coreset coverage audit over emb10's centers — the report that
+    // says whether 8 exemplars actually cover the corpus: assign every
+    // vector to its nearest center (min integer L2, ties to the
+    // smaller center id — encoded as one struct-min, (d2, cid)
+    // lexicographic) and roll up each Voronoi cell's population, mean
+    // and worst distance². Scale shape: the 8 centers are in-plan
+    // LITERALS (collected from the bounded traversal output), so the
+    // assignment is MAP-ONLY — one corpus scan, an 8-row groupBy, zero
+    // corpus shuffle; at 100 TB this is the same one-pass audit shape
+    // as emb03's fixed-centroid assignment. avg_d2 divides exact
+    // integer sums in double (Σd2 < 2^53 — 60k vectors × d2 ≤ 16·254²
+    // ≈ 1e6 is 6e10; even 10^9 vectors stay under 2^53... at 10^10+
+    // the audit would switch to per-cell sums in two columns), so the
+    // doubles are bit-identical across engines.
+    "qa09_coreset_coverage" -> { (s, d) =>
+      val q8 = quantized(s, d)
+      val ids = kcenterGreedy(s, q8, 8).collect()
+        .map(_.getLong(1))
+      val cents = q8.filter(col("vec_id").isin(ids.map(Long.box): _*))
+        .collect()
+        .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+          r.getSeq[Int](r.fieldIndex("q")))
+        .sortBy(_._1)
+      val best = array_min(array(cents.map { case (cid, v) =>
+        struct(sqDist(v).as("d2"), lit(cid).as("cid")) }: _*))
+      q8.select(best.getField("d2").as("d2"), best.getField("cid").as("cid"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("d2")) / count(lit(1))).as("avg_d2"),
+          max(col("d2")).as("max_d2"))
+        .select(col("cid").as("center_id"), col("n_vecs"),
+          col("avg_d2"), col("max_d2"))
+    },
+
     // Product-quantization ANN (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search") — the memory-bounded
     // ANN tier: the 64-dim int8 vector is split into M=32 subspaces of
@@ -1392,32 +1429,40 @@ object Similarity {
           s"  MAX(CASE WHEN j = ${j - 1} THEN y END) AS y$j").mkString(",\n")}
        |FROM proj GROUP BY vec_id""".stripMargin
 
-  // emb10 oracle: the same 8 farthest-point rounds UNROLLED (gr05's
-  // unrolled-iteration idiom) — per round, min integer L2 against the
-  // accumulated center set via the expansion x·x − 2x·c + c·c (exactly
-  // the Column form's Σ(a−b)² in integers), argmax with ties to the
-  // smaller vec_id, centers carried forward by UNION ALL.
-  private lazy val emb10Sql: String = {
+  // The emb10 traversal's integer L2 between q8 row `f` and center row
+  // `c` via the expansion x·x − 2x·c + c·c (exactly the Column form's
+  // Σ(a−b)² in integers) — shared by the emb10 rounds and qa09's
+  // assignment.
+  private val kcL2 = "CAST(list_dot_product(f.q, f.q) AS BIGINT) - " +
+    "2 * CAST(list_dot_product(f.q, c.q) AS BIGINT) + " +
+    "CAST(list_dot_product(c.q, c.q) AS BIGINT)"
+
+  // The 8 farthest-point rounds UNROLLED (gr05's unrolled-iteration
+  // idiom) — per round, min integer L2 against the accumulated center
+  // set, argmax with ties to the smaller vec_id, centers carried
+  // forward by UNION ALL. Shared CTE chain (the dsirCtes precedent):
+  // emb10 reads the per-round picks p$r, qa09 reads the final center
+  // set cents8 — the traversal SQL exists exactly once.
+  private lazy val emb10Ctes: String = {
     val K = 8
-    val l2 = "CAST(list_dot_product(f.q, f.q) AS BIGINT) - " +
-      "2 * CAST(list_dot_product(f.q, c.q) AS BIGINT) + " +
-      "CAST(list_dot_product(c.q, c.q) AS BIGINT)"
+    // cents$r is consumed 3x by round r+1 (the distance scan, the
+    // NOT-IN exclusion, the union carry) plus qa09's assignment;
+    // without AS MATERIALIZED the inliner re-expands the whole
+    // traversal prefix per reference — exponential in K (the round-12
+    // recursive-CTE lesson, tools/profile_oracle.py)
     val rounds = (2 to K).map { r =>
       s"""m$r AS (
-         |  SELECT f.vec_id, MIN($l2) AS radius
+         |  SELECT f.vec_id, MIN($kcL2) AS radius
          |  FROM q8 f CROSS JOIN cents${r - 1} c
          |  WHERE f.vec_id NOT IN (SELECT vec_id FROM cents${r - 1})
          |  GROUP BY f.vec_id
          |), p$r AS (SELECT vec_id, radius FROM m$r
          |  ORDER BY radius DESC, vec_id LIMIT 1),
-         |cents$r AS (SELECT vec_id, q FROM cents${r - 1}
+         |cents$r AS MATERIALIZED (SELECT vec_id, q FROM cents${r - 1}
          |  UNION ALL SELECT q8.vec_id, q8.q FROM q8 JOIN p$r USING (vec_id))"""
         .stripMargin
     }.mkString(",\n")
-    val outs = (2 to K)
-      .map(r => s"SELECT CAST($r AS INT) AS round, vec_id, radius FROM p$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH q8 AS MATERIALIZED (
+    s"""q8 AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(
        |      CAST(x AS DOUBLE) /
@@ -1428,15 +1473,45 @@ object Similarity {
        |c1 AS (SELECT vec_id, q FROM q8
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
        |cents1 AS (SELECT vec_id, q FROM c1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val emb10Sql: String = {
+    val outs = (2 to 8)
+      .map(r => s"SELECT CAST($r AS INT) AS round, vec_id, radius FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $emb10Ctes
        |SELECT CAST(1 AS INT) AS round, vec_id, CAST(0 AS BIGINT) AS radius FROM c1
        |UNION ALL $outs""".stripMargin
   }
+
+  // qa09: the emb10 chain + Voronoi assignment — min L2 per corpus
+  // vector, argmin ties to the smaller center id (re-derived by joining
+  // the achieved minimum back, the same two-step the Spark struct-min
+  // encodes), then one 8-row rollup. avg_d2 divides exact integer sums
+  // in double (tx09's bit-identical rationale: Σd2 < 2^53).
+  private lazy val qa09Sql: String =
+    s"""WITH $emb10Ctes,
+       |cents AS MATERIALIZED (SELECT vec_id AS cid, q FROM cents8),
+       |dmin AS (
+       |  SELECT f.vec_id, MIN($kcL2) AS d2
+       |  FROM q8 f CROSS JOIN cents c
+       |  GROUP BY f.vec_id),
+       |asg AS (
+       |  SELECT f.vec_id, dm.d2, MIN(c.cid) AS cid
+       |  FROM q8 f JOIN dmin dm USING (vec_id) CROSS JOIN cents c
+       |  WHERE $kcL2 = dm.d2
+       |  GROUP BY f.vec_id, dm.d2)
+       |SELECT cid AS center_id, COUNT(*) AS n_vecs,
+       |  CAST(SUM(d2) AS BIGINT) / COUNT(*) AS avg_d2,
+       |  MAX(d2) AS max_d2
+       |FROM asg GROUP BY cid""".stripMargin
 
   // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
   // the sequential double fold of VecDot (validated empirically).
   def oracle: Map[String, String] = Map(
     "emb10_kcenter" -> emb10Sql,
+    "qa09_coreset_coverage" -> qa09Sql,
     "emb07_pca_topk" -> emb07Sql,
     "emb08_jl_project" -> emb08Sql,
     "emb09_whiten" -> emb09Sql,

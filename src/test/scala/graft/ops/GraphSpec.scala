@@ -21,6 +21,69 @@ class GraphSpec extends SparkSpec {
     rank
   }
 
+  /** Reference HITS: the same integer max-normalized recurrence in
+    * plain Scala, with JOIN semantics mirrored exactly — a node absent
+    * from the state contributes nothing, and an aggregation target
+    * with no matched in-edges gets NO row (not a zero row). */
+  private def refHits(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      iters: Int): (Map[Long, Long], Map[Long, Long]) = {
+    val scale = Graph.scaleFor(nodes.size.toLong)
+    def norm(v: Map[Long, Long]): Map[Long, Long] = {
+      val q = math.max(1L, v.values.max / scale)
+      v.view.mapValues(_ / q).toMap
+    }
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      a = norm(edges.filter(e => h.contains(e._1)).groupBy(_._2)
+        .view.mapValues(_.map(e => h(e._1)).sum).toMap)
+      h = norm(edges.filter(e => a.contains(e._2)).groupBy(_._1)
+        .view.mapValues(_.map(e => a(e._2)).sum).toMap)
+    }
+    (a, h)
+  }
+
+  test("hits matches the integer recurrence on a bipartite graph and " +
+    "ranks the busiest hub highest") {
+    import spark.implicits._
+    // customers {0,2,4} → suppliers {1,3,5}; customer 2 buys from all
+    val edges = Seq((0L, 1L), (0L, 3L), (2L, 1L), (2L, 3L), (2L, 5L), (4L, 5L))
+    val fwd = edges.toDF("src", "dst")
+    val rev = edges.map(_.swap).toDF("src", "dst")
+    val nodes = (0L to 5L).toDF("node")
+    val (aDf, hDf) = Graph.hits(fwd, rev, nodes, iters = 3)
+    val a = aDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = hDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (refA, refH) = refHits(edges, 0L to 5L, 3)
+    assert(a == refA, s"authorities diverged: $a vs $refA")
+    assert(h == refH, s"hubs diverged: $h vs $refH")
+    assert(h(2L) == h.values.max, "3-edge customer 2 should top the hubs")
+    // suppliers 1 and 3 have identical in-neighborhoods → equal authority
+    assert(a(1L) == a(3L))
+  }
+
+  test("gr06 query: kinds follow node parity, every node scored once, " +
+    "max-normalization lands the top score in [scale, 2*scale)") {
+    val out = Graph.queries("gr06_hits")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, kind, _) =>
+      assert(kind == (if (id % 2 == 0) "customer" else "supplier"),
+        s"node $id kind $kind")
+    }
+    assert(out.map(x => (x._1, x._2)).distinct.length == out.length,
+      "a node was scored twice")
+    // output = all suppliers + all customers = the full node set, so
+    // the derived scale is recoverable from the row count
+    val scale = Graph.scaleFor(out.length.toLong)
+    Seq("customer", "supplier").foreach { k =>
+      val scores = out.filter(_._2 == k).map(_._3)
+      assert(scores.forall(_ >= 0L))
+      assert(scores.max >= scale && scores.max < 2 * scale,
+        s"$k max ${scores.max} outside [$scale, ${2 * scale})")
+    }
+  }
+
   test("scaleFor holds 1e12 below 100k nodes, then drops a decade per decade") {
     assert(Graph.scaleFor(1L) == 1000000000000L)
     assert(Graph.scaleFor(99999L) == 1000000000000L)

@@ -346,4 +346,39 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(out.toSeq == picked, s"traversal diverged:\n$out\nvs\n$picked")
   }
+
+  test("qa09 coverage: full Voronoi replay, populations cover the corpus " +
+    "exactly once, worst distance bounded by the last k-center radius") {
+    val out = Similarity.queries("qa09_coreset_coverage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val centers = Similarity.queries("emb10_kcenter")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet.subsetOf(centers.map(_._2).toSet),
+      "a cell is keyed by a non-center")
+    // independent quantize + assignment replay in plain Scala
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val scale = v.map(math.abs).max / 127.0
+        r.getLong(0) -> v.map(x => math.round(x / scale).toInt).toArray
+      }.toMap
+    def l2(a: Array[Int], b: Array[Int]): Long =
+      a.indices.map(i => (a(i) - b(i)).toLong * (a(i) - b(i))).sum
+    val cvs = centers.map(_._2).sorted.map(id => id -> vecs(id))
+    val asg = vecs.toSeq.map { case (_, q) =>
+      cvs.map { case (c, cq) => (c, l2(q, cq)) }
+        .minBy { case (c, d) => (d, c) }
+    }
+    val ref = asg.groupBy(_._1).map { case (cid, xs) =>
+      (cid, xs.size.toLong,
+        xs.map(_._2).sum.toDouble / xs.size, xs.map(_._2).max)
+    }.toSet
+    assert(out.toSet == ref, s"coverage diverged:\n${out.toSet}\nvs\n$ref")
+    assert(out.map(_._2).sum == vecs.size, "cell populations != corpus")
+    // the k-center bound: the worst covered distance is exactly what a
+    // 9th round would pick, which cannot exceed round 8's radius
+    val r8 = centers.maxBy(_._1)._3
+    assert(out.map(_._4).max <= r8,
+      s"coverage worse than the last selection radius: ${out.map(_._4).max} > $r8")
+  }
 }

@@ -45,6 +45,9 @@ class DsirStreamSpec extends SparkSpec {
         java.nio.file.Files.move(part.toPath,
           dir.resolve(s"$name.parquet"))
       }
+      // the cache only spans the two staging writes; the shared
+      // session outlives this suite
+      docs.unpersist()
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType),
