@@ -122,8 +122,9 @@ object Bench {
       "dd13_substring_scrub", "dd13b_substring_scrub_keep1",
       "dd14_containment_audit",
       "emb03_kmeans_int", "emb05_pca_project", "emb06_pca_variance",
-      "emb07_pca_topk", "emb09_whiten",
+      "emb07_pca_topk", "emb09_whiten", "emb10_kcenter",
       "gr01_pagerank", "gr02_triangles", "gr03_bfs_hops", "gr04_label_prop",
+      "gr05_ppr", "gr06_hits", "qa09_coreset_coverage",
       "pp02_near_dedup_corpus", "pp12_dedup_apply", "pp13_split_leakage",
       "qa04_cluster_sizes", "qa06_dedup_impact", "qa07_dedup_flow",
       "ss02_lsh_topk", "ss03_ivf_topk", "ss03b_ivf_int8_topk",

@@ -299,11 +299,14 @@ object Graph {
       iters: Int): (DataFrame, DataFrame) = {
     val n = nodes.count()
     val scale = scaleFor(n)
-    // raw is consumed TWICE per half-step (the max and the divide), so
-    // without truncation the join chain re-executes 2^half-steps times
-    // — the gr03 plan-doubling class, measured 45.9 s → ~1 s at sf0.01.
-    // The checkpoint is node-sized (one score per node), never
-    // edge-sized.
+    // Each raw sum is consumed TWICE (the max and the divide), so left
+    // alone the join chain re-executes 2^half-steps times — the gr03
+    // plan-doubling class, measured 45.9 s → ~5 s at sf0.01. The
+    // truncation is node-sized (one score per node), never edge-sized.
+    // (A persist-raw + truncate-once-per-round variant was measured at
+    // the same wall time — the cost is the 6 edge joins + 6 broadcast
+    // max stages themselves, proportional to the operator's work — so
+    // the simpler per-half-step truncation stays.)
     def norm(raw: DataFrame, c: String): DataFrame = {
       val t = Lineage.truncate(raw)
       val q = t.agg(expr(s"greatest(1L, max($c) DIV ${scale}L)").as("q"))

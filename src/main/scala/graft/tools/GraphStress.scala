@@ -80,12 +80,58 @@ object GraphStress {
     val triExpected = k * (k - 1) * (k - 2) / 6
     val triOk = nTri == triExpected
 
-    val ok = bfsOk && triOk
+    // ---- HITS on two planted complete-bipartite blocks ----
+    // Block A: 4000 customers × 3000 suppliers (12M edges); block B:
+    // 2000 × 1000 (2M) — ~40x sf0.1's trade graph. Disconnected
+    // blocks + complete bipartite inside each ⇒ the recurrence
+    // collapses to FOUR scalars (per-block hub/authority), so the
+    // exact integer fixed point is computable in closed form and every
+    // node's score is asserted EXACTLY; the denser block must top both
+    // rankings. Certifies: per-half-step state stays node-sized
+    // (10k rows against 14M edges), the truncation keeps rounds flat.
+    val (cA, sA, cB, sB) = (4000L, 3000L, 2000L, 1000L)
+    val blockA = spark.range(cA * sA).select(
+      (col("id") % cA).as("src"),
+      (lit(10000000L) + expr(s"id div $cA")).as("dst"))
+    val blockB = spark.range(cB * sB).select(
+      (lit(100000L) + col("id") % cB).as("src"),
+      (lit(20000000L) + expr(s"id div $cB")).as("dst"))
+    val fwd = blockA.unionByName(blockB)
+    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
+    val nodes = fwd.select(col("src").as("node"))
+      .unionByName(fwd.select(col("dst").as("node"))).distinct()
+    val hitsIters = 3
+    val ((aMap, hMap), hitsSec) = timed {
+      val (a, h) = graft.ops.Graph.hits(fwd, rev, nodes, hitsIters)
+      (a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    // the block-uniform recurrence on four scalars — exact expected scores
+    val scale = graft.ops.Graph.scaleFor(cA + sA + cB + sB)
+    var (hA, hB) = (scale, scale)
+    var (aA, aB) = (0L, 0L)
+    for (_ <- 1 to hitsIters) {
+      val (arA, arB) = (cA * hA, cB * hB)
+      val qa = math.max(1L, math.max(arA, arB) / scale)
+      aA = arA / qa; aB = arB / qa
+      val (hrA, hrB) = (sA * aA, sB * aB)
+      val qh = math.max(1L, math.max(hrA, hrB) / scale)
+      hA = hrA / qh; hB = hrB / qh
+    }
+    val hitsOk = aMap.size == sA + sB && hMap.size == cA + cB &&
+      aA > aB && hA > hB &&
+      aMap.forall { case (n, v) => v == (if (n >= 20000000L) aB else aA) } &&
+      hMap.forall { case (n, v) => v == (if (n >= 100000L) hB else hA) }
+
+    val ok = bfsOk && triOk && hitsOk
     println(s"""{"nTree":$nTree,"noiseEdges":${noiseSide * noiseSide},""" +
       s""""bfs_sec":$bfsSec,"tri_sec":$triSec,""" +
       s""""bfs_counts":${bfsCounts.toSeq.sorted.map(p => s"[${p._1},${p._2}]").mkString("[", ",", "]")},""" +
-      s""""n_triangles":$nTri,"tri_expected":$triExpected,"ok":$ok}""")
-    assert(ok, s"graph stress bound violated: bfs=$bfsCounts tri=$nTri")
+      s""""n_triangles":$nTri,"tri_expected":$triExpected,""" +
+      s""""hits_edges":${cA * sA + cB * sB},"hits_sec":$hitsSec,""" +
+      s""""hits_scores":[$aA,$aB,$hA,$hB],"ok":$ok}""")
+    assert(ok, s"graph stress bound violated: bfs=$bfsCounts tri=$nTri " +
+      s"hits=($aA,$aB,$hA,$hB)")
     spark.stop()
   }
 }
