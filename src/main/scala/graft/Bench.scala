@@ -126,6 +126,8 @@ object Bench {
       "gr01_pagerank", "gr02_triangles", "gr03_bfs_hops", "gr04_label_prop",
       "gr05_ppr", "gr06_hits", "qa09_coreset_coverage",
       "pp02_near_dedup_corpus", "pp12_dedup_apply", "pp13_split_leakage",
+      "pp15_dsir_sample", "qa08_dsir_shift",
+      "tx12_lm_score", "tx21_kn_lm_score",
       "qa04_cluster_sizes", "qa06_dedup_impact", "qa07_dedup_flow",
       "ss02_lsh_topk", "ss03_ivf_topk", "ss03b_ivf_int8_topk",
       "ss03c_ivfadc_rerank", "ss09_pq_topk", "ss10_pq_rerank",

@@ -47,6 +47,39 @@ object TextAnalysis {
             concat_ws(" ", slice(tt, i, lit(n)))))
           .otherwise(array().cast("array<string>"))), 1)
 
+  // The (doc_id, w1, w2) bigram explode SHARED by tx12 and tx21 — the
+  // two LM filters consume the identical corpus-sized table, so it is
+  // tokenized, exploded and DISK_ONLY-persisted once per (session, dir)
+  // (Dedup.pairCache's materialize-the-intermediate-once discipline; a
+  // per-call persist leaked one corpus-sized copy per invocation for
+  // the session lifetime — the ss09 quantized-leak class). DISK_ONLY
+  // because the bigram table scales with the corpus and pinning it in
+  // executor memory is what breaks at 100 TB. Race rule: putIfAbsent,
+  // loser unpersists. Empty-build rule: an empty corpus is never
+  // memoized (the plan would freeze the empty file listing).
+  private val bigramCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  graft.SessionCaches.registerEvictor(s =>
+    bigramCache.keySet.toSeq.filter(_._1 eq s).foreach(bigramCache.remove))
+
+  private def bigramPairs(s: SparkSession, d: String): DataFrame = {
+    graft.SessionCaches.track(s)
+    bigramCache.get((s, d)).getOrElse {
+      val built = docs(s, d)
+        .withColumn("t", toks(lower(col("text"))))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode_outer(wordGrams(col("t"), 2)).as("g"))
+        .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      if (built.limit(1).isEmpty) { built.unpersist(blocking = false); built }
+      else bigramCache.putIfAbsent((s, d), built) match {
+        case Some(winner) => built.unpersist(blocking = false); winner
+        case None => built
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, distinct tokens, and a BPE-ish
     // regex tokenization (letter runs / digit runs / single symbols —
@@ -357,18 +390,7 @@ object TextAnalysis {
     // sits 3.3e-9 from a boundary, cross-engine log/sum-order noise is
     // ~1e-14).
     "tx12_lm_score" -> { (s, d) =>
-      val pairs = docs(s, d)
-        .withColumn("t", toks(lower(col("text"))))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode_outer(wordGrams(col("t"), 2)).as("g"))
-        .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
-          split(col("g"), " ").getItem(1).as("w2"))
-        // two consumers read this table — the LM aggregation and the
-        // per-document score join. Persist so documents are scanned and
-        // tokenized ONCE (dd03's pattern); DISK_ONLY because the bigram
-        // table scales with the corpus and pinning it in executor
-        // memory is what breaks at 100 TB.
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val pairs = bigramPairs(s, d)
       val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val lm = big.join(uni, "w1")
@@ -398,13 +420,7 @@ object TextAnalysis {
     // per-doc average rounds to 4 decimals (tx12's noise-vs-boundary
     // argument).
     "tx21_kn_lm_score" -> { (s, d) =>
-      val pairs = docs(s, d)
-        .withColumn("t", toks(lower(col("text"))))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode_outer(wordGrams(col("t"), 2)).as("g"))
-        .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
-          split(col("g"), " ").getItem(1).as("w2"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val pairs = bigramPairs(s, d)
       val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val uni = big.groupBy(col("w1"))
         .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w"))
