@@ -1091,23 +1091,32 @@ object Similarity {
     // the audit would switch to per-cell sums in two columns), so the
     // doubles are bit-identical across engines.
     "qa09_coreset_coverage" -> { (s, d) =>
+      import s.implicits._
       val q8 = quantized(s, d)
       val ids = kcenterGreedy(s, q8, 8).collect()
         .map(_.getLong(1))
-      val cents = q8.filter(col("vec_id").isin(ids.map(Long.box): _*))
-        .collect()
-        .map(r => r.getLong(r.fieldIndex("vec_id")) ->
-          r.getSeq[Int](r.fieldIndex("q")))
-        .sortBy(_._1)
-      val best = array_min(array(cents.map { case (cid, v) =>
-        struct(sqDist(v).as("d2"), lit(cid).as("cid")) }: _*))
-      q8.select(best.getField("d2").as("d2"), best.getField("cid").as("cid"))
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_vecs"),
-          (sum(col("d2")) / count(lit(1))).as("avg_d2"),
-          max(col("d2")).as("max_d2"))
-        .select(col("cid").as("center_id"), col("n_vecs"),
-          col("avg_d2"), col("max_d2"))
+      // empty corpus → no centers → an empty report of the right shape
+      // (empty-in → empty-out, the EmptyCorpusSpec contract; a zero-arm
+      // array_min(array()) would be VOID-typed and fail analysis)
+      if (ids.isEmpty)
+        Seq.empty[(Long, Long, Double, Long)]
+          .toDF("center_id", "n_vecs", "avg_d2", "max_d2")
+      else {
+        val cents = q8.filter(col("vec_id").isin(ids.map(Long.box): _*))
+          .collect()
+          .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+            r.getSeq[Int](r.fieldIndex("q")))
+          .sortBy(_._1)
+        val best = array_min(array(cents.map { case (cid, v) =>
+          struct(sqDist(v).as("d2"), lit(cid).as("cid")) }: _*))
+        q8.select(best.getField("d2").as("d2"), best.getField("cid").as("cid"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vecs"),
+            (sum(col("d2")) / count(lit(1))).as("avg_d2"),
+            max(col("d2")).as("max_d2"))
+          .select(col("cid").as("center_id"), col("n_vecs"),
+            col("avg_d2"), col("max_d2"))
+      }
     },
 
     // Product-quantization ANN (Jégou et al. 2011, "Product

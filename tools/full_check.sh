@@ -9,7 +9,13 @@ set -e
 cd /root/repo
 BUDGET_S=${GRAFT_SWEEP_BUDGET_S:-900}
 echo "== compile =="; sbt -batch compile -error | tail -1
-echo "== tests ==";   sbt -batch test 2>&1 | grep -E "Tests:|FAILED" | head -2
+# anchor on ScalaTest's own summary lines: free-text exceptions that
+# happen to contain "FAILED" (e.g. FAILED_READ_FILE warnings from async
+# cleanup races) must not consume the head window and hide the summary
+echo "== tests =="
+test_out=$(sbt -batch test 2>&1 | grep -E "^\[info\] Tests:|^\[error\].*Failed tests" | head -3)
+echo "$test_out"
+echo "$test_out" | grep -q "failed 0" || { echo "FAIL: test suite not green" >&2; exit 1; }
 total=0
 for sf in 0.001 0.01; do
   echo "== verify sf$sf =="
