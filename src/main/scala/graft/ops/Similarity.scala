@@ -1119,6 +1119,30 @@ object Similarity {
       }
     },
 
+    // ANN-quality audit: recall@10 of the persisted IVF index (ss03)
+    // against the exact brute-force top-10 (ss01), per probe query —
+    // the number an ANN deployment watches before trusting the index.
+    // Pure composition of two oracle-gated queries; the overlap is an
+    // id semi-join (no float comparison can flake it) and recall
+    // divides exact integer counts in double. Bounded everywhere: 10
+    // probe queries × top-10 rows per side — at 100 TB the expensive
+    // parts (index build, brute-force scan) are the audited queries
+    // themselves; the audit adds two 100-row aggregations.
+    "qa10_ann_recall" -> { (s, d) =>
+      val exact = queries("ss01_topk_bruteforce")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val ann = queries("ss03_ivf_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_true").cast("double")).as("recall"))
+    },
+
     // Product-quantization ANN (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search") — the memory-bounded
     // ANN tier: the 64-dim int8 vector is split into M=32 subspaces of
@@ -1516,6 +1540,87 @@ object Similarity {
        |  MAX(d2) AS max_d2
        |FROM asg GROUP BY cid""".stripMargin
 
+  // The ss03 persisted-index replay as a shared CTE chain (the
+  // dsirCtes/emb10Ctes precedent): the integer coarse-quantizer train
+  // (hash-ordered seeds, one truncating-integer-mean Lloyd round),
+  // cell membership, the nprobe=3 probed cells, exact double cosine
+  // scoring, and the final per-query top-10 as `ivf_topk` — consumed
+  // by the ss03 oracle and qa10's recall audit, so the index SQL
+  // exists exactly once.
+  private lazy val ss03Ctes: String =
+      """q8 AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(
+        |      CAST(x AS DOUBLE) /
+        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+        |    ) AS INT)) AS q
+        |  FROM embeddings
+        |),
+        |seeds AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid, q
+        |  FROM (SELECT vec_id, q FROM q8
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) t
+        |),
+        |a1 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT x.vec_id, x.q, s.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(x.q, s.q) AS BIGINT)
+        |          + CAST(list_dot_product(s.q, s.q) AS BIGINT), s.cid) AS rn
+        |    FROM q8 x, seeds s) z
+        |  WHERE rn = 1
+        |),
+        |sums AS (
+        |  SELECT cid, u.i AS pos, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a1, UNNEST(range(0, len(q))) AS u(i)
+        |  GROUP BY cid, u.i
+        |),
+        |newc AS MATERIALIZED (
+        |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
+        |  FROM sums GROUP BY cid
+        |),
+        |cells AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT x.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(x.q, c.q) AS BIGINT)
+        |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+        |    FROM q8 x, newc c) z
+        |  WHERE rn = 1
+        |),
+        |probe AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT qv.vec_id AS q_id, c.cid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+        |        CAST(list_dot_product(qv.q, qv.q) AS BIGINT)
+        |          - 2 * CAST(list_dot_product(qv.q, c.q) AS BIGINT)
+        |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
+        |    FROM (SELECT vec_id, q FROM q8 WHERE vec_id < 10) qv, newc c) z
+        |  WHERE rn <= 3
+        |),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT p.q_id, c.vec_id,
+        |    list_dot_product(x.v, qv.v) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+        |  FROM probe p
+        |  JOIN cells c ON c.cell = p.cell AND c.vec_id != p.q_id
+        |  JOIN e x ON x.vec_id = c.vec_id
+        |  JOIN e qv ON qv.vec_id = p.q_id
+        |),
+        |ivf_topk AS MATERIALIZED (
+        |  SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rank FROM (
+        |    SELECT q_id, vec_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |    FROM scored) z
+        |  WHERE rn <= 10)""".stripMargin
+
   // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
   // the sequential double fold of VecDot (validated empirically).
   def oracle: Map[String, String] = Map(
@@ -1884,78 +1989,41 @@ object Similarity {
     // list_dot_product equals Spark's sequential VecDot fold) ranks
     // the candidates. Build/probe decisions integer, score float —
     // both replayable, so the persisted-index query is hash-exact.
-    "ss03_ivf_topk" ->
-      """WITH q8 AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(round(
-        |      CAST(x AS DOUBLE) /
-        |        (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
-        |    ) AS INT)) AS q
-        |  FROM embeddings
+    "ss03_ivf_topk" -> s"""WITH $ss03Ctes
+        |SELECT q_id, vec_id, cos, rank FROM ivf_topk""".stripMargin,
+
+    // qa10: the ANN-quality audit — per probe query, how many of the
+    // exact brute-force top-10 the persisted IVF index actually
+    // returned. Both sides re-derived from the already-gated chains
+    // (ss03's CTE chain + ss01's scoring over the SAME `e` table), the
+    // overlap is a pure id semi-join (float-independent), and recall
+    // divides exact integer counts in double.
+    "qa10_ann_recall" -> s"""WITH $ss03Ctes,
+        |bf AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, x.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(x.v, q.v) /
+        |          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+        |        x.vec_id) AS rn
+        |    FROM e x, e q
+        |    WHERE q.vec_id < 10 AND x.vec_id != q.vec_id) t
+        |  WHERE rn <= 10
         |),
-        |seeds AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (
-        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid, q
-        |  FROM (SELECT vec_id, q FROM q8
-        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) t
+        |hit AS (
+        |  SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM bf b JOIN ivf_topk iv
+        |    ON iv.q_id = b.q_id AND iv.vec_id = b.vec_id
+        |  GROUP BY b.q_id
         |),
-        |a1 AS (
-        |  SELECT vec_id, q, cid FROM (
-        |    SELECT x.vec_id, x.q, s.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
-        |          - 2 * CAST(list_dot_product(x.q, s.q) AS BIGINT)
-        |          + CAST(list_dot_product(s.q, s.q) AS BIGINT), s.cid) AS rn
-        |    FROM q8 x, seeds s) z
-        |  WHERE rn = 1
-        |),
-        |sums AS (
-        |  SELECT cid, u.i AS pos, CAST(SUM(q[u.i + 1]) AS BIGINT) AS s,
-        |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM a1, UNNEST(range(0, len(q))) AS u(i)
-        |  GROUP BY cid, u.i
-        |),
-        |newc AS MATERIALIZED (
-        |  SELECT cid, list(CAST((s - (s % n)) // n AS INT) ORDER BY pos) AS q
-        |  FROM sums GROUP BY cid
-        |),
-        |cells AS MATERIALIZED (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT x.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-        |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
-        |          - 2 * CAST(list_dot_product(x.q, c.q) AS BIGINT)
-        |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
-        |    FROM q8 x, newc c) z
-        |  WHERE rn = 1
-        |),
-        |probe AS (
-        |  SELECT q_id, cell FROM (
-        |    SELECT qv.vec_id AS q_id, c.cid AS cell,
-        |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
-        |        CAST(list_dot_product(qv.q, qv.q) AS BIGINT)
-        |          - 2 * CAST(list_dot_product(qv.q, c.q) AS BIGINT)
-        |          + CAST(list_dot_product(c.q, c.q) AS BIGINT), c.cid) AS rn
-        |    FROM (SELECT vec_id, q FROM q8 WHERE vec_id < 10) qv, newc c) z
-        |  WHERE rn <= 3
-        |),
-        |e AS MATERIALIZED (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |),
-        |scored AS (
-        |  SELECT p.q_id, c.vec_id,
-        |    list_dot_product(x.v, qv.v) /
-        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
-        |  FROM probe p
-        |  JOIN cells c ON c.cell = p.cell AND c.vec_id != p.q_id
-        |  JOIN e x ON x.vec_id = c.vec_id
-        |  JOIN e qv ON qv.vec_id = p.q_id
+        |base AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM bf GROUP BY q_id
         |)
-        |SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rank FROM (
-        |  SELECT q_id, vec_id, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-        |  FROM scored) z
-        |WHERE rn <= 10""".stripMargin,
+        |SELECT b.q_id, b.n_true,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_true AS recall
+        |FROM base b LEFT JOIN hit h USING (q_id)""".stripMargin,
 
     // ss03b: the IVF build + probe replayed end-to-end — emb03's Lloyd
     // chain at K=16 (same hash-ordered seeds, same truncating integer

@@ -37,6 +37,14 @@ class EmptyCorpusSpec extends SparkSpec {
         s"${failed.length} queries crash on a $n-row corpus:\n" +
           failed.map { case (nm, m) => s"  $nm -> $m" }.mkString("\n"))
     } finally {
+      // drain in-flight async work (AQE broadcast-stage futures from
+      // the last queries) before deleting their input files — deleting
+      // under a live job logs spurious executor FAILED_READ_FILE
+      // errors that bury real signal in CI output
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
       // the sweep corpus is per-run; so is the z-layout the Bucketing
       // queries derive for it (deterministic per-corpus temp path) —
       // delete both, or every CI run leaks corpus-sized directories

@@ -381,4 +381,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._4).max <= r8,
       s"coverage worse than the last selection radius: ${out.map(_._4).max} > $r8")
   }
+
+  test("qa10 recall equals an independent overlap count of ss01 vs ss03") {
+    val exact = Similarity.queries("ss01_topk_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ann = Similarity.queries("ss03_ivf_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.queries("qa10_ann_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = exact.groupBy(_._1)
+    assert(out.length == byQ.size, "one recall row per probe query")
+    out.foreach { case (q, nTrue, nHit, recall) =>
+      val ex = byQ(q)
+      assert(nTrue == ex.length.toLong && nTrue == 10L, s"q=$q base size")
+      val hits = ex.count(ann)
+      assert(nHit == hits.toLong, s"q=$q overlap")
+      assert(recall == hits.toDouble / ex.length, s"q=$q recall value")
+    }
+  }
 }
