@@ -54,7 +54,20 @@ object Lineage {
     * above). */
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    if (s.sparkContext.getCheckpointDir.isDefined) {
+    // Reliable only when it buys durability: on a LOCAL master the
+    // executors share the driver JVM, so a local checkpoint dies in
+    // exactly the same failure a reliable one would survive — and the
+    // reliable write is ~2x the cost (measured: the bench's whole
+    // graph family regressed 1.7-2x the moment dd08's CC configured a
+    // checkpoint dir and silently flipped every later truncate to
+    // reliable). Auto = reliable iff non-local master with a dir
+    // configured; spark.graft.checkpoint.reliable=true/false forces
+    // the choice (the spec uses it; a dir is still required).
+    val force = s.conf.getOption("spark.graft.checkpoint.reliable")
+      .map(_.toBoolean)
+    val reliable = force.getOrElse(!s.sparkContext.isLocal) &&
+      s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) {
       val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
       val out =
         try cached.checkpoint()

@@ -245,6 +245,9 @@ class GraphSpec extends SparkSpec {
     assert(sc.getCheckpointDir.isEmpty, "test session unexpectedly has a dir")
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     sc.setCheckpointDir(dir)
+    // on a local master truncate auto-selects LOCAL checkpoints (same
+    // durability, half the cost); force the reliable path to test it
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
     try {
       val path = (0L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
       val got = Graph.bfsHops(path.toDF("src", "dst"), col("node") === 0L, 4)
@@ -257,6 +260,7 @@ class GraphSpec extends SparkSpec {
       finally walk.close()
       assert(wrote > 0, s"no reliable checkpoint files under $dir")
     } finally {
+      spark.conf.unset("spark.graft.checkpoint.reliable")
       // SparkContext has no unsetCheckpointDir; reflectively clear the
       // option so later tests see the pristine session
       val f = sc.getClass.getDeclaredField("checkpointDir")
