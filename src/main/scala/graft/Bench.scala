@@ -129,6 +129,9 @@ object Bench {
       "pp15_dsir_sample", "qa08_dsir_shift",
       "tx12_lm_score", "tx21_kn_lm_score",
       "qa04_cluster_sizes", "qa06_dedup_impact", "qa07_dedup_flow",
+      // qa10 sorts BEFORE ss03, so its cold rep is the one that pays
+      // the IVF index + quantized-corpus build at the bench SF
+      "qa10_ann_recall",
       "ss02_lsh_topk", "ss03_ivf_topk", "ss03b_ivf_int8_topk",
       "ss03c_ivfadc_rerank", "ss09_pq_topk", "ss10_pq_rerank",
       "tx16_bm25_topk", "tx17_bpe_train", "tx18_bpe_encode",

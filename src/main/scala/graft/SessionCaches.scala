@@ -35,3 +35,36 @@ object SessionCaches {
       })
     }
 }
+
+/** The per-(session, key) DataFrame-memo discipline in one place
+  * (bigram pairs, DSIR features/selection — the corpus-sized
+  * intermediates that must be materialized ONCE per session, not once
+  * per query invocation):
+  *   - the builder returns an already-persisted frame;
+  *   - an EMPTY build is never memoized (its plan snapshots the empty
+  *     file listing and would freeze the query at this key even after
+  *     data lands) — it is unpersisted and returned as-is;
+  *   - a lost putIfAbsent race unpersists the loser's copy;
+  *   - entries evict (with their persists left to Spark's
+  *     context-stop cleanup) when the session's application ends.
+  * Future fixes to any of these rules now exist exactly once. */
+final class DfMemo[K] {
+  import org.apache.spark.sql.DataFrame
+  private val m = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, K), DataFrame]
+  SessionCaches.registerEvictor(s =>
+    m.keySet.toSeq.filter(_._1 eq s).foreach(m.remove))
+
+  def get(s: SparkSession, k: K)(build: => DataFrame): DataFrame = {
+    SessionCaches.track(s)
+    m.get((s, k)).getOrElse {
+      val built = build
+      if (built.limit(1).isEmpty) {
+        built.unpersist(blocking = false); built
+      } else m.putIfAbsent((s, k), built) match {
+        case Some(winner) => built.unpersist(blocking = false); winner
+        case None => built
+      }
+    }
+  }
+}

@@ -173,7 +173,14 @@ object Graph {
         te.filter(col("src") % 2 === parity)
           .repartition(parts, col("src")).persist(disk)
       val pair = (half(0), half(1))
-      hitsAdjCache.putIfAbsent((s, d), pair) match {
+      // the empty-build rule (DfMemo's): a graph extracted before data
+      // lands must not freeze this session's gr06 at empty forever
+      // (the symmetrized halves are same-sized, so probing one suffices)
+      if (pair._1.limit(1).isEmpty) {
+        pair._1.unpersist(blocking = false)
+        pair._2.unpersist(blocking = false)
+        pair
+      } else hitsAdjCache.putIfAbsent((s, d), pair) match {
         case Some(winner) =>
           pair._1.unpersist(blocking = false)
           pair._2.unpersist(blocking = false)
@@ -546,10 +553,13 @@ object Graph {
       val (_, nodes) = adjNodes(tradeEdges(s, d))
       val (fwd, rev) = hitsAdj(s, d)
       val (a, h) = hits(fwd, rev, nodes, iters = 3)
-      a.select(col("node").as("node_id"), lit("supplier").as("kind"),
+      // kind() is the ONE place the node-id parity convention lives;
+      // on the bipartite graph a-side nodes are all suppliers (odd),
+      // h-side all customers (even)
+      a.select(col("node").as("node_id"), kind(col("node")).as("kind"),
           col("a").as("score"))
         .unionByName(h.select(col("node").as("node_id"),
-          lit("customer").as("kind"), col("h").as("score")))
+          kind(col("node")).as("kind"), col("h").as("score")))
     }
   )
 

@@ -65,6 +65,15 @@ object Lineage {
     // the choice (the spec uses it; a dir is still required).
     val force = s.conf.getOption("spark.graft.checkpoint.reliable")
       .map(_.toBoolean)
+    // force=true without a dir must fail LOUDLY: silently degrading to
+    // a local checkpoint would drop exactly the durability the
+    // operator configured the flag for, with no sign the setting was
+    // inert until an executor loss kills the job
+    if (force.contains(true))
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.checkpoint.reliable=true requires " +
+          "SparkContext.setCheckpointDir — refusing to silently fall " +
+          "back to a non-durable local checkpoint")
     val reliable = force.getOrElse(!s.sparkContext.isLocal) &&
       s.sparkContext.getCheckpointDir.isDefined
     if (reliable) {

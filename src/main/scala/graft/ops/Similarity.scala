@@ -270,6 +270,12 @@ object Similarity {
       .drop("scale")
   }
 
+  /** Integer L2 distance² from a q8 row's `q` column to an in-plan
+    * literal center — emb10's kernel, shared with qa09's assignment. */
+  private def sqDist(c: Seq[Int]): Column =
+    expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
+      "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
+
   /** emb10's farthest-point traversal (Gonzalez greedy) over any
     * (vec_id, q) integer-vector frame — shared by the query and
     * tools.SelectStress. K bounded driver rounds; each round is one
@@ -278,12 +284,6 @@ object Similarity {
     * row per partition to the driver, no shuffle). Returns (round,
     * vec_id, radius) — radius = the max-min distance² the previous
     * center set left uncovered, non-increasing by construction. */
-  /** Integer L2 distance² from a q8 row's `q` column to an in-plan
-    * literal center — emb10's kernel, shared with qa09's assignment. */
-  private def sqDist(c: Seq[Int]): Column =
-    expr(s"aggregate(zip_with(q, array(${c.mkString(",")}), " +
-      "(a, b) -> CAST(a - b AS BIGINT) * (a - b)), 0L, (acc, x) -> acc + x)")
-
   def kcenterGreedy(s: SparkSession, q8: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val seed = q8

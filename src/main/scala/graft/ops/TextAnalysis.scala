@@ -54,31 +54,20 @@ object TextAnalysis {
   // per-call persist leaked one corpus-sized copy per invocation for
   // the session lifetime — the ss09 quantized-leak class). DISK_ONLY
   // because the bigram table scales with the corpus and pinning it in
-  // executor memory is what breaks at 100 TB. Race rule: putIfAbsent,
-  // loser unpersists. Empty-build rule: an empty corpus is never
-  // memoized (the plan would freeze the empty file listing).
-  private val bigramCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  graft.SessionCaches.registerEvictor(s =>
-    bigramCache.keySet.toSeq.filter(_._1 eq s).foreach(bigramCache.remove))
+  // executor memory is what breaks at 100 TB. Race/empty/evict rules
+  // live in DfMemo.
+  private val bigramMemo = new graft.DfMemo[String]
 
-  private def bigramPairs(s: SparkSession, d: String): DataFrame = {
-    graft.SessionCaches.track(s)
-    bigramCache.get((s, d)).getOrElse {
-      val built = docs(s, d)
+  private def bigramPairs(s: SparkSession, d: String): DataFrame =
+    bigramMemo.get(s, d) {
+      docs(s, d)
         .withColumn("t", toks(lower(col("text"))))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode_outer(wordGrams(col("t"), 2)).as("g"))
         .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
           split(col("g"), " ").getItem(1).as("w2"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      if (built.limit(1).isEmpty) { built.unpersist(blocking = false); built }
-      else bigramCache.putIfAbsent((s, d), built) match {
-        case Some(winner) => built.unpersist(blocking = false); winner
-        case None => built
-      }
     }
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, distinct tokens, and a BPE-ish

@@ -64,15 +64,11 @@ object Pipeline {
     * invocation (the ss09 quantized-leak class; the memo is
     * Dedup.pairCache's discipline). Race rule: putIfAbsent, loser
     * unpersists. Empty-build rule: an empty corpus is never memoized. */
-  private val dsirFeatsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  graft.SessionCaches.registerEvictor(s =>
-    dsirFeatsCache.keySet.toSeq.filter(_._1 eq s).foreach(dsirFeatsCache.remove))
+  private val dsirFeatsMemo = new graft.DfMemo[String]
 
-  private def dsirFeats(s: SparkSession, d: String): DataFrame = {
-    graft.SessionCaches.track(s)
-    dsirFeatsCache.get((s, d)).getOrElse {
-      val built = Tables.load(s, d, "documents")
+  private def dsirFeats(s: SparkSession, d: String): DataFrame =
+    dsirFeatsMemo.get(s, d) {
+      Tables.load(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(split(lower(col("text")), " ")).as("w"))
         .groupBy(col("doc_id"), col("lang"),
@@ -80,13 +76,7 @@ object Pipeline {
             .cast("long") % DsirB).as("b"))
         .agg(count(lit(1)).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      if (built.limit(1).isEmpty) { built.unpersist(blocking = false); built }
-      else dsirFeatsCache.putIfAbsent((s, d), built) match {
-        case Some(winner) => built.unpersist(blocking = false); winner
-        case None => built
-      }
     }
-  }
 
   /** Both bucket marginals in ONE pass over the features (conditional
     * agg beats a raw/target groupBy pair + left join: half the feats
@@ -174,29 +164,19 @@ object Pipeline {
     * document), DISK_ONLY, memoized per (session, dir) with the
     * dsirFeats race/empty rules — without this, qa08's two references
     * re-ran the λ+weight chain twice per invocation. */
-  private val dsirSelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  graft.SessionCaches.registerEvictor(s =>
-    dsirSelCache.keySet.toSeq.filter(_._1 eq s).foreach(dsirSelCache.remove))
+  private val dsirSelMemo = new graft.DfMemo[String]
 
-  private def dsirSelected(s: SparkSession, d: String): DataFrame = {
-    graft.SessionCaches.track(s)
-    dsirSelCache.get((s, d)).getOrElse {
+  private def dsirSelected(s: SparkSession, d: String): DataFrame =
+    dsirSelMemo.get(s, d) {
       val feats = dsirFeats(s, d)
       val wdoc = dsirWdoc(feats, dsirLam(dsirBuckets(feats)))
       val mean = wdoc.agg(round(avg(col("raw_w")), 4).as("mean_w"))
-      val built = wdoc.crossJoin(broadcast(mean))
+      wdoc.crossJoin(broadcast(mean))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           round(col("raw_w"), 4).as("dsir_w"),
           (round(col("raw_w"), 4) > col("mean_w")).as("selected"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      if (built.limit(1).isEmpty) { built.unpersist(blocking = false); built }
-      else dsirSelCache.putIfAbsent((s, d), built) match {
-        case Some(winner) => built.unpersist(blocking = false); winner
-        case None => built
-      }
     }
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The canonical cleaning pipeline: corpus (with planted duplicates) →

@@ -15,7 +15,10 @@ echo "== compile =="; sbt -batch compile -error | tail -1
 echo "== tests =="
 test_out=$(sbt -batch test 2>&1 | grep -E "^\[info\] Tests:|^\[error\].*Failed tests" | head -3)
 echo "$test_out"
-echo "$test_out" | grep -q "failed 0" || { echo "FAIL: test suite not green" >&2; exit 1; }
+# require a NONZERO succeeded count: "succeeded 0, failed 0" (test
+# discovery broken, everything filtered out) must not read as green
+echo "$test_out" | grep -qE "Tests: succeeded [1-9][0-9]*, failed 0" \
+  || { echo "FAIL: test suite not green (or ran zero tests)" >&2; exit 1; }
 total=0
 for sf in 0.001 0.01; do
   echo "== verify sf$sf =="
