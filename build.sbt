@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes Bench via sbt and keeps only a ~2KB stdout tail; with
+// the default output strategy sbt's logger prefixes every forked-process
+// line with "[info] ", so the compact JSON line never starts with '{' and
+// 13 consecutive rounds shipped BENCH_rN.json with parsed:null. StdoutOutput
+// passes the forked run's stdout through raw. Scoped to `run` (covers
+// runMain via delegation) so `sbt test` logging is untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,9 +16,11 @@ echo "== tests =="
 test_out=$(sbt -batch test 2>&1 | grep -E "^\[info\] Tests:|^\[error\].*Failed tests" | head -3)
 echo "$test_out"
 # require a NONZERO succeeded count: "succeeded 0, failed 0" (test
-# discovery broken, everything filtered out) must not read as green
-echo "$test_out" | grep -qE "Tests: succeeded [1-9][0-9]*, failed 0" \
-  || { echo "FAIL: test suite not green (or ran zero tests)" >&2; exit 1; }
+# discovery broken, everything filtered out) must not read as green.
+# Also require "canceled 0": a broken fixture turns whole suites into
+# cancellations, which ScalaTest does NOT count as failures.
+echo "$test_out" | grep -qE "Tests: succeeded [1-9][0-9]*, failed 0, canceled 0" \
+  || { echo "FAIL: test suite not green (failed/canceled nonzero or ran zero tests)" >&2; exit 1; }
 total=0
 for sf in 0.001 0.01; do
   echo "== verify sf$sf =="
@@ -37,13 +39,20 @@ fi
 echo "OK: sf0.01 sweep ${total}s within budget ${BUDGET_S}s"
 echo "== bench sf0.1 =="
 bench_log=$(mktemp)
+# Drive the bench EXACTLY the way the driver does — through sbt, not
+# tools/run.sh. Rounds ≤13 gated the tail contract against plain-java
+# output while the driver's sbt logger prefixed every line with
+# "[info] ", so the gate passed for 13 rounds while the driver's parse
+# failed. build.sbt's `run / outputStrategy := StdoutOutput` is what
+# this gate now actually exercises.
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  tools/run.sh graft.Bench 2>/dev/null > "$bench_log"
-tail -1 "$bench_log"
+  sbt -batch "runMain graft.Bench" 2>/dev/null > "$bench_log"
+tail -2 "$bench_log"
 # Assert the driver's artifact contract: it keeps only the LAST ~2000
 # bytes of stdout and parses a JSON line out of that window. Every round
 # before 13 shipped a bench artifact with parsed:null because the full
-# line outgrew the window — keep the compact final line inside it.
+# line outgrew the window — keep the compact final line inside it, with
+# no sbt "[info] " prefix in front of the '{'.
 python3 - "$bench_log" <<'PYEOF'
 import json, sys
 tail = open(sys.argv[1], "rb").read()[-2000:].decode("utf-8", "replace")
@@ -51,5 +60,7 @@ lines = [l for l in tail.splitlines() if l.strip().startswith("{")]
 assert lines, "no complete JSON line inside the 2000-byte tail window"
 d = json.loads(lines[-1])
 assert d.get("errors") == [], f"bench errors: {d.get('errors')}"
-print(f"OK: bench tail parses (n={d.get('n')}, total={d.get('value'):.1f}s)")
+assert isinstance(d.get("value"), (int, float)), "compact line missing numeric value"
+assert isinstance(d.get("cold_s"), (int, float)), "compact line missing numeric cold_s"
+print(f"OK: bench tail parses (n={d.get('n')}, warm={d.get('value'):.1f}s, cold={d.get('cold_s'):.1f}s)")
 PYEOF
