@@ -164,4 +164,106 @@ object AsofSkew {
     bandJoinSaltedKeys(left, right, Seq(leftKey -> rightKey),
       leftTime, rightTime, lowUs, highUs,
       hotKeys.map(Seq(_: Any)), salts, hint)
+
+  // ---- BUILD-side hot keys: the opposite skew quadrant --------------
+  //
+  // Probe salting is useless here — it would REPLICATE the hot key's
+  // millions of build rows per salt. And the AQE probe-slice only
+  // helps while the probe partition is at least build-sized: every
+  // slice re-fetches and re-sorts the whole hot build partition, so
+  // with build >> probe the wall stays pinned at sort(build_hot). The
+  // exact fix is the keyless bucket+carry composition applied PER HOT
+  // KEY: within one key the join is keyless, so bucketing that key's
+  // build rows by time spreads its history across ~16×partitions
+  // buckets (the sort distributes), the bucket-count-sized carry table
+  // restores cross-bucket lookback, and cold keys run the normal keyed
+  // merge untouched. Results are row-identical (AsofSkewSpec pins it):
+  // a probe's match depends only on its own key's complete build rows,
+  // which each branch still sees in full. Detection: sample the BUILD
+  // side with [[detectHotKeyTuples]] (same bounded two-job shape).
+
+  /** Null-safe hot-membership: a null key component is never hot (it
+    * never matches in the join either), and — unlike raw `isHot`,
+    * whose three-valued NULL would make `!pred` DROP null-key rows —
+    * this is safe to negate for the cold branch. */
+  private def isHotNullSafe(cols: Seq[String], hot: Seq[Seq[Any]]): Column =
+    coalesce(isHot(cols, hot), lit(false))
+
+  /** As-of join with hot BUILD key tuples routed through the keyless
+    * bucket+carry composition (one branch per hot tuple, cold keys
+    * through the plain keyed merge). Row-identical to the plain join;
+    * only the layout of the hot keys' build history changes. */
+  def asofJoinBuildSkewedKeys(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      hotKeys: Seq[Seq[Any]],
+      hint: String = "merge", direction: String = "backward",
+      toleranceUs: Long = -1L): DataFrame = {
+    require(keys.nonEmpty, "at least one key pair")
+    if (hotKeys.isEmpty)
+      return PlanBridge.asofJoin(left, right, keys, leftTime, rightTime,
+        hint, direction, toleranceUs)
+    val cold = PlanBridge.asofJoin(
+      left.filter(!isHotNullSafe(keys.map(_._1), hotKeys)),
+      right.filter(!isHotNullSafe(keys.map(_._2), hotKeys)),
+      keys, leftTime, rightTime, hint, direction, toleranceUs)
+    val hotBranches = hotKeys.map { t =>
+      val pEq = keys.map(_._1).zip(t)
+        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      val bEq = keys.map(_._2).zip(t)
+        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      AsofKeyless.asofJoinKeyless(left.filter(pEq), right.filter(bEq),
+        leftTime, rightTime, direction, toleranceUs)
+    }
+    hotBranches.foldLeft(cold)(_.unionByName(_))
+  }
+
+  /** Single-Long-key convenience over [[asofJoinBuildSkewedKeys]]. */
+  def asofJoinBuildSkewed(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      hotKeys: Seq[Long],
+      hint: String = "merge", direction: String = "backward",
+      toleranceUs: Long = -1L): DataFrame =
+    asofJoinBuildSkewedKeys(left, right, Seq(leftKey -> rightKey),
+      leftTime, rightTime, hotKeys.map(Seq(_: Any)),
+      hint, direction, toleranceUs)
+
+  /** Band join with hot BUILD key tuples routed through the keyless
+    * bucketized band — same exactness argument as
+    * [[asofJoinBuildSkewedKeys]]. */
+  def bandJoinBuildSkewedKeys(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      lowUs: Long, highUs: Long,
+      hotKeys: Seq[Seq[Any]],
+      hint: String = "merge"): DataFrame = {
+    require(keys.nonEmpty, "at least one key pair")
+    if (hotKeys.isEmpty)
+      return PlanBridge.bandJoin(left, right, keys, leftTime, rightTime,
+        lowUs, highUs, hint)
+    val cold = PlanBridge.bandJoin(
+      left.filter(!isHotNullSafe(keys.map(_._1), hotKeys)),
+      right.filter(!isHotNullSafe(keys.map(_._2), hotKeys)),
+      keys, leftTime, rightTime, lowUs, highUs, hint)
+    val hotBranches = hotKeys.map { t =>
+      val pEq = keys.map(_._1).zip(t)
+        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      val bEq = keys.map(_._2).zip(t)
+        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      PlanBridge.bandJoinKeyless(left.filter(pEq), right.filter(bEq),
+        leftTime, rightTime, lowUs, highUs)
+    }
+    hotBranches.foldLeft(cold)(_.unionByName(_))
+  }
+
+  /** Single-Long-key convenience over [[bandJoinBuildSkewedKeys]]. */
+  def bandJoinBuildSkewed(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lowUs: Long, highUs: Long,
+      hotKeys: Seq[Long],
+      hint: String = "merge"): DataFrame =
+    bandJoinBuildSkewedKeys(left, right, Seq(leftKey -> rightKey),
+      leftTime, rightTime, lowUs, highUs, hotKeys.map(Seq(_: Any)), hint)
 }

@@ -216,6 +216,68 @@ object AsofStress {
     assert(a2._1 == u2._1, s"AQE skew gates diverge: ${a2._1} vs ${u2._1}")
     val tA = math.min(a1._2, a2._2)
 
+    // ---- hot-BUILD scenario: 20%+ of the BUILD rows on one key ----
+    // The opposite skew quadrant: probes uniform (12M over 1000 keys),
+    // build 30M rows of which key 7 holds 6M — the stock merge sorts
+    // the 6M-row build history in ONE partition. Probe salting can't
+    // help (it would replicate those 6M rows per salt) and the AQE
+    // probe-slice can't either (each slice would re-sort the full hot
+    // build partition: b_i >> p_i, the rule's warn-and-leave case), so
+    // the fix measured here is the manual keyless-bucketed routing
+    // (AsofSkew.asofJoinBuildSkewed) against a BALANCED control of the
+    // same total size. Closed form: balanced build = 1000 keys × 24000
+    // rows at times 0..23999 (b_id = key*24000 + t); the hot variant
+    // ADDS 6M rows on key 7 at times 24000.. — unreachable by any
+    // probe (t ≤ 9999), so all three runs must produce IDENTICAL
+    // matches: d_id = p_key*24000 + p_us, no nulls, gated distributed.
+    val hbProbes = spark.range(users * (2 * k + 1) / 5).select(
+      (col("id") % dimKeys).as("p_key"),
+      (col("id") % 10000).as("p_us"),
+      col("id").as("p_id"))
+    val balancedBuild = spark.range(dimKeys * 24000).select(
+      (col("id") / 24000).cast("long").as("d_key"),
+      (col("id") % 24000).as("d_us"),
+      col("id").as("d_id"))
+    val hotBuild = balancedBuild.unionAll(
+      spark.range(6000000L).select(
+        lit(hotKey).as("d_key"),
+        (col("id") + 24000L).as("d_us"),
+        (col("id") + dimKeys * 24000L).as("d_id")))
+    def hotBuildGates(join: => org.apache.spark.sql.DataFrame) = timed {
+      val out = join
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("d_id").isNull ||
+            col("d_id") =!= col("p_key") * 24000 + col("p_us"), 1L)
+            .otherwise(0L)).as("bad"))
+        .collect()(0)
+      (out.getLong(0), out.getLong(1))
+    }
+    val nHb = users * (2 * k + 1) / 5
+    def hbJoin(build: org.apache.spark.sql.DataFrame) =
+      PlanBridge.asofJoin(hbProbes, build,
+        Seq("p_key" -> "d_key"), "p_us", "d_us", "merge")
+    val hbDetected = graft.plans.AsofSkew.detectHotKeys(
+      hotBuild, "d_key", sampleFraction = 0.001, minShare = 0.1)
+    assert(hbDetected == Seq(hotKey),
+      s"hot BUILD key detection found $hbDetected, expected Seq($hotKey)")
+    def hbBucketed = graft.plans.AsofSkew.asofJoinBuildSkewed(
+      hbProbes, hotBuild, "p_key", "d_key", "p_us", "d_us",
+      hotKeys = hbDetected, hint = "merge")
+    val hbBal1 = hotBuildGates(hbJoin(balancedBuild))
+    val hbBal2 = hotBuildGates(hbJoin(balancedBuild))
+    val hbStock1 = hotBuildGates(hbJoin(hotBuild))
+    val hbStock2 = hotBuildGates(hbJoin(hotBuild))
+    val hbFix1 = hotBuildGates(hbBucketed)
+    val hbFix2 = hotBuildGates(hbBucketed)
+    assert(hbBal2._1 == (nHb, 0L), s"hot-build balanced gates: ${hbBal2._1}")
+    assert(hbStock2._1 == hbBal2._1,
+      s"hot-build stock gates diverge: ${hbStock2._1} vs ${hbBal2._1}")
+    assert(hbFix2._1 == hbBal2._1,
+      s"hot-build bucketed gates diverge: ${hbFix2._1} vs ${hbBal2._1}")
+    val tHbBalanced = math.min(hbBal1._2, hbBal2._2)
+    val tHbStock = math.min(hbStock1._2, hbStock2._2)
+    val tHbBucketed = math.min(hbFix1._2, hbFix2._2)
+
     // ---- band scenario: BandJoinExec vs the equi-join + residual ----
     // Same dim side, band [-199, 0]: every probe matches the multiples
     // of 100 inside [max(0, t-199), t] — count = t div 100 -
@@ -457,6 +519,9 @@ object AsofStress {
       s""""dim_broadcast_sec":${f"$tB%.1f"},"dim_merge_sec":${f"$tM%.1f"},""" +
       s""""skew_unsalted_sec":${f"$tU%.1f"},"skew_salted_sec":${f"$tS%.1f"},""" +
       s""""skew_aqe_sec":${f"$tA%.1f"},""" +
+      s""""hotbuild_balanced_sec":${f"$tHbBalanced%.1f"},""" +
+      s""""hotbuild_stock_sec":${f"$tHbStock%.1f"},""" +
+      s""""hotbuild_bucketed_sec":${f"$tHbBucketed%.1f"},""" +
       s""""band_native_60m_sec":${f"$tBandFull%.1f"},""" +
       s""""band_native_6m_sec":${f"$tBandTenth%.1f"},""" +
       s""""band_residual_6m_sec":${f"$tResTenth%.1f"},""" +

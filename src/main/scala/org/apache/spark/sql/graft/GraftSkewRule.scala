@@ -25,10 +25,19 @@ import graft.plans.{AsofJoinExec, BandJoinExec}
   * neither consults other probe rows. Splitting the BUILD side would
   * scatter one key's build rows across slices and break both scans, so
   * it is never done (the same reason Spark's rule refuses to split the
-  * preserved side of an outer join). Skew ON the build side therefore
-  * stays a merge bottleneck — but a build partition is only ever as big
-  * as the dimension's hot key, and the probe side is where a 100 TB
-  * corpus's 20%-on-one-user skew actually lands.
+  * preserved side of an outer join). Skew ON the build side is handled
+  * by the SAME probe-slice move when it can help: a partition whose
+  * BUILD bytes exceed the threshold has its probe partition sliced into
+  * mapper ranges, each slice re-fetching (and re-sorting) the whole hot
+  * build partition — per-reducer wall drops from sort(p_i)+sort(b_i) on
+  * one core toward sort(b_i), a win exactly while p_i ≥ b_i. When the
+  * build partition is LARGER than its probe partition the slice floor
+  * (a full build re-sort per slice) pins the wall, so the rule warns
+  * loudly and leaves it alone — the exact fix for that quadrant is the
+  * logical time-bucket decomposition,
+  * [[graft.plans.AsofSkew.asofJoinBuildSkewedKeys]], which spreads a
+  * hot key's build history across bucket partitions so its sort
+  * distributes.
   *
   * Runs as a QUERY-STAGE-PREP rule (the phase Spark's own skew rule
   * runs in, re-applied on every AQE re-optimization): by the time both
@@ -118,21 +127,57 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
     val pSizes = pStats.bytesByPartitionId
     val bSizes = bStats.bytesByPartitionId
     if (pSizes.length != bSizes.length) return None
-    val med = medianSize(pSizes)
-    val threshold = math.max(
-      conf.getConf(SQLConf.SKEW_JOIN_SKEWED_PARTITION_THRESHOLD).toDouble,
-      med * conf.getConf(SQLConf.SKEW_JOIN_SKEWED_PARTITION_FACTOR))
-    val targetSize = math.max(
-      conf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES), med)
+    val factor = conf.getConf(SQLConf.SKEW_JOIN_SKEWED_PARTITION_FACTOR)
+    val absThreshold =
+      conf.getConf(SQLConf.SKEW_JOIN_SKEWED_PARTITION_THRESHOLD).toDouble
+    val pThreshold = math.max(absThreshold, medianSize(pSizes) * factor)
+    // the same skew formula applied to the BUILD side's own byte
+    // distribution: a build partition this far over its siblings is a
+    // hot dimension key whose merge we parallelize via probe slices
+    val bThreshold = math.max(absThreshold, medianSize(bSizes) * factor)
+    val advisory = conf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val targetSize = math.max(advisory, medianSize(pSizes))
     val pSide = Seq.newBuilder[ShufflePartitionSpec]
     val bSide = Seq.newBuilder[ShufflePartitionSpec]
     var nSplit = 0
+    var nBuildHot = 0
     var i = 0
     while (i < pSizes.length) {
+      val probeSkewed = pSizes(i) > pThreshold
+      // Build-hot handling: every probe slice re-fetches AND re-sorts
+      // the whole build partition (the SortExec sits above the sliced
+      // read), so the per-slice wall has a floor of sort(build_i) —
+      // slicing is a win only while the probe partition is at least
+      // build-sized (wall drops from sort(p)+sort(b) toward sort(b)).
+      // With build >> probe the split would burn k× CPU for no
+      // wall-clock gain: warn loudly instead and point at the exact
+      // logical fix (AsofSkew.asofJoinBuildSkewedKeys, which buckets
+      // the hot key's build history by time so its sort distributes).
+      val buildSkewed = bSizes(i) > bThreshold
+      val buildSplit = buildSkewed && pSizes(i) >= bSizes(i)
+      if (buildSkewed) {
+        nBuildHot += 1
+        if (!buildSplit)
+          logWarning(s"graft skew join: build partition $i is hot " +
+            s"(${bSizes(i)} bytes > ${bThreshold.toLong}) and larger than " +
+            s"its probe partition (${pSizes(i)} bytes) — probe slicing " +
+            "cannot parallelize its sort; this partition's merge stays " +
+            "serialized. For a known hot build key use " +
+            "AsofSkew.asofJoinBuildSkewedKeys / bandJoinBuildSkewedKeys.")
+      }
+      // probe-skewed: slice to the advisory target (floored at the
+      // probe median, as Spark's rule does). Build-hot with a UNIFORM
+      // probe side: the median floor would forbid any slice, so floor
+      // at the build size instead — slices below build_i bytes of
+      // probe are pointless anyway (each already pays a full build_i
+      // re-sort), and the advisory keeps tiny builds from over-slicing.
+      val sliceTarget: Long =
+        if (probeSkewed) targetSize
+        else math.max(bSizes(i), advisory)
       val slices: Seq[ShufflePartitionSpec] =
-        if (pSizes(i) > threshold) {
+        if (probeSkewed || buildSplit) {
           ShufflePartitionsUtil
-            .createSkewPartitionSpecs(pStats.shuffleId, i, targetSize)
+            .createSkewPartitionSpecs(pStats.shuffleId, i, sliceTarget)
             .filter(_.length > 1) match {
             case Some(s) => nSplit += 1; s
             case None => Seq(CoalescedPartitionSpec(i, i + 1, pSizes(i)))
@@ -146,7 +191,9 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
     }
     if (nSplit == 0) None
     else {
-      logInfo(s"graft skew join: split $nSplit probe partition(s)")
+      logInfo(s"graft skew join: split $nSplit probe partition(s)" +
+        (if (nBuildHot > 0) s" ($nBuildHot of them for hot BUILD bytes — " +
+          "each probe slice re-reads that whole build partition)" else ""))
       Some((AQEShuffleReadExec(probe, pSide.result()),
         AQEShuffleReadExec(build, bSide.result())))
     }

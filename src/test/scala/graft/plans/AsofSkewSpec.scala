@@ -289,6 +289,90 @@ class AsofSkewSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("AQE skew split: a hot BUILD partition gets its probe side " +
+      "sliced (merge parallelized), build still never sliced, rows " +
+      "identical to the un-split join") {
+    import aqe.implicits._
+    // build skew, uniform probes: key 1 holds 60% of 5000 BUILD rows
+    // while every probe key carries the same ~2000 probes — the probe
+    // byte distribution alone never trips the skew threshold, so any
+    // split below is attributable to the build-side detection. Probe
+    // partitions are LARGER than the hot build partition (the rule's
+    // p_i >= b_i win condition), so the split must fire.
+    val rnd = new scala.util.Random(29)
+    val probes = (0 until 200000).map { i =>
+      (i.toLong, (i % 97).toLong + 1L, rnd.nextInt(100000).toLong)
+    }.toDF("event_id", "user_id", "us")
+    val builds = (0 until 5000).map { j =>
+      val key = if (j % 10 < 6) 1L else (j % 97).toLong + 1L
+      (key, (j * 211 % 100000).toLong, 1000L + j)
+    }.toDF("b_key", "b_us", "b_id")
+    def run(on: Boolean) = {
+      aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, on.toString)
+      try {
+        val df = PlanBridge.asofJoin(probes, builds,
+          Seq("user_id" -> "b_key"), "us", "b_us", hint = "merge")
+        df.collect()
+        (df, rows(df))
+      } finally aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "true")
+    }
+    val (df, got) = run(on = true)
+    val join = walk(df.queryExecution.executedPlan)
+      .collectFirst { case j: AsofJoinExec => j }
+    assert(join.exists(_.isSkewJoin),
+      s"hot-build split never fired:\n${df.queryExecution.executedPlan}")
+    val probeRead = walk(join.get.left).collectFirst {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(probeRead.exists(_.partitionSpecs.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])),
+      "hot-build partition's probe side has no mapper-range slices")
+    val buildRead = walk(join.get.right).collectFirst {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(buildRead.exists(_.partitionSpecs.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.CoalescedPartitionSpec])),
+      "build side was sliced — that scatters a key's build rows")
+    val (_, want) = run(on = false)
+    assert(got == want && got.size == 200000)
+  }
+
+  test("build-skewed manual API: keyless-bucketed hot build keys == " +
+      "plain join, as-of (direction × tolerance) and band") {
+    // the shared little corpus already has a hot BUILD key: key 1
+    // holds 75% of the 40 build rows (and 70% of probes — irrelevant
+    // here, the routing keys off the build side)
+    for (dir <- Seq("backward", "forward"); tol <- Seq(-1L, 10L)) {
+      val plain = rows(PlanBridge.asofJoin(probe, build,
+        Seq("user_id" -> "b_key"), "us", "b_us", "merge", dir, tol))
+      val bucketed = rows(AsofSkew.asofJoinBuildSkewed(probe, build,
+        "user_id", "b_key", "us", "b_us",
+        hotKeys = Seq(1L), direction = dir, toleranceUs = tol))
+      assert(bucketed == plain, s"dir=$dir tol=$tol diverged")
+      assert(plain.size == 200)
+    }
+    for ((lo, hi) <- Seq((-10L, 0L), (-25L, 25L), (0L, 15L))) {
+      val plain = bandRows(PlanBridge.bandJoin(probe, build,
+        Seq("user_id" -> "b_key"), "us", "b_us", lo, hi, hint = "merge"))
+      val bucketed = bandRows(AsofSkew.bandJoinBuildSkewed(probe, build,
+        "user_id", "b_key", "us", "b_us", lo, hi, hotKeys = Seq(1L)))
+      assert(bucketed == plain, s"band [$lo,$hi] diverged")
+    }
+    // multiple hot keys, generic composite keys, and the empty
+    // degenerate
+    val keys = Seq("tenant" -> "b_tenant", "shard" -> "b_shard")
+    val plainG = rows(PlanBridge.asofJoin(sProbe, sBuild, keys, "us", "b_us"))
+    val bucketedG = rows(AsofSkew.asofJoinBuildSkewedKeys(sProbe, sBuild,
+      keys, "us", "b_us", hotKeys = Seq(Seq("hot", 0), Seq("cold", 1))))
+    assert(bucketedG == plainG)
+    val degenerate = rows(AsofSkew.asofJoinBuildSkewed(probe, build,
+      "user_id", "b_key", "us", "b_us", hotKeys = Seq.empty))
+    assert(degenerate == rows(PlanBridge.asofJoin(probe, build,
+      Seq("user_id" -> "b_key"), "us", "b_us")))
+  }
+
   test("AQE skew split: band join, same contract") {
     def bandAgg(on: Boolean) = {
       aqe.conf.set(
