@@ -129,6 +129,55 @@ object IvfIndex {
     })
   }
 
+  /** ss11's memoized standing-corpus + appended-batch index: the
+    * standing 90% (vec_id % 10 != 0) trains the frozen quantizer and
+    * writes the initial posting lists, then the remaining 10% lands
+    * through [[append]] — the dd07/dd11 standing-corpus pattern
+    * applied to ANN: today's crawl is absorbed by dynamic partition
+    * append, no retrain, no rewrite of existing posting lists. Store
+    * name "ivf8a" keeps its lineage separate from the full-corpus
+    * ivf8 index; qa11 audits the merged index's recall against the
+    * exact brute force. */
+  def builtForAppend(s: SparkSession, d: String): Index = {
+    graft.SessionCaches.track(s)
+    indexCache.getOrElseUpdate((s, d + "#append"), {
+      def all = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      def standing = all.filter(col("vec_id") % 10 =!= 0)
+      def batch = all.filter(col("vec_id") % 10 === 0)
+      def buildShared(out: String): Index = {
+        val cents = Similarity.ivfAppendCentroids(s, d)
+        require(cents.nonEmpty,
+          "IVF append-build over an empty standing corpus")
+        writeAssigned(standing, cents, out, overwrite = true)
+        val idx = Index(out, cents)
+        append(s, idx, batch)
+        idx
+      }
+      graft.IndexStore.resolve(s, d, "ivf8a", "embeddings") match {
+        case graft.IndexStore.Unmanaged =>
+          val out = java.nio.file.Files.createTempDirectory("graft_ivfa").toString
+          buildShared(out)
+        case graft.IndexStore.Fresh(base) =>
+          val cents = s.read.parquet(base + "/centroids").collect()
+            .sortBy(_.getInt(0))
+            .map(r => (r.getInt(0), r.getSeq[Int](1).toSeq)).toSeq
+          Index(graft.IndexStore.dataPath(base), cents)
+        case graft.IndexStore.Build(base, commit) =>
+          try {
+            val idx = buildShared(graft.IndexStore.dataPath(base))
+            import s.implicits._
+            idx.centroids.toDF("c_id", "c")
+              .write.mode("overwrite").parquet(base + "/centroids")
+            commit()
+            idx
+          } catch { case t: Throwable =>
+            graft.IndexStore.abortBuild(s, base); throw t
+          }
+      }
+    })
+  }
+
   /** Top-k probe: assign each query vector to its `nprobe` nearest
     * cells (exact integer L2 in int8 space — the replayable decision),
     * collect the bounded probed-cell set (|queries| × nprobe ids — the

@@ -244,6 +244,29 @@ object Similarity {
   graft.SessionCaches.registerEvictor(s =>
     q8Cache.keySet.toSeq.filter(_._1 eq s).foreach(q8Cache.remove))
 
+  // The k-center traversal's result (≤K rows) — emb10 AND qa09 both
+  // need it, and the traversal is K driver-round scans; without this
+  // memo qa09's cost silently re-included its upstream selection on
+  // every invocation. Empty results are never memoized (data may land
+  // at the dir later — the scatterSolve/pcaSolve rule).
+  private val kcenterCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Vector[(Int, Long, Long)]]
+  graft.SessionCaches.registerEvictor(s =>
+    kcenterCache.keySet.toSeq.filter(_._1 eq s).foreach(kcenterCache.remove))
+
+  /** Memoized k-center traversal over the quantized corpus at `d` —
+    * the shared upstream of emb10 (which emits it) and qa09 (which
+    * audits coverage of its centers). */
+  private def kcenterRows(s: SparkSession, d: String, k: Int): Vector[(Int, Long, Long)] = {
+    graft.SessionCaches.track(s)
+    kcenterCache.get((s, d, k)).getOrElse {
+      val rows = kcenterGreedy(s, quantized(s, d), k).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+      if (rows.nonEmpty) kcenterCache.putIfAbsent((s, d, k), rows)
+      rows
+    }
+  }
+
   // The PQ-ENCODED corpus (vec_id, codes) — the compressed index a PQ
   // deployment materializes ONCE (Jégou et al.: the codes ARE the
   // stored database). Previously recomputed per invocation: the
@@ -408,6 +431,23 @@ object Similarity {
     ivfCentCache.get((s, d)).getOrElse {
       val cents = int8LloydTrain(quantized(s, d), IvfK)
       if (cents.nonEmpty) ivfCentCache.putIfAbsent((s, d), cents)
+      cents
+    }
+  }
+
+  /** ss11's frozen quantizer: trained on the STANDING corpus only
+    * (vec_id % 10 != 0) — the appended batch must be assigned by
+    * centroids that never saw it, which is what makes the append path
+    * honest (an IVF's centroids are fixed at build time; retraining
+    * would invalidate every posting list). Memoized under a distinct
+    * key so it never collides with the full-corpus quantizer. */
+  private[ops] def ivfAppendCentroids(s: SparkSession,
+      d: String): Seq[(Int, Seq[Int])] = {
+    graft.SessionCaches.track(s)
+    ivfCentCache.get((s, d + "#append")).getOrElse {
+      val cents = int8LloydTrain(
+        quantized(s, d).filter(col("vec_id") % 10 =!= 0), IvfK)
+      if (cents.nonEmpty) ivfCentCache.putIfAbsent((s, d + "#append"), cents)
       cents
     }
   }
@@ -609,6 +649,33 @@ object Similarity {
           lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
       else {
         val index = IvfIndex.builtFor(s, d)
+        IvfIndex.probe(s, index, e.filter(col("vec_id") < 10),
+          nprobe = 3, topk = 10)
+      }
+    },
+
+    // Incremental IVF ingest (ss03's append path, oracle-gated): the
+    // STANDING corpus (vec_id % 10 != 0) trains the quantizer and
+    // builds the cell-partitioned index; the remaining 10% is then
+    // absorbed by IvfIndex.append — assignment under the FROZEN
+    // centroids, dynamic partition append, zero rewrite of standing
+    // posting lists (the dd07/dd11 standing-corpus discipline applied
+    // to ANN). The probe is ss03's, over the MERGED index, so the
+    // query proves appended vectors are searchable; qa11 audits the
+    // recall cost of freezing the quantizer. Replayable end-to-end:
+    // the assignment arithmetic is the same integer L2 as ss03's —
+    // only the trainer's input set changes.
+    "ss11_ivf_append" -> { (s, d) =>
+      val e = emb(s, d)
+      // empty corpus OR empty standing corpus (a 1-row table whose only
+      // vec_id is a multiple of 10): nothing to train on — searching
+      // nothing returns nothing, matching the oracle's empty seed set
+      if (embEmpty(s, d, e) ||
+          e.filter(col("vec_id") % 10 =!= 0).limit(1).isEmpty)
+        e.select(col("vec_id").as("q_id"), col("vec_id"),
+          lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
+      else {
+        val index = IvfIndex.builtForAppend(s, d)
         IvfIndex.probe(s, index, e.filter(col("vec_id") < 10),
           nprobe = 3, topk = 10)
       }
@@ -1073,7 +1140,8 @@ object Similarity {
     // = the max-min distance² the first r−1 centers left uncovered (a
     // non-increasing sequence, pinned in SimilaritySpec).
     "emb10_kcenter" -> { (s, d) =>
-      kcenterGreedy(s, quantized(s, d), 8)
+      import s.implicits._
+      kcenterRows(s, d, 8).toDF("round", "vec_id", "radius")
     },
 
     // Coreset coverage audit over emb10's centers — the report that
@@ -1093,8 +1161,7 @@ object Similarity {
     "qa09_coreset_coverage" -> { (s, d) =>
       import s.implicits._
       val q8 = quantized(s, d)
-      val ids = kcenterGreedy(s, q8, 8).collect()
-        .map(_.getLong(1))
+      val ids = kcenterRows(s, d, 8).map(_._2)
       // empty corpus → no centers → an empty report of the right shape
       // (empty-in → empty-out, the EmptyCorpusSpec contract; a zero-arm
       // array_min(array()) would be VOID-typed and fail analysis)
@@ -1132,6 +1199,25 @@ object Similarity {
       val exact = queries("ss01_topk_bruteforce")(s, d)
         .select(col("q_id"), col("vec_id"))
       val ann = queries("ss03_ivf_topk")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_true").cast("double")).as("recall"))
+    },
+
+    // qa10's audit pointed at the APPENDED index (ss11): recall@10 of
+    // the frozen-centroid merged index vs the exact brute force — the
+    // drift number an incremental-ingest ANN deployment watches to
+    // decide when a retrain is due. Same bounded composition as qa10.
+    "qa11_ivf_append_recall" -> { (s, d) =>
+      val exact = queries("ss01_topk_bruteforce")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val ann = queries("ss11_ivf_append")(s, d)
         .select(col("q_id"), col("vec_id"))
       val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
@@ -1545,10 +1631,13 @@ object Similarity {
   // (hash-ordered seeds, one truncating-integer-mean Lloyd round),
   // cell membership, the nprobe=3 probed cells, exact double cosine
   // scoring, and the final per-query top-10 as `ivf_topk` — consumed
-  // by the ss03 oracle and qa10's recall audit, so the index SQL
-  // exists exactly once.
-  private lazy val ss03Ctes: String =
-      """q8 AS MATERIALIZED (
+  // by the ss03/ss11 oracles and the qa10/qa11 recall audits, so the
+  // index SQL exists exactly once. `trainWhere` restricts the TRAINER's
+  // input (seeds + the one Lloyd round) — ss11 trains on the standing
+  // corpus only while cell assignment still covers every vector, which
+  // is exactly what an incremental append does.
+  private def ivfCtes(trainWhere: String): String =
+      s"""q8 AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(
         |      CAST(x AS DOUBLE) /
@@ -1559,7 +1648,7 @@ object Similarity {
         |seeds AS (
         |  SELECT CAST(ROW_NUMBER() OVER (
         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid, q
-        |  FROM (SELECT vec_id, q FROM q8
+        |  FROM (SELECT vec_id, q FROM q8 $trainWhere
         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) t
         |),
         |a1 AS (
@@ -1569,7 +1658,7 @@ object Similarity {
         |        CAST(list_dot_product(x.q, x.q) AS BIGINT)
         |          - 2 * CAST(list_dot_product(x.q, s.q) AS BIGINT)
         |          + CAST(list_dot_product(s.q, s.q) AS BIGINT), s.cid) AS rn
-        |    FROM q8 x, seeds s) z
+        |    FROM (SELECT vec_id, q FROM q8 $trainWhere) x, seeds s) z
         |  WHERE rn = 1
         |),
         |sums AS (
@@ -1620,6 +1709,43 @@ object Similarity {
         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
         |    FROM scored) z
         |  WHERE rn <= 10)""".stripMargin
+
+  private lazy val ss03Ctes: String = ivfCtes("")
+  // ss11: the trainer sees only the standing 90%; `cells` (assignment)
+  // still covers every vector — the appended batch lands under frozen
+  // centroids, exactly what IvfIndex.append does
+  private lazy val ss11Ctes: String = ivfCtes("WHERE vec_id % 10 <> 0")
+
+  // the qa10/qa11 recall-audit tail over whichever ivf_topk chain
+  // precedes it: exact brute-force top-10 per probe (ss01's scoring
+  // over the SAME `e` table), id semi-join overlap, integer-count
+  // recall in double
+  private lazy val annRecallTail: String =
+      """bf AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, x.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(x.v, q.v) /
+        |          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+        |        x.vec_id) AS rn
+        |    FROM e x, e q
+        |    WHERE q.vec_id < 10 AND x.vec_id != q.vec_id) t
+        |  WHERE rn <= 10
+        |),
+        |hit AS (
+        |  SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM bf b JOIN ivf_topk iv
+        |    ON iv.q_id = b.q_id AND iv.vec_id = b.vec_id
+        |  GROUP BY b.q_id
+        |),
+        |base AS (
+        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM bf GROUP BY q_id
+        |)
+        |SELECT b.q_id, b.n_true,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_true AS recall
+        |FROM base b LEFT JOIN hit h USING (q_id)""".stripMargin
 
   // ss01 oracle: DuckDB list_dot_product over double-cast lists matches
   // the sequential double fold of VecDot (validated empirically).
@@ -1998,32 +2124,18 @@ object Similarity {
     // (ss03's CTE chain + ss01's scoring over the SAME `e` table), the
     // overlap is a pure id semi-join (float-independent), and recall
     // divides exact integer counts in double.
-    "qa10_ann_recall" -> s"""WITH $ss03Ctes,
-        |bf AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q.vec_id AS q_id, x.vec_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_dot_product(x.v, q.v) /
-        |          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
-        |        x.vec_id) AS rn
-        |    FROM e x, e q
-        |    WHERE q.vec_id < 10 AND x.vec_id != q.vec_id) t
-        |  WHERE rn <= 10
-        |),
-        |hit AS (
-        |  SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-        |  FROM bf b JOIN ivf_topk iv
-        |    ON iv.q_id = b.q_id AND iv.vec_id = b.vec_id
-        |  GROUP BY b.q_id
-        |),
-        |base AS (
-        |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_true
-        |  FROM bf GROUP BY q_id
-        |)
-        |SELECT b.q_id, b.n_true,
-        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_true AS recall
-        |FROM base b LEFT JOIN hit h USING (q_id)""".stripMargin,
+    "qa10_ann_recall" -> s"WITH $ss03Ctes,\n$annRecallTail",
+
+    // ss11: the incremental-append path — frozen standing-corpus
+    // centroids, every vector (standing + appended batch) assigned
+    // under them, same probe and scoring as ss03.
+    "ss11_ivf_append" -> s"""WITH $ss11Ctes
+        |SELECT q_id, vec_id, cos, rank FROM ivf_topk""".stripMargin,
+
+    // qa11: qa10's recall audit pointed at the APPENDED index — the
+    // number that says whether absorbing a new batch under frozen
+    // centroids degraded search quality.
+    "qa11_ivf_append_recall" -> s"WITH $ss11Ctes,\n$annRecallTail",
 
     // ss03b: the IVF build + probe replayed end-to-end — emb03's Lloyd
     // chain at K=16 (same hash-ordered seeds, same truncating integer
