@@ -141,6 +141,105 @@ object EventsStream {
       }
   }
 
+  /** Tolerance-bounded STREAM-STREAM as-of join (streaming twin of the
+    * oracle-gated batch ev08e): each purchase matched to its user's
+    * LATEST view at-or-before it, nulled when the gap exceeds
+    * `toleranceUs`. This is the as-of a Flink interval-join user
+    * reaches for, and the tolerance is what makes it streamable: the
+    * state is BAND-SHAPED — the view buffer holds exactly the views
+    * still inside the tolerance reach of the latest
+    * watermark-admissible event, the [[bandCount]] eviction discipline
+    * with an at-or-before ARGMAX instead of a count. Contrast
+    * [[asofJoin]] (O(1) state, but monotone-source semantics: a late
+    * purchase can silently match a too-new view and a late view is
+    * dropped): here both sides buffer within the watermark, so a
+    * purchase OR view arriving late-but-within-watermark still
+    * produces the batch answer — the watermark bounds state AND
+    * correctness, exactly as in the band. Same-us views collapse to
+    * the max event_id (the batch side's pre-aggregation); within a
+    * trigger, views process before purchases on time ties (the
+    * inclusive `p.us >= v.us`). */
+  def asofTolerance(spark: SparkSession, events: DataFrame,
+      toleranceUs: Long = 1800L * 1000000L,
+      watermarkDelay: String = "1 hour"): Dataset[AsofOut] = {
+    import spark.implicits._
+    require(toleranceUs >= 0L, s"tolerance must be >= 0, got $toleranceUs")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[Seq[(Long, Long)]]) =>
+          def micros(e: Event): Long =
+            e.ts.getTime / 1000 * 1000000 + (e.ts.getNanos / 1000) % 1000000
+          if (state.hasTimedOut) {
+            // idle past watermark + tolerance: nothing buffered can
+            // ever match a future in-watermark purchase
+            state.remove()
+            Iterator.empty
+          } else {
+            // ascending (v_us, v_event_id) view buffer, us-unique —
+            // the bandCount deque with a per-us max-event_id collapse
+            val buf = new java.util.ArrayDeque[(Long, Long)]()
+            state.getOption.foreach(_.foreach(buf.addLast))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            var maxUs =
+              if (buf.isEmpty) Long.MinValue else buf.peekLast()._1
+            val out = scala.collection.mutable.ArrayBuffer[AsofOut]()
+            val sorted = it.toArray.sortBy(e =>
+              (micros(e), if (e.event_type == "view") 0 else 1, e.event_id))
+            sorted.foreach { e =>
+              val us = micros(e)
+              if (e.event_type == "view") {
+                // insert keeping the buffer ascending: a view arriving
+                // late-but-within-watermark lands mid-buffer via a
+                // bounded tail stack (views newer than it pop off and
+                // push back — O(size of the newer tail), usually 0)
+                val tail = new java.util.ArrayDeque[(Long, Long)]()
+                while (!buf.isEmpty && buf.peekLast()._1 > us)
+                  tail.addFirst(buf.removeLast())
+                if (!buf.isEmpty && buf.peekLast()._1 == us) {
+                  if (buf.peekLast()._2 < e.event_id) {
+                    buf.removeLast(); buf.addLast((us, e.event_id))
+                  }
+                } else buf.addLast((us, e.event_id))
+                while (!tail.isEmpty) buf.addLast(tail.removeFirst())
+              } else {
+                // latest view at-or-before: first tail-ward hit
+                var m: Option[(Long, Long)] = None
+                val itr = buf.descendingIterator()
+                while (m.isEmpty && itr.hasNext) {
+                  val v = itr.next()
+                  if (v._1 <= us) m = Some(v)
+                }
+                val ok = m.filter(v => us - v._1 <= toleranceUs)
+                out += AsofOut(e.event_id, user, us, ok.map(_._1), ok.map(_._2))
+              }
+              if (us > maxUs) maxUs = us
+              // bandCount's eviction verbatim with lowUs = -tolerance:
+              // drop views below the tolerance reach of the latest
+              // event the WATERMARK still admits — never the per-user
+              // max alone, so a late purchase keeps its match window
+              val horizonUs = math.min(maxUs, wmUs)
+              while (!buf.isEmpty && buf.peekFirst()._1 < horizonUs - toleranceUs)
+                buf.removeFirst()
+            }
+            state.update(
+              scala.jdk.CollectionConverters.IteratorHasAsScala(
+                buf.iterator()).asScala.toSeq)
+            if (maxUs != Long.MinValue) {
+              val horizonMs = maxUs / 1000 + toleranceUs / 1000 + 1000
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1000))
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class BandCount(event_id: Long, user_id: Long, us: Long,
       n_prior_purchases: Long)
 

@@ -502,6 +502,35 @@ class EventsStreamSpec extends SparkSpec {
     assert(e3.getMessage.contains("static"))
   }
 
+  test("tolerance-bounded STREAM-STREAM as-of matches the oracle-gated " +
+      "batch ev08e exactly (watermarked, band-shaped view buffer)") {
+    val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
+    val q = EventsStream.asofTolerance(spark, stream)
+      .writeStream.format("memory").queryName("asoftol").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      val streamed = spark.table("asoftol")
+        .select("event_id", "user_id", "us", "matched_us", "matched_event_id")
+        .collect().map(key).toSet
+      val batch = graft.queries.Events.queries("ev08e_asof_tolerance")(spark, sf)
+        .select("event_id", "user_id", "us", "matched_us", "matched_event_id")
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // the tolerance must actually bite on this corpus — otherwise
+      // this parity is just the plain ev08 test again
+      val unbounded = graft.queries.Events.queries("ev08_asof_join")(spark, sf)
+        .filter(col("matched_us").isNotNull).count()
+      val bounded = batch.count(_._4.isDefined)
+      assert(bounded < unbounded,
+        s"tolerance never nulled a match ($bounded vs $unbounded) — " +
+          "the spec is not exercising the bound")
+    } finally q.stop()
+  }
+
   test("streaming band join matches the oracle-checked batch ev07 exactly " +
       "(watermarked, band-occupancy state)") {
     val stream = EventsStream.readEvents(spark, eventsDir, maxFilesPerTrigger = 100)
