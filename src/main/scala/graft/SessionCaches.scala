@@ -52,8 +52,16 @@ final class DfMemo[K] {
   import org.apache.spark.sql.DataFrame
   private val m = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, K), DataFrame]
+  // Unpersist each evicted frame: with a single session per context
+  // (today's shape) context-stop reclaims the blocks anyway, but under
+  // SparkSession.newSession() siblings share one context, and a dead
+  // session's DISK_ONLY blocks would otherwise survive until the whole
+  // context stops.
   SessionCaches.registerEvictor(s =>
-    m.keySet.toSeq.filter(_._1 eq s).foreach(m.remove))
+    m.keySet.toSeq.filter(_._1 eq s).foreach { k =>
+      m.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    })
 
   def get(s: SparkSession, k: K)(build: => DataFrame): DataFrame = {
     SessionCaches.track(s)

@@ -45,6 +45,11 @@ class EmptyCorpusSpec extends SparkSpec {
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
         Thread.sleep(100)
+      // an AQE broadcast future that hasn't SUBMITTED its job yet can
+      // slip past the active-job poll and still race the delete; a short
+      // fixed grace after the queue empties closes that window
+      // (best-effort CI-noise mitigation, not correctness)
+      Thread.sleep(500)
       // the sweep corpus is per-run; so is the z-layout the Bucketing
       // queries derive for it (deterministic per-corpus temp path) —
       // delete both, or every CI run leaks corpus-sized directories
