@@ -84,9 +84,9 @@ object Graph {
   // lost insert race unpersists the loser's copy.
   private final class BoundedPairCache(max: Int) {
     private val m = scala.collection.mutable.LinkedHashMap
-      .empty[(SparkSession, DataFrame), (DataFrame, DataFrame)]
+      .empty[(SparkSession, DataFrame), Seq[DataFrame]]
     def getOrElseUpdate(k: (SparkSession, DataFrame),
-        build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+        build: => Seq[DataFrame]): Seq[DataFrame] =
       m.synchronized(m.get(k)) match {
         case Some(v) => v
         case None =>
@@ -94,17 +94,13 @@ object Graph {
           m.synchronized {
             m.get(k) match {
               case Some(w) =>
-                v._1.unpersist(blocking = false)
-                v._2.unpersist(blocking = false)
+                v.foreach(_.unpersist(blocking = false))
                 w
               case None =>
                 m.put(k, v)
                 val mine = m.keysIterator.filter(_._1 eq k._1).toSeq
                 mine.dropRight(max).foreach { old =>
-                  m.remove(old).foreach { p =>
-                    p._1.unpersist(blocking = false)
-                    p._2.unpersist(blocking = false)
-                  }
+                  m.remove(old).foreach(_.foreach(_.unpersist(blocking = false)))
                 }
                 v
             }
@@ -121,7 +117,7 @@ object Graph {
   private def adjNodes(edges: DataFrame): (DataFrame, DataFrame) = {
     val s = edges.sparkSession
     graft.SessionCaches.track(s)
-    adjCache.getOrElseUpdate((s, edges), {
+    val r = adjCache.getOrElseUpdate((s, edges), {
       val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
       val parts = s.sessionState.conf.numShufflePartitions
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -131,8 +127,9 @@ object Graph {
       // this table
       adj.count()
       val nodes = adj.select(col("src").as("node")).distinct().persist(disk)
-      (adj, nodes)
+      Seq(adj, nodes)
     })
+    (r(0), r(1))
   }
 
   // triangleCount's two materialized edge tables (canonical + oriented),
@@ -250,6 +247,13 @@ object Graph {
         .select(col("dst"), expr("rank DIV deg").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("contrib"))
+      // (A round-14 attempt to decompose this full_outer into a
+      // broadcast left_outer + seed-only anti union was rejected: the
+      // anti half is a SECOND structural reference to contrib, which
+      // is the gr03/gr06 plan-doubling trap — 2^rounds copies of the
+      // chain. The full_outer's cost is a node-sized sort of an
+      // already-dst-partitioned table; it is the cheap, single-
+      // reference formulation.)
       ranks = contrib
         .join(seeds, col("dst") === col("s_node"), "full_outer")
         .select(coalesce(col("dst"), col("s_node")).as("node"),
@@ -310,10 +314,13 @@ object Graph {
     // alone the join chain re-executes 2^half-steps times — the gr03
     // plan-doubling class, measured 45.9 s → ~5 s at sf0.01. The
     // truncation is node-sized (one score per node), never edge-sized.
-    // (A persist-raw + truncate-once-per-round variant was measured at
-    // the same wall time — the cost is the 6 edge joins + 6 broadcast
-    // max stages themselves, proportional to the operator's work — so
-    // the simpler per-half-step truncation stays.)
+    // (Two rejected variants, both MEASURED slower: persist-raw +
+    // truncate-once-per-round at the same wall time, and round 14's
+    // persist-raw + driver-scalar max — one job per half-step on
+    // paper, but cached plans bypass AQE, so the in-step join loses
+    // its runtime broadcast and sort-merges the 0.8M-row adjacency
+    // per half-step: 2.4 s → 6.0 s at sf0.1. The checkpoint shape
+    // keeps every consumer under AQE.)
     def norm(raw: DataFrame, c: String): DataFrame = {
       val t = Lineage.truncate(raw)
       val q = t.agg(expr(s"greatest(1L, max($c) DIV ${scale}L)").as("q"))
@@ -436,10 +443,10 @@ object Graph {
     // memoized per (session, input-instance) via triCache — the same
     // per-invocation-persist-leak fix as adjNodes (each bench rep used
     // to pin a fresh copy of both for the session lifetime).
-    val (und, oriented) = {
+    val (und, oriented, adj) = {
       val s = undIn.sparkSession
       graft.SessionCaches.track(s)
-      triCache.getOrElseUpdate((s, undIn), {
+      val r = triCache.getOrElseUpdate((s, undIn), {
         val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
         val u = undIn.persist(disk)
         val bothDirs = u.select(col("a").as("n"), col("b").as("m"))
@@ -453,8 +460,17 @@ object Graph {
           .select(col("n").as("u"), col("m").as("v"))
           .persist(disk)
         o.count()
-        (u, o)
+        // the sorted out-neighbor arrays are consumed TWICE per count
+        // (attached to both endpoints of every edge), so unmaterialized
+        // the groupBy+sort executed twice per invocation — node-sized,
+        // so the persist is small and the second attach is a cache read
+        val a = o.groupBy(col("u"))
+          .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+          .persist(disk)
+        a.count()
+        Seq(u, o, a)
       })
+      (r(0), r(1), r(2))
     }
     // adjacency-intersection closure: every triangle u→v, u→w, v→w is
     // found exactly once on its base edge (u, v) as w ∈ N⁺(u) ∩ N⁺(v).
@@ -468,8 +484,6 @@ object Graph {
     // map-side. An endpoint with no out-list contributes zero, so the
     // nv attach can be an inner join. Orientation bounds every
     // neighbor array at O(sqrt(edges)), hubs included.
-    val adj = oriented.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
     oriented
       .join(adj, "u")
       .withColumnRenamed("nbrs", "nu")
