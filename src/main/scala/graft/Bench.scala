@@ -46,12 +46,12 @@ object Bench {
       try { materialize(fn(spark, warmupDir)) } catch { case _: Throwable => }
     }
 
-    // Median-of-3 per query: single-run numbers proved unusable for
+    // Multiple reps per query: single-run numbers proved unusable for
     // regression judgment (controlled r2-vs-r3 experiment showed 4-14x
-    // run-to-run noise on byte-identical code). The median of 3 runs
-    // suppresses one-off GC/JIT/IO stalls; the min is reported too as
-    // the "best achievable" floor. REPS is overridable for quick local
-    // iteration (SPARK_GRAFT_BENCH_REPS=1).
+    // run-to-run noise on byte-identical code). Reported per-query
+    // number = warm lower-median (see warmMedian below); the min is
+    // reported too as the "best achievable" floor. REPS is overridable
+    // for quick local iteration (SPARK_GRAFT_BENCH_REPS=1).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // local-iteration filter (comma-separated names); the driver never
     // sets it, so the full suite always runs in the per-round artifact
@@ -75,6 +75,19 @@ object Bench {
           Double.NaN
       }
     }
+    // WARM LOWER-median per query (reps 2..n): the per-query numbers
+    // must decompose into the headline `value`, and including the cold
+    // rep in them kept the round-13 cold-contamination failure mode
+    // alive at the per-query level even after the headline moved to
+    // warm-only. Lower median on even pools: with the default reps=3
+    // the warm pool is two elements, and the upper one would hand a
+    // one-off GC/IO stall 100% of the number. Cold stays fully visible
+    // in queries_cold / queries_runs / cold_s.
+    def warmMedian(raw: Seq[Double]): Option[Double] = {
+      val pool = if (raw.length > 1) raw.drop(1) else raw
+      val ts = pool.filterNot(_.isNaN).sorted
+      ts.lift((ts.length - 1) / 2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -84,7 +97,7 @@ object Bench {
       val raw = (1 to reps).map(_ => timeOnce(name, fn))
       val times = raw.filterNot(_.isNaN).sorted
       // a query with zero successful runs reports null, not a number
-      (name, times.lift(times.length / 2), times.headOption, raw)
+      (name, warmMedian(raw), times.headOption, raw)
     }
     def num(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + num(med) }
@@ -112,12 +125,7 @@ object Bench {
     // headline makes the artifact degrade gracefully on a noisy host —
     // the cold economics stay visible in cold_s / queries_cold instead of
     // silently inflating the number every cross-round delta is read from.
-    def warmMedian(raw: Seq[Double]): Option[Double] = {
-      val pool = if (raw.length > 1) raw.drop(1) else raw
-      val ts = pool.filterNot(_.isNaN).sorted
-      ts.lift(ts.length / 2)
-    }
-    val total = results.flatMap { case (_, _, _, raw) => warmMedian(raw) }.sum
+    val total = results.flatMap(_._2).sum
     val coldTotal = results.flatMap(_._4.headOption.filterNot(_.isNaN)).sum
     // Queries whose first-rep cost includes a nontrivial index or
     // session-memo build (IndexStore artifacts: LSH pairs, cluster map,

@@ -45,8 +45,9 @@ object SessionCaches {
   *     file listing and would freeze the query at this key even after
   *     data lands) — it is unpersisted and returned as-is;
   *   - a lost putIfAbsent race unpersists the loser's copy;
-  *   - entries evict (with their persists left to Spark's
-  *     context-stop cleanup) when the session's application ends.
+  *   - entries evict AND unpersist when the session's application
+  *     ends (under newSession() siblings a dead session's blocks must
+  *     not wait for context stop).
   * Future fixes to any of these rules now exist exactly once. */
 final class DfMemo[K] {
   import org.apache.spark.sql.DataFrame

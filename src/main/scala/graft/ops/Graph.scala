@@ -107,7 +107,14 @@ object Graph {
           }
       }
     def evict(s: SparkSession): Unit = m.synchronized {
-      m.keysIterator.filter(_._1 eq s).toSeq.foreach(m.remove)
+      // unpersist what we evict (the DfMemo rule): under newSession()
+      // siblings sharing one context, a dead session's DISK_ONLY
+      // blocks must not survive until context stop
+      m.keysIterator.filter(_._1 eq s).toSeq.foreach { k =>
+        m.remove(k).foreach(_.foreach(df =>
+          try df.unpersist(blocking = false)
+          catch { case _: Throwable => () }))
+      }
     }
   }
 
@@ -158,7 +165,14 @@ object Graph {
   private val hitsAdjCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
   graft.SessionCaches.registerEvictor(s =>
-    hitsAdjCache.keySet.toSeq.filter(_._1 eq s).foreach(hitsAdjCache.remove))
+    hitsAdjCache.keySet.toSeq.filter(_._1 eq s).foreach { k =>
+      hitsAdjCache.remove(k).foreach { p =>
+        try {
+          p._1.unpersist(blocking = false)
+          p._2.unpersist(blocking = false)
+        } catch { case _: Throwable => () }
+      }
+    })
 
   private def hitsAdj(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.SessionCaches.track(s)

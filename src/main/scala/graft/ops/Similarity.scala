@@ -469,6 +469,20 @@ object Similarity {
     }
   }
 
+  /** ss11's guard: is the STANDING corpus (vec_id % 10 != 0) empty?
+    * Same discipline as [[embEmpty]] — only the non-empty verdict is
+    * memoized (keyed under a distinct suffix in the same map), so warm
+    * ss11/qa11 invocations don't pay a probe job per construction. */
+  private def standingEmpty(s: SparkSession, d: String, e: DataFrame): Boolean = {
+    graft.SessionCaches.track(s)
+    if (embNonEmpty.contains((s, d + "#standing"))) false
+    else {
+      val empty = e.filter(col("vec_id") % 10 =!= 0).limit(1).isEmpty
+      if (!empty) embNonEmpty.putIfAbsent((s, d + "#standing"), true)
+      empty
+    }
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed, 16 × 64). */
   private lazy val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
@@ -670,8 +684,7 @@ object Similarity {
       // empty corpus OR empty standing corpus (a 1-row table whose only
       // vec_id is a multiple of 10): nothing to train on — searching
       // nothing returns nothing, matching the oracle's empty seed set
-      if (embEmpty(s, d, e) ||
-          e.filter(col("vec_id") % 10 =!= 0).limit(1).isEmpty)
+      if (embEmpty(s, d, e) || standingEmpty(s, d, e))
         e.select(col("vec_id").as("q_id"), col("vec_id"),
           lit(0.0).as("cos"), lit(0).as("rank")).limit(0)
       else {

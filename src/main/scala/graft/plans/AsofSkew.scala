@@ -200,14 +200,19 @@ object AsofSkew {
       hint: String = "merge", direction: String = "backward",
       toleranceUs: Long = -1L): DataFrame = {
     require(keys.nonEmpty, "at least one key pair")
-    if (hotKeys.isEmpty)
+    // one branch per DISTINCT tuple: a duplicated hot key (two
+    // detection passes concatenated) would silently duplicate every
+    // matched row for it — the salted sibling's membership test is
+    // naturally duplicate-tolerant, this union is not
+    val hot = hotKeys.distinct
+    if (hot.isEmpty)
       return PlanBridge.asofJoin(left, right, keys, leftTime, rightTime,
         hint, direction, toleranceUs)
     val cold = PlanBridge.asofJoin(
-      left.filter(!isHotNullSafe(keys.map(_._1), hotKeys)),
-      right.filter(!isHotNullSafe(keys.map(_._2), hotKeys)),
+      left.filter(!isHotNullSafe(keys.map(_._1), hot)),
+      right.filter(!isHotNullSafe(keys.map(_._2), hot)),
       keys, leftTime, rightTime, hint, direction, toleranceUs)
-    val hotBranches = hotKeys.map { t =>
+    val hotBranches = hot.map { t =>
       val pEq = keys.map(_._1).zip(t)
         .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
       val bEq = keys.map(_._2).zip(t)
@@ -239,14 +244,15 @@ object AsofSkew {
       hotKeys: Seq[Seq[Any]],
       hint: String = "merge"): DataFrame = {
     require(keys.nonEmpty, "at least one key pair")
-    if (hotKeys.isEmpty)
+    val hot = hotKeys.distinct // see asofJoinBuildSkewedKeys
+    if (hot.isEmpty)
       return PlanBridge.bandJoin(left, right, keys, leftTime, rightTime,
         lowUs, highUs, hint)
     val cold = PlanBridge.bandJoin(
-      left.filter(!isHotNullSafe(keys.map(_._1), hotKeys)),
-      right.filter(!isHotNullSafe(keys.map(_._2), hotKeys)),
+      left.filter(!isHotNullSafe(keys.map(_._1), hot)),
+      right.filter(!isHotNullSafe(keys.map(_._2), hot)),
       keys, leftTime, rightTime, lowUs, highUs, hint)
-    val hotBranches = hotKeys.map { t =>
+    val hotBranches = hot.map { t =>
       val pEq = keys.map(_._1).zip(t)
         .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
       val bEq = keys.map(_._2).zip(t)

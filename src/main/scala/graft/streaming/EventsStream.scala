@@ -152,10 +152,16 @@ object EventsStream {
     * with an at-or-before ARGMAX instead of a count. Contrast
     * [[asofJoin]] (O(1) state, but monotone-source semantics: a late
     * purchase can silently match a too-new view and a late view is
-    * dropped): here both sides buffer within the watermark, so a
-    * purchase OR view arriving late-but-within-watermark still
-    * produces the batch answer — the watermark bounds state AND
-    * correctness, exactly as in the band. Same-us views collapse to
+    * dropped): here the view BUFFER holds the full watermark-admitted
+    * window, so a purchase arriving late-but-within-watermark still
+    * finds its exact batch match, and a late view serves every
+    * purchase processed at-or-after it. The one asymmetry is
+    * [[bandCount]]'s same Update-mode emit-once contract: a purchase
+    * already emitted (necessarily with a null or older match) is never
+    * retro-emitted when an even later trigger delivers a view batch
+    * would have matched it to — removing that would mean holding every
+    * purchase until the watermark passes it (append-mode latency)
+    * instead of emitting eagerly. Same-us views collapse to
     * the max event_id (the batch side's pre-aggregation); within a
     * trigger, views process before purchases on time ties (the
     * inclusive `p.us >= v.us`). */

@@ -157,7 +157,7 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
       val buildSplit = buildSkewed && pSizes(i) >= bSizes(i)
       if (buildSkewed) {
         nBuildHot += 1
-        if (!buildSplit)
+        if (!buildSplit && !probeSkewed)
           logWarning(s"graft skew join: build partition $i is hot " +
             s"(${bSizes(i)} bytes > ${bThreshold.toLong}) and larger than " +
             s"its probe partition (${pSizes(i)} bytes) — probe slicing " +
@@ -165,15 +165,19 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
             "serialized. For a known hot build key use " +
             "AsofSkew.asofJoinBuildSkewedKeys / bandJoinBuildSkewedKeys.")
       }
-      // probe-skewed: slice to the advisory target (floored at the
-      // probe median, as Spark's rule does). Build-hot with a UNIFORM
-      // probe side: the median floor would forbid any slice, so floor
-      // at the build size instead — slices below build_i bytes of
-      // probe are pointless anyway (each already pays a full build_i
-      // re-sort), and the advisory keeps tiny builds from over-slicing.
+      // Slice target: the advisory target (floored at the probe
+      // median, as Spark's rule does) when probe-skewed; floored at
+      // the BUILD partition size whenever the build side is hot —
+      // slices below build_i bytes of probe are pointless in every
+      // case (each slice already pays a full build_i re-fetch+re-sort,
+      // so finer slicing multiplies that cost for no wall gain; this
+      // floor applies to probe-skewed-AND-build-hot partitions too).
+      // Build-hot with a uniform probe side: the probe-median floor
+      // would forbid any slice, so the floor is max(build_i, advisory).
+      val buildFloor = if (buildSkewed) bSizes(i) else 0L
       val sliceTarget: Long =
-        if (probeSkewed) targetSize
-        else math.max(bSizes(i), advisory)
+        if (probeSkewed) math.max(targetSize, buildFloor)
+        else math.max(buildFloor, advisory)
       val slices: Seq[ShufflePartitionSpec] =
         if (probeSkewed || buildSplit) {
           ShufflePartitionsUtil
@@ -192,8 +196,10 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
     if (nSplit == 0) None
     else {
       logInfo(s"graft skew join: split $nSplit probe partition(s)" +
-        (if (nBuildHot > 0) s" ($nBuildHot of them for hot BUILD bytes — " +
-          "each probe slice re-reads that whole build partition)" else ""))
+        (if (nBuildHot > 0) s"; $nBuildHot partition(s) have hot BUILD " +
+          "bytes (each probe slice re-reads its whole build partition; " +
+          "hot-build partitions larger than their probe stay unsplit)"
+        else ""))
       Some((AQEShuffleReadExec(probe, pSide.result()),
         AQEShuffleReadExec(build, bSide.result())))
     }
