@@ -373,6 +373,47 @@ class AsofSkewSpec extends SparkSpec {
       Seq("user_id" -> "b_key"), "us", "b_us")))
   }
 
+  test("AQE skew split: a partition that is BOTH probe-skewed and " +
+      "build-hot still splits (slice floor = build size), rows identical") {
+    import aqe.implicits._
+    // key 1 is hot on BOTH sides: 60% of 40000 probes AND 60% of 8000
+    // build rows hash to its partition — the review-pass case where the
+    // probe-skew branch used to ignore the build-size slice floor
+    val rnd = new scala.util.Random(31)
+    val probes = (0 until 40000).map { i =>
+      val key = if (i % 10 < 6) 1L else (i % 97).toLong + 1L
+      (i.toLong, key, rnd.nextInt(100000).toLong)
+    }.toDF("event_id", "user_id", "us")
+    val builds = (0 until 8000).map { j =>
+      val key = if (j % 10 < 6) 1L else (j % 97).toLong + 1L
+      (key, (j * 211 % 100000).toLong, 1000L + j)
+    }.toDF("b_key", "b_us", "b_id")
+    def run(on: Boolean) = {
+      aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, on.toString)
+      try {
+        val df = PlanBridge.asofJoin(probes, builds,
+          Seq("user_id" -> "b_key"), "us", "b_us", hint = "merge")
+        df.collect()
+        (df, rows(df))
+      } finally aqe.conf.set(
+        org.apache.spark.sql.graft.OptimizeSkewedGraftJoin.ConfKey, "true")
+    }
+    val (df, got) = run(on = true)
+    val join = walk(df.queryExecution.executedPlan)
+      .collectFirst { case j: AsofJoinExec => j }
+    assert(join.exists(_.isSkewJoin),
+      s"both-skewed split never fired:\n${df.queryExecution.executedPlan}")
+    val buildRead = walk(join.get.right).collectFirst {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(buildRead.exists(_.partitionSpecs.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.CoalescedPartitionSpec])),
+      "build side was sliced — that scatters a key's build rows")
+    val (_, want) = run(on = false)
+    assert(got == want && got.size == 40000)
+  }
+
   test("AQE skew split: band join, same contract") {
     def bandAgg(on: Boolean) = {
       aqe.conf.set(
