@@ -127,6 +127,11 @@ object Bench {
     // silently inflating the number every cross-round delta is read from.
     val total = results.flatMap(_._2).sum
     val coldTotal = results.flatMap(_._4.headOption.filterNot(_.isNaN)).sum
+    // honesty flag for REPS=1 iterations: with no warm rep, warmMedian
+    // falls back to the cold rep and `value == cold_s` — a reader
+    // comparing such an artifact against a reps>=2 one must not read
+    // the systematic cold-vs-warm delta as a regression
+    val coldOnly = if (reps < 2) "\"cold_only\":true," else ""
     // Queries whose first-rep cost includes a nontrivial index or
     // session-memo build (IndexStore artifacts: LSH pairs, cluster map,
     // span tables, blooms, PQ/IVF, z-layout, trade edges; session
@@ -159,7 +164,7 @@ object Bench {
       "tx16_bm25_topk", "tx17_bpe_train", "tx18_bpe_encode",
       "tx19_bpe_doc_tokens", "tx20_bpe_fertility")
     val memoJson = memoBacked.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_s":$coldTotal,"reps":$reps,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_s":$coldTotal,$coldOnly"reps":$reps,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's per-round artifact keeps only a ~2KB tail of stdout,
     // which has repeatedly made cross-round per-query comparison
@@ -187,7 +192,7 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v)) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","cold_s":$coldTotal,"reps":$reps,"n":${results.size},"errors":$errs,"queries":$slow5,"sf":"$sfDir","compact":true,"full":"BENCH_FULL.json"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","cold_s":$coldTotal,$coldOnly"reps":$reps,"n":${results.size},"errors":$errs,"queries":$slow5,"sf":"$sfDir","compact":true,"full":"BENCH_FULL.json"}"""
     println(compact)
     spark.stop()
   }

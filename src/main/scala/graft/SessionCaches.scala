@@ -45,19 +45,23 @@ object SessionCaches {
   *     file listing and would freeze the query at this key even after
   *     data lands) — it is unpersisted and returned as-is;
   *   - a lost putIfAbsent race unpersists the loser's copy;
-  *   - entries evict AND unpersist when the session's application
-  *     ends (under newSession() siblings a dead session's blocks must
-  *     not wait for context stop).
+  *   - entries evict (and unpersist) when the application ends. NOTE:
+  *     evictors fire from onApplicationEnd, i.e. at CONTEXT stop —
+  *     there is no per-newSession()-sibling death hook in Spark — so
+  *     the unpersist is belt-and-braces for a future finer-grained
+  *     eviction trigger, not a today-observable behavior change
+  *     (Spark reclaims all blocks at context stop anyway).
   * Future fixes to any of these rules now exist exactly once. */
 final class DfMemo[K] {
   import org.apache.spark.sql.DataFrame
   private val m = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, K), DataFrame]
-  // Unpersist each evicted frame: with a single session per context
-  // (today's shape) context-stop reclaims the blocks anyway, but under
-  // SparkSession.newSession() siblings share one context, and a dead
-  // session's DISK_ONLY blocks would otherwise survive until the whole
-  // context stops.
+  // Unpersist each evicted frame. Today this is belt-and-braces: the
+  // evictor only fires at context stop (see the class doc note), where
+  // Spark reclaims the blocks anyway — but if a finer-grained
+  // per-session eviction trigger is ever added, this is the line that
+  // keeps a dead newSession() sibling's DISK_ONLY blocks from
+  // outliving it.
   SessionCaches.registerEvictor(s =>
     m.keySet.toSeq.filter(_._1 eq s).foreach { k =>
       m.remove(k).foreach(df =>

@@ -107,9 +107,8 @@ object Graph {
           }
       }
     def evict(s: SparkSession): Unit = m.synchronized {
-      // unpersist what we evict (the DfMemo rule): under newSession()
-      // siblings sharing one context, a dead session's DISK_ONLY
-      // blocks must not survive until context stop
+      // unpersist what we evict (the DfMemo rule; belt-and-braces
+      // today — evictors fire at context stop, see SessionCaches)
       m.keysIterator.filter(_._1 eq s).toSeq.foreach { k =>
         m.remove(k).foreach(_.foreach(df =>
           try df.unpersist(blocking = false)

@@ -80,6 +80,36 @@ object IvfIndex {
   def append(s: SparkSession, index: Index, df: DataFrame): Unit =
     writeAssigned(df, index.centroids, index.dir, overwrite = false)
 
+  /** Shared IndexStore resolution for a trained-centroids + postings
+    * index (builtFor and builtForAppend differ only in store name and
+    * build closure): Unmanaged → temp-dir build; Fresh → reconstruct
+    * the Index from the stored centroids parquet; Build → build into
+    * the store, persist the centroids, commit (abort on any failure so
+    * a half-written index is never published). */
+  private def resolveIndex(s: SparkSession, d: String, store: String,
+      tmpPrefix: String)(buildShared: String => Index): Index =
+    graft.IndexStore.resolve(s, d, store, "embeddings") match {
+      case graft.IndexStore.Unmanaged =>
+        buildShared(
+          java.nio.file.Files.createTempDirectory(tmpPrefix).toString)
+      case graft.IndexStore.Fresh(base) =>
+        val cents = s.read.parquet(base + "/centroids").collect()
+          .sortBy(_.getInt(0))
+          .map(r => (r.getInt(0), r.getSeq[Int](1).toSeq)).toSeq
+        Index(graft.IndexStore.dataPath(base), cents)
+      case graft.IndexStore.Build(base, commit) =>
+        try {
+          val idx = buildShared(graft.IndexStore.dataPath(base))
+          import s.implicits._
+          idx.centroids.toDF("c_id", "c")
+            .write.mode("overwrite").parquet(base + "/centroids")
+          commit()
+          idx
+        } catch { case t: Throwable =>
+          graft.IndexStore.abortBuild(s, base); throw t
+        }
+    }
+
   /** Memoized build over the `embeddings` table of a testdata dir.
     * With an index root configured (IndexStore), the cell-partitioned
     * postings land under the store (they are ALREADY the index's
@@ -105,27 +135,7 @@ object IvfIndex {
       // trainer (INT centroid arrays, int8-assigned postings) — a new
       // name keeps a pre-rewrite persisted index from being read back
       // as the wrong schema
-      graft.IndexStore.resolve(s, d, "ivf8", "embeddings") match {
-        case graft.IndexStore.Unmanaged =>
-          val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-          buildShared(out)
-        case graft.IndexStore.Fresh(base) =>
-          val cents = s.read.parquet(base + "/centroids").collect()
-            .sortBy(_.getInt(0))
-            .map(r => (r.getInt(0), r.getSeq[Int](1).toSeq)).toSeq
-          Index(graft.IndexStore.dataPath(base), cents)
-        case graft.IndexStore.Build(base, commit) =>
-          try {
-            val idx = buildShared(graft.IndexStore.dataPath(base))
-            import s.implicits._
-            idx.centroids.toDF("c_id", "c")
-              .write.mode("overwrite").parquet(base + "/centroids")
-            commit()
-            idx
-          } catch { case t: Throwable =>
-            graft.IndexStore.abortBuild(s, base); throw t
-          }
-      }
+      resolveIndex(s, d, "ivf8", "graft_ivf")(buildShared)
     })
   }
 
@@ -154,27 +164,7 @@ object IvfIndex {
         append(s, idx, batch)
         idx
       }
-      graft.IndexStore.resolve(s, d, "ivf8a", "embeddings") match {
-        case graft.IndexStore.Unmanaged =>
-          val out = java.nio.file.Files.createTempDirectory("graft_ivfa").toString
-          buildShared(out)
-        case graft.IndexStore.Fresh(base) =>
-          val cents = s.read.parquet(base + "/centroids").collect()
-            .sortBy(_.getInt(0))
-            .map(r => (r.getInt(0), r.getSeq[Int](1).toSeq)).toSeq
-          Index(graft.IndexStore.dataPath(base), cents)
-        case graft.IndexStore.Build(base, commit) =>
-          try {
-            val idx = buildShared(graft.IndexStore.dataPath(base))
-            import s.implicits._
-            idx.centroids.toDF("c_id", "c")
-              .write.mode("overwrite").parquet(base + "/centroids")
-            commit()
-            idx
-          } catch { case t: Throwable =>
-            graft.IndexStore.abortBuild(s, base); throw t
-          }
-      }
+      resolveIndex(s, d, "ivf8a", "graft_ivfa")(buildShared)
     })
   }
 

@@ -469,6 +469,27 @@ object Similarity {
     }
   }
 
+  /** The qa10/qa11 recall audit (Spark twin of the shared
+    * annRecallTail SQL): recall@10 of `annName`'s top-k vs the exact
+    * brute force — id semi-join overlap per probe query, exact integer
+    * counts divided in double. Exists once so a fix to the recall
+    * arithmetic can never diverge between the two audits. */
+  private def annRecall(s: SparkSession, d: String,
+      annName: String): DataFrame = {
+    val exact = queries("ss01_topk_bruteforce")(s, d)
+      .select(col("q_id"), col("vec_id"))
+    val ann = queries(annName)(s, d)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double")).as("recall"))
+  }
+
   /** ss11's guard: is the STANDING corpus (vec_id % 10 != 0) empty?
     * Same discipline as [[embEmpty]] — only the non-empty verdict is
     * memoized (keyed under a distinct suffix in the same map), so warm
@@ -1208,38 +1229,14 @@ object Similarity {
     // probe queries × top-10 rows per side — at 100 TB the expensive
     // parts (index build, brute-force scan) are the audited queries
     // themselves; the audit adds two 100-row aggregations.
-    "qa10_ann_recall" -> { (s, d) =>
-      val exact = queries("ss01_topk_bruteforce")(s, d)
-        .select(col("q_id"), col("vec_id"))
-      val ann = queries("ss03_ivf_topk")(s, d)
-        .select(col("q_id"), col("vec_id"))
-      val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
-        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
-        .join(hits, Seq("q_id"), "left")
-        .select(col("q_id"), col("n_true"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") /
-            col("n_true").cast("double")).as("recall"))
-    },
+    "qa10_ann_recall" -> { (s, d) => annRecall(s, d, "ss03_ivf_topk") },
 
     // qa10's audit pointed at the APPENDED index (ss11): recall@10 of
     // the frozen-centroid merged index vs the exact brute force — the
     // drift number an incremental-ingest ANN deployment watches to
     // decide when a retrain is due. Same bounded composition as qa10.
     "qa11_ivf_append_recall" -> { (s, d) =>
-      val exact = queries("ss01_topk_bruteforce")(s, d)
-        .select(col("q_id"), col("vec_id"))
-      val ann = queries("ss11_ivf_append")(s, d)
-        .select(col("q_id"), col("vec_id"))
-      val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi")
-        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
-        .join(hits, Seq("q_id"), "left")
-        .select(col("q_id"), col("n_true"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") /
-            col("n_true").cast("double")).as("recall"))
+      annRecall(s, d, "ss11_ivf_append")
     },
 
     // Product-quantization ANN (Jégou et al. 2011, "Product

@@ -217,8 +217,11 @@ object AsofSkew {
         .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
       val bEq = keys.map(_._2).zip(t)
         .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      // the caller's hint steers the hot branches too (the partitions
+      // they are most likely tuning) — the keyless composition accepts
+      // the same hint vocabulary
       AsofKeyless.asofJoinKeyless(left.filter(pEq), right.filter(bEq),
-        leftTime, rightTime, direction, toleranceUs)
+        leftTime, rightTime, direction, toleranceUs, hint)
     }
     hotBranches.foldLeft(cold)(_.unionByName(_))
   }
@@ -258,7 +261,7 @@ object AsofSkew {
       val bEq = keys.map(_._2).zip(t)
         .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
       PlanBridge.bandJoinKeyless(left.filter(pEq), right.filter(bEq),
-        leftTime, rightTime, lowUs, highUs)
+        leftTime, rightTime, lowUs, highUs, hint)
     }
     hotBranches.foldLeft(cold)(_.unionByName(_))
   }

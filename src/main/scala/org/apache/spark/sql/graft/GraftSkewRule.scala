@@ -170,13 +170,22 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
       // the BUILD partition size whenever the build side is hot —
       // slices below build_i bytes of probe are pointless in every
       // case (each slice already pays a full build_i re-fetch+re-sort,
-      // so finer slicing multiplies that cost for no wall gain; this
-      // floor applies to probe-skewed-AND-build-hot partitions too).
-      // Build-hot with a uniform probe side: the probe-median floor
-      // would forbid any slice, so the floor is max(build_i, advisory).
+      // so finer slicing multiplies that cost for no wall gain).
+      // Probe-skewed AND build-hot with build > probe: the build floor
+      // alone would forbid any slice and forfeit a real (≤2×) win, so
+      // cap the target at half the probe partition — two-ish slices
+      // each pay the unavoidable build re-sort IN PARALLEL, dropping
+      // the wall from sort(p)+sort(b) toward sort(b) at a bounded
+      // (~2×) CPU cost, where advisory-sized slices would burn
+      // p/advisory × sort(b). Build-hot with a uniform probe side: the
+      // probe-median floor would forbid any slice, so the floor is
+      // max(build_i, advisory).
       val buildFloor = if (buildSkewed) bSizes(i) else 0L
       val sliceTarget: Long =
-        if (probeSkewed) math.max(targetSize, buildFloor)
+        if (probeSkewed && buildSkewed)
+          math.max(math.min(math.max(targetSize, buildFloor),
+            pSizes(i) / 2), 1L)
+        else if (probeSkewed) targetSize
         else math.max(buildFloor, advisory)
       val slices: Seq[ShufflePartitionSpec] =
         if (probeSkewed || buildSplit) {
