@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-IVF stress driver (the SelectStress pattern applied to
+  * round 14's ss11 append path): a synthetic clustered corpus far above
+  * sf0.1, on which the append path's two claims are CHECKED, not
+  * assumed:
+  *
+  *  1. ECONOMICS — absorbing a 10% batch via [[graft.ops.IvfIndex
+  *     .append]] (assign under frozen centroids + dynamic partition
+  *     append) must cost well under a full rebuild (train + rewrite of
+  *     every posting list). This is the entire reason the operator
+  *     exists: at 100 TB the standing posting lists must never be
+  *     rewritten for a daily crawl.
+  *  2. QUALITY — recall@10 of the appended index (centroids that never
+  *     saw the batch) must stay within a small delta of the
+  *     fully-rebuilt index's recall on the SAME probes. The corpus is
+  *     64 planted clusters (inter-center distance >> jitter), and both
+  *     the standing 90% and the batch 10% cover every cluster, so a
+  *     frozen quantizer remains representative — the realistic
+  *     same-distribution daily-crawl regime qa11 audits at the SFs.
+  *
+  * Vectors generate MAP-SIDE from spark.range (no shuffle, nothing
+  * collected): vector id → cluster id % C, coordinate j = planted
+  * center (hash-derived in [-100, 100]) + jitter in [-5, 5]. Probes =
+  * the first 10 vectors; ground truth = exact brute-force cosine
+  * top-10 (one corpus scan per run, window top-k).
+  *
+  * Prints one JSON line. Run: tools/run.sh graft.tools.IvfStress
+  * [nVecs] (default 500000). Results in docs/ROUND14.md.
+  */
+object IvfStress {
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.headOption.map(_.toLong).getOrElse(500000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // 64 planted clusters in 64 dims: centers hash-derived per
+    // (cluster, coord) in [-100, 100], jitter per (vector, coord) in
+    // [-5, 5] — inter-center structure dominates jitter, so cell
+    // assignment is meaningful and recall is a real signal, not noise
+    val C = 64
+    def vecs(n: Long): DataFrame = spark.range(n)
+      .select(col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, 63), j -> CAST(
+          (pmod(hash(id % $C, j), 201) - 100) +
+          (pmod(hash(id, j), 11) - 5) AS FLOAT))""").as("embedding"))
+    val all = vecs(nVecs)
+    val standing = all.filter(col("vec_id") % 10 =!= 0)
+    val batch = all.filter(col("vec_id") % 10 === 0)
+
+    // exact ground truth: brute-force cosine top-10 for the 10 probes
+    val probes = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = all.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.functions.VectorOps.cosine(col("embedding"), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val (_, tExact) = timed(exact.count())
+
+    def recallOf(ann: DataFrame): Double = {
+      val hit = exact.join(ann.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_semi").count()
+      hit.toDouble / exact.count()
+    }
+
+    // full rebuild: train on EVERYTHING, write every posting list
+    val dirA = java.nio.file.Files.createTempDirectory("ivfstress_full").toString
+    val (idxFull, tRebuild) = timed(graft.ops.IvfIndex.build(spark, all, dirA))
+    val recallFull = recallOf(
+      graft.ops.IvfIndex.probe(spark, idxFull, all.filter(col("vec_id") < 10)))
+
+    // standing build once (the amortized base the daily crawl lands on)
+    val dirB = java.nio.file.Files.createTempDirectory("ivfstress_inc").toString
+    val (idxInc, tStanding) = timed(
+      graft.ops.IvfIndex.build(spark, standing, dirB))
+    // the measured operation: absorb the 10% batch under frozen centroids
+    val (_, tAppend) = timed(graft.ops.IvfIndex.append(spark, idxInc, batch))
+    val merged = spark.read.parquet(idxInc.dir)
+    val nMerged = merged.count()
+    assert(nMerged == nVecs, s"merged index holds $nMerged of $nVecs rows")
+    val annInc = graft.ops.IvfIndex.probe(spark, idxInc,
+      all.filter(col("vec_id") < 10))
+    // appended vectors must be SEARCHABLE (vec_id % 10 == 0 appears)
+    assert(annInc.filter(col("vec_id") % 10 === 0).count() > 0,
+      "probe never returns appended vectors")
+    val recallInc = recallOf(annInc)
+
+    // quality gate: frozen centroids on a same-distribution batch must
+    // not collapse recall (generous bound — the planted clusters make
+    // both recalls high and close)
+    assert(recallInc >= recallFull - 0.15,
+      s"append recall $recallInc collapsed vs rebuild $recallFull")
+    // economics gate: the append must beat re-running the full build
+    assert(tAppend < tRebuild,
+      s"append ($tAppend s) is not cheaper than a full rebuild ($tRebuild s)")
+
+    println(s"""{"tool":"IvfStress","n_vecs":$nVecs,"clusters":$C,""" +
+      s""""recall_full":${f"$recallFull%.3f"},"recall_appended":${f"$recallInc%.3f"},""" +
+      s""""rebuild_sec":${f"$tRebuild%.1f"},"standing_build_sec":${f"$tStanding%.1f"},""" +
+      s""""append_sec":${f"$tAppend%.1f"},"exact_scan_sec":${f"$tExact%.1f"}}""")
+    spark.stop()
+  }
+}
