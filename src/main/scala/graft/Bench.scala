@@ -52,7 +52,13 @@ object Bench {
     // number = warm lower-median (see warmMedian below); the min is
     // reported too as the "best achievable" floor. REPS is overridable
     // for quick local iteration (SPARK_GRAFT_BENCH_REPS=1).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Default 4, not 3: with reps=3 the warm pool is two elements and
+    // the "lower median" is deterministically the warm MIN — a
+    // min-statistic labeled a median, blind to a regression that hits
+    // one of the two warm reps. Three warm samples make it a true
+    // median: one stalled rep no longer decides the number in either
+    // direction.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     // local-iteration filter (comma-separated names); the driver never
     // sets it, so the full suite always runs in the per-round artifact
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -127,6 +133,13 @@ object Bench {
     // silently inflating the number every cross-round delta is read from.
     val total = results.flatMap(_._2).sum
     val coldTotal = results.flatMap(_._4.headOption.filterNot(_.isNaN)).sum
+    // Sum of per-query MINIMA: the contention-proof comparator. A host
+    // whose EVERY rep is contended (the driver window, rounds 12-14)
+    // poisons both warm reps and the warm median with them; the min sum
+    // survives anything short of total contamination, and the gap
+    // between value and min_s is itself the contention diagnostic
+    // (r14: driver 242.4 vs min-sum 195.5 vs settled 66.9).
+    val minTotal = results.flatMap(_._3).sum
     // honesty flag for REPS=1 iterations: with no warm rep, warmMedian
     // falls back to the cold rep and `value == cold_s` — a reader
     // comparing such an artifact against a reps>=2 one must not read
@@ -164,7 +177,14 @@ object Bench {
       "tx16_bm25_topk", "tx17_bpe_train", "tx18_bpe_encode",
       "tx19_bpe_doc_tokens", "tx20_bpe_fertility")
     val memoJson = memoBacked.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_s":$coldTotal,$coldOnly"reps":$reps,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
+    // metric_version: bumped whenever the MEANING of value/queries
+    // changes (v1 = per-query mean incl. cold rep, rounds <=13; v2 =
+    // warm lower-median + cold_s/min_s split, round 14+). Cross-round
+    // comparisons must refuse mismatched versions mechanically — the
+    // round-14 "graph -40%" headline compared a v1 mean against a v2
+    // median and overstated a real -17.6% win.
+    val metricVersion = 2
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","metric_version":$metricVersion,"cold_s":$coldTotal,"min_s":$minTotal,$coldOnly"reps":$reps,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's per-round artifact keeps only a ~2KB tail of stdout,
     // which has repeatedly made cross-round per-query comparison
@@ -192,7 +212,7 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v)) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","cold_s":$coldTotal,$coldOnly"reps":$reps,"n":${results.size},"errors":$errs,"queries":$slow5,"sf":"$sfDir","compact":true,"full":"BENCH_FULL.json"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","metric_version":$metricVersion,"cold_s":$coldTotal,"min_s":$minTotal,$coldOnly"reps":$reps,"n":${results.size},"errors":$errs,"queries":$slow5,"sf":"$sfDir","compact":true,"full":"BENCH_FULL.json"}"""
     println(compact)
     spark.stop()
   }

@@ -111,9 +111,11 @@ object AsofSkew {
       return PlanBridge.asofJoin(left, right, keys, leftTime, rightTime,
         hint, direction, toleranceUs)
     val (l2, r2) = salted(left, right, keys, leftTime, hotKeys, salts)
-    PlanBridge.asofJoin(l2, r2,
+    // noAutoRoute: this call IS a skew treatment — the buildKeys=auto
+    // detection pre-pass must not fire inside it
+    PlanBridge.noAutoRoute(PlanBridge.asofJoin(l2, r2,
         keys :+ ("__graft_salt_l" -> "__graft_salt_r"),
-        leftTime, rightTime, hint, direction, toleranceUs)
+        leftTime, rightTime, hint, direction, toleranceUs))
       .drop("__graft_salt_l", "__graft_salt_r")
   }
 
@@ -148,9 +150,9 @@ object AsofSkew {
       return PlanBridge.bandJoin(left, right, keys, leftTime, rightTime,
         lowUs, highUs, hint)
     val (l2, r2) = salted(left, right, keys, leftTime, hotKeys, salts)
-    PlanBridge.bandJoin(l2, r2,
+    PlanBridge.noAutoRoute(PlanBridge.bandJoin(l2, r2, // see asof sibling
         keys :+ ("__graft_salt_l" -> "__graft_salt_r"),
-        leftTime, rightTime, lowUs, highUs, hint)
+        leftTime, rightTime, lowUs, highUs, hint))
       .drop("__graft_salt_l", "__graft_salt_r")
   }
 
@@ -189,16 +191,36 @@ object AsofSkew {
   private def isHotNullSafe(cols: Seq[String], hot: Seq[Seq[Any]]): Column =
     coalesce(isHot(cols, hot), lit(false))
 
+  /** Plan-growth guard for the build-skew tiers: one keyless branch is
+    * built PER hot tuple, and every branch carries its own scan of both
+    * inputs — plans and input scans grow LINEARLY with the routed tuple
+    * count (detectHotKeyTuples can return up to 1/minShare + 1 ≈ 21 at
+    * the defaults). A handful is the intended regime (true hot keys are
+    * few by definition — each holds ≥ minShare of the table); past the
+    * threshold, warn loudly: the caller should raise minShare so only
+    * genuinely hot keys route, or persist the inputs themselves before
+    * calling so the per-branch rescans hit storage once. */
+  private val BranchWarnThreshold = 8
+  private def warnManyBranches(op: String, n: Int): Unit =
+    if (n > BranchWarnThreshold)
+      System.err.println(s"[graft] $op: routing $n hot build-key " +
+        s"tuples — one keyless branch (and one scan of each input) per " +
+        "tuple; plans and IO grow linearly with the tuple count. Raise " +
+        "minShare so only genuinely hot keys route, or persist the " +
+        "inputs before calling.")
+
   /** As-of join with hot BUILD key tuples routed through the keyless
     * bucket+carry composition (one branch per hot tuple, cold keys
     * through the plain keyed merge). Row-identical to the plain join;
-    * only the layout of the hot keys' build history changes. */
+    * only the layout of the hot keys' build history changes. Plans and
+    * input scans grow linearly with `hotKeys.size` — see
+    * [[warnManyBranches]]; pass only genuinely hot tuples. */
   def asofJoinBuildSkewedKeys(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
       hotKeys: Seq[Seq[Any]],
       hint: String = "merge", direction: String = "backward",
-      toleranceUs: Long = -1L): DataFrame = {
+      toleranceUs: Long = -1L): DataFrame = PlanBridge.noAutoRoute {
     require(keys.nonEmpty, "at least one key pair")
     // one branch per DISTINCT tuple: a duplicated hot key (two
     // detection passes concatenated) would silently duplicate every
@@ -206,24 +228,27 @@ object AsofSkew {
     // naturally duplicate-tolerant, this union is not
     val hot = hotKeys.distinct
     if (hot.isEmpty)
-      return PlanBridge.asofJoin(left, right, keys, leftTime, rightTime,
+      PlanBridge.asofJoin(left, right, keys, leftTime, rightTime,
         hint, direction, toleranceUs)
-    val cold = PlanBridge.asofJoin(
-      left.filter(!isHotNullSafe(keys.map(_._1), hot)),
-      right.filter(!isHotNullSafe(keys.map(_._2), hot)),
-      keys, leftTime, rightTime, hint, direction, toleranceUs)
-    val hotBranches = hot.map { t =>
-      val pEq = keys.map(_._1).zip(t)
-        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-      val bEq = keys.map(_._2).zip(t)
-        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-      // the caller's hint steers the hot branches too (the partitions
-      // they are most likely tuning) — the keyless composition accepts
-      // the same hint vocabulary
-      AsofKeyless.asofJoinKeyless(left.filter(pEq), right.filter(bEq),
-        leftTime, rightTime, direction, toleranceUs, hint)
+    else {
+      warnManyBranches("asofJoinBuildSkewedKeys", hot.size)
+      val cold = PlanBridge.asofJoin(
+        left.filter(!isHotNullSafe(keys.map(_._1), hot)),
+        right.filter(!isHotNullSafe(keys.map(_._2), hot)),
+        keys, leftTime, rightTime, hint, direction, toleranceUs)
+      val hotBranches = hot.map { t =>
+        val pEq = keys.map(_._1).zip(t)
+          .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        val bEq = keys.map(_._2).zip(t)
+          .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        // the caller's hint steers the hot branches too (the partitions
+        // they are most likely tuning) — the keyless composition accepts
+        // the same hint vocabulary
+        AsofKeyless.asofJoinKeyless(left.filter(pEq), right.filter(bEq),
+          leftTime, rightTime, direction, toleranceUs, hint)
+      }
+      hotBranches.foldLeft(cold)(_.unionByName(_))
     }
-    hotBranches.foldLeft(cold)(_.unionByName(_))
   }
 
   /** Single-Long-key convenience over [[asofJoinBuildSkewedKeys]]. */
@@ -238,32 +263,35 @@ object AsofSkew {
       hint, direction, toleranceUs)
 
   /** Band join with hot BUILD key tuples routed through the keyless
-    * bucketized band — same exactness argument as
-    * [[asofJoinBuildSkewedKeys]]. */
+    * bucketized band — same exactness argument (and same linear
+    * plan-growth caveat) as [[asofJoinBuildSkewedKeys]]. */
   def bandJoinBuildSkewedKeys(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
       lowUs: Long, highUs: Long,
       hotKeys: Seq[Seq[Any]],
-      hint: String = "merge"): DataFrame = {
+      hint: String = "merge"): DataFrame = PlanBridge.noAutoRoute {
     require(keys.nonEmpty, "at least one key pair")
     val hot = hotKeys.distinct // see asofJoinBuildSkewedKeys
     if (hot.isEmpty)
-      return PlanBridge.bandJoin(left, right, keys, leftTime, rightTime,
+      PlanBridge.bandJoin(left, right, keys, leftTime, rightTime,
         lowUs, highUs, hint)
-    val cold = PlanBridge.bandJoin(
-      left.filter(!isHotNullSafe(keys.map(_._1), hot)),
-      right.filter(!isHotNullSafe(keys.map(_._2), hot)),
-      keys, leftTime, rightTime, lowUs, highUs, hint)
-    val hotBranches = hot.map { t =>
-      val pEq = keys.map(_._1).zip(t)
-        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-      val bEq = keys.map(_._2).zip(t)
-        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-      PlanBridge.bandJoinKeyless(left.filter(pEq), right.filter(bEq),
-        leftTime, rightTime, lowUs, highUs, hint)
+    else {
+      warnManyBranches("bandJoinBuildSkewedKeys", hot.size)
+      val cold = PlanBridge.bandJoin(
+        left.filter(!isHotNullSafe(keys.map(_._1), hot)),
+        right.filter(!isHotNullSafe(keys.map(_._2), hot)),
+        keys, leftTime, rightTime, lowUs, highUs, hint)
+      val hotBranches = hot.map { t =>
+        val pEq = keys.map(_._1).zip(t)
+          .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        val bEq = keys.map(_._2).zip(t)
+          .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        PlanBridge.bandJoinKeyless(left.filter(pEq), right.filter(bEq),
+          leftTime, rightTime, lowUs, highUs, hint)
+      }
+      hotBranches.foldLeft(cold)(_.unionByName(_))
     }
-    hotBranches.foldLeft(cold)(_.unionByName(_))
   }
 
   /** Single-Long-key convenience over [[bandJoinBuildSkewedKeys]]. */

@@ -157,13 +157,27 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
       val buildSplit = buildSkewed && pSizes(i) >= bSizes(i)
       if (buildSkewed) {
         nBuildHot += 1
-        if (!buildSplit && !probeSkewed)
+        // b >> p is the quadrant this rule cannot heal: every probe
+        // slice re-sorts the whole hot build partition, so its sort
+        // stays serialized whether or not the probe side also happens
+        // to be skewed (the both-hot p/2-cap split bounds the damage at
+        // ~2 slices but does NOT parallelize the build sort). Point at
+        // the exact logical fix in BOTH cases — suppressing the pointer
+        // when probeSkewed (the pre-r15 behavior) left the b>>p
+        // quadrant silently serialized whenever its probe was also hot.
+        if (!buildSplit)
           logWarning(s"graft skew join: build partition $i is hot " +
             s"(${bSizes(i)} bytes > ${bThreshold.toLong}) and larger than " +
             s"its probe partition (${pSizes(i)} bytes) — probe slicing " +
-            "cannot parallelize its sort; this partition's merge stays " +
-            "serialized. For a known hot build key use " +
-            "AsofSkew.asofJoinBuildSkewedKeys / bandJoinBuildSkewedKeys.")
+            "cannot parallelize its build sort" +
+            (if (probeSkewed) " (the probe side is also skewed, so the " +
+              "partition is split at the half-probe cap — each slice " +
+              "still re-sorts the full build partition)"
+            else "; this partition's merge stays serialized") +
+            ". For a known hot build key use " +
+            "AsofSkew.asofJoinBuildSkewedKeys / bandJoinBuildSkewedKeys " +
+            s"(or set ${OptimizeSkewedGraftJoin.BuildKeysConfKey}=auto " +
+            "to detect and route automatically).")
       }
       // Slice target: the advisory target (floored at the probe
       // median, as Spark's rule does) when probe-skewed; floored at
@@ -207,7 +221,9 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
       logInfo(s"graft skew join: split $nSplit probe partition(s)" +
         (if (nBuildHot > 0) s"; $nBuildHot partition(s) have hot BUILD " +
           "bytes (each probe slice re-reads its whole build partition; " +
-          "hot-build partitions larger than their probe stay unsplit)"
+          "a hot-build partition larger than its probe stays unsplit " +
+          "unless the probe is also skewed, in which case it splits at " +
+          "the half-probe cap)"
         else ""))
       Some((AQEShuffleReadExec(probe, pSide.result()),
         AQEShuffleReadExec(build, bSide.result())))
@@ -217,4 +233,23 @@ case class OptimizeSkewedGraftJoin() extends Rule[SparkPlan] {
 
 object OptimizeSkewedGraftJoin {
   val ConfKey = "spark.graft.skewJoin"
+
+  /** `=auto` makes the STOCK PlanBridge.asofJoin/bandJoin calls run the
+    * bounded two-job hot-BUILD-key detection pre-pass and route through
+    * the logical bucket+carry tier when tuples are found — healing the
+    * b >> p quadrant (the one the AQE rule above cannot) with zero user
+    * action. Unset/anything-else: behavior unchanged. */
+  val BuildKeysConfKey = "spark.graft.skewJoin.buildKeys"
+
+  /** Detection sample fraction for `buildKeys=auto` (default 0.01 —
+    * the same bounded pre-pass AsofSkew.detectHotKeyTuples defaults
+    * to; raise toward 1.0 for small build sides where a 1% sample is
+    * empty). */
+  val BuildKeysSampleFractionKey =
+    "spark.graft.skewJoin.buildKeys.sampleFraction"
+
+  /** Minimum sampled share for a build tuple to count as hot under
+    * `buildKeys=auto` (default 0.05; at most 1/minShare tuples can
+    * qualify, which also bounds the routed branch count). */
+  val BuildKeysMinShareKey = "spark.graft.skewJoin.buildKeys.minShare"
 }

@@ -15,6 +15,56 @@ import graft.plans.{AsofJoinPlan, AsofJoinStrategy}
   */
 object PlanBridge {
 
+  // ---- automatic hot-BUILD-key routing ------------------------------
+  // `spark.graft.skewJoin.buildKeys=auto` makes the STOCK asofJoin /
+  // bandJoin calls heal the b >> p skew quadrant — the one the AQE
+  // probe-slice rule cannot (every slice re-sorts the whole hot build
+  // partition): run AsofSkew.detectHotKeyTuples on the BUILD side (the
+  // bounded two-job sample pre-pass) and, when tuples are found, route
+  // through the logical bucket+carry tier (asofJoinBuildSkewedKeys /
+  // bandJoinBuildSkewedKeys — row-identical by construction, pinned by
+  // AsofSkewSpec). Costs two bounded jobs at PLAN-BUILD time per stock
+  // call, which is why it is opt-in. Suppressed (a) re-entrantly, so
+  // the routed composition's own internal joins don't re-detect, and
+  // (b) for internal "__graft_"-prefixed keys (salt/bucket columns the
+  // salted and keyless tiers append) — those calls are already inside
+  // a skew-treated composition.
+  private val suppressAutoRoute: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Run `f` with automatic build-skew routing suppressed — for
+    * compositions that call [[asofJoin]]/[[bandJoin]] as internal
+    * building blocks of an already-skew-treated plan. */
+  def noAutoRoute[T](f: => T): T = {
+    val prev = suppressAutoRoute.get()
+    suppressAutoRoute.set(true)
+    try f finally suppressAutoRoute.set(prev)
+  }
+
+  private def autoRouteHotBuild(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)]): Option[Seq[Seq[Any]]] = {
+    val conf = left.sparkSession.conf
+    val auto = conf.getOption(OptimizeSkewedGraftJoin.BuildKeysConfKey)
+      .contains("auto")
+    // streaming probe: detection collects over the build side only (so
+    // it WOULD run), but the routed composition unions per-key branches
+    // of the stream — keep the streaming plan shape stock and leave
+    // that quadrant to the explicit APIs
+    if (!auto || suppressAutoRoute.get() || keys.isEmpty ||
+        left.isStreaming || keys.exists(_._1.startsWith("__graft_")))
+      None
+    else {
+      val frac = conf
+        .getOption(OptimizeSkewedGraftJoin.BuildKeysSampleFractionKey)
+        .map(_.toDouble).getOrElse(0.01)
+      val minShare = conf
+        .getOption(OptimizeSkewedGraftJoin.BuildKeysMinShareKey)
+        .map(_.toDouble).getOrElse(0.05)
+      Some(graft.plans.AsofSkew.detectHotKeyTuples(right, keys.map(_._2),
+        sampleFraction = frac, minShare = minShare)).filter(_.nonEmpty)
+    }
+  }
+
   /** Idempotently register the graft strategy on an existing session.
     * Sessions built from config should prefer
     * `spark.sql.extensions=graft.plans.GraftExtensions`. */
@@ -88,6 +138,10 @@ object PlanBridge {
     * merge_asof-style. `toleranceUs >= 0` nulls out a directional
     * match farther than that many micros from the probe time (pandas
     * tolerance); negative disables.
+    * With `spark.graft.skewJoin.buildKeys=auto`, a bounded detection
+    * pre-pass samples the build side and routes detected hot build
+    * keys through [[graft.plans.AsofSkew.asofJoinBuildSkewedKeys]]
+    * (row-identical; two extra bounded jobs at plan-build time).
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)], leftTime: String, rightTime: String,
@@ -108,16 +162,23 @@ object PlanBridge {
     require(!right.isStreaming,
       "asofJoin build side must be static (stream-static enrichment only)")
 
-    def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    autoRouteHotBuild(left, right, keys) match {
+      case Some(hot) =>
+        graft.plans.AsofSkew.asofJoinBuildSkewedKeys(
+          left, right, keys, leftTime, rightTime, hot, hint, direction,
+          toleranceUs)
+      case None =>
+        def resolve(plan: LogicalPlan, name: String): Attribute =
+          plan.output.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
 
-    classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
-      keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
-      AsofJoinPlan.steerHint(lPlan.isStreaming, hint), direction,
-      toleranceUs))
+        classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
+          keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
+          resolve(lPlan, leftTime), resolve(rPlan, rightTime),
+          AsofJoinPlan.steerHint(lPlan.isStreaming, hint), direction,
+          toleranceUs))
+    }
   }
 
   /** Banded (interval) join `left` (probe) to `right` (build): every
@@ -142,15 +203,21 @@ object PlanBridge {
     require(!right.isStreaming, // see asofJoin — cross-batch matches lost
       "bandJoin build side must be static (stream-static enrichment only)")
 
-    def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    autoRouteHotBuild(left, right, keys) match {
+      case Some(hot) =>
+        graft.plans.AsofSkew.bandJoinBuildSkewedKeys(
+          left, right, keys, leftTime, rightTime, lowUs, highUs, hot, hint)
+      case None =>
+        def resolve(plan: LogicalPlan, name: String): Attribute =
+          plan.output.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
 
-    classic.Dataset.ofRows(spark, graft.plans.BandJoinPlan(lPlan, rPlan,
-      keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime), lowUs, highUs,
-      AsofJoinPlan.steerHint(lPlan.isStreaming, hint)))
+        classic.Dataset.ofRows(spark, graft.plans.BandJoinPlan(lPlan, rPlan,
+          keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
+          resolve(lPlan, leftTime), resolve(rPlan, rightTime), lowUs, highUs,
+          AsofJoinPlan.steerHint(lPlan.isStreaming, hint)))
+    }
   }
 
   /** KEYLESS banded join — every (left, right) pair with `rightTime`

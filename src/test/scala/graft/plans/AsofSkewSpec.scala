@@ -12,8 +12,8 @@ class AsofSkewSpec extends SparkSpec {
 
   // adversarial little corpus: one hot key (70% of probes), a cold
   // key, a probe-only key, ties on (key, time), and pre-history probes
-  private lazy val (probe, build) = {
-    import spark.implicits._
+  private def corpusOn(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
     val rnd = new scala.util.Random(11)
     val probes = (0 until 200).map { i =>
       val key = if (i % 10 < 7) 1L else if (i % 10 < 9) 2L else 3L
@@ -26,6 +26,7 @@ class AsofSkewSpec extends SparkSpec {
     (probes.toDF("event_id", "user_id", "us"),
       builds.toDF("b_id", "b_key", "b_us"))
   }
+  private lazy val (probe, build) = corpusOn(spark)
 
   private def rows(df: org.apache.spark.sql.DataFrame) = df
     .select("event_id", "b_id", "b_us").collect()
@@ -412,6 +413,53 @@ class AsofSkewSpec extends SparkSpec {
       "build side was sliced — that scatters a key's build rows")
     val (_, want) = run(on = false)
     assert(got == want && got.size == 40000)
+  }
+
+  test("buildKeys=auto: the STOCK call detects hot BUILD keys and routes " +
+      "through the bucketed composition — rows identical; flag-off plan " +
+      "shape unchanged") {
+    import org.apache.spark.sql.graft.OptimizeSkewedGraftJoin
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    // per-session SQLConf isolates the flag from every other suite
+    val autoS = PlanBridge.sessionWithExtensions(spark, new GraftExtensions()(_))
+    autoS.conf.set(OptimizeSkewedGraftJoin.BuildKeysConfKey, "auto")
+    // the shared 40-row build side is far too small for the default 1%
+    // detection sample — the dials exist exactly for this
+    autoS.conf.set(OptimizeSkewedGraftJoin.BuildKeysSampleFractionKey, "1.0")
+    autoS.conf.set(OptimizeSkewedGraftJoin.BuildKeysMinShareKey, "0.5")
+    val (p2, b2) = corpusOn(autoS)
+    val keys = Seq("user_id" -> "b_key")
+    // build key 1 holds 75% of build rows >= 0.5 — must route (the
+    // routed composition is cold UNION hot branches; the stock plan
+    // has no Union anywhere)
+    val routed = PlanBridge.asofJoin(p2, b2, keys, "us", "b_us")
+    assert(routed.queryExecution.analyzed.collectFirst {
+      case u: Union => u }.isDefined,
+      "auto flag never routed through the build-skew composition")
+    assert(rows(routed) == rows(PlanBridge.asofJoin(probe, build,
+      keys, "us", "b_us")), "auto-routed rows diverged from stock")
+    val routedBand = PlanBridge.bandJoin(p2, b2, keys, "us", "b_us", -10L, 0L)
+    assert(routedBand.queryExecution.analyzed.collectFirst {
+      case u: Union => u }.isDefined,
+      "auto flag never routed the band join")
+    assert(bandRows(routedBand) == bandRows(PlanBridge.bandJoin(probe, build,
+      keys, "us", "b_us", -10L, 0L)), "auto-routed band rows diverged")
+    // flag-off (the base session): stock single-node plan, no Union
+    val stock = PlanBridge.asofJoin(probe, build, keys, "us", "b_us")
+    assert(stock.queryExecution.analyzed.collectFirst {
+      case u: Union => u }.isEmpty,
+      "flag-off plan shape changed — auto routing leaked")
+    // the salted tier's internal join must NOT re-detect on the flag
+    // session (its salt keys are __graft_-prefixed and it runs under
+    // noAutoRoute): identical rows, and its plan keeps the single
+    // salted AsofJoinPlan (one Union would mean the build-skew tier
+    // fired inside the salted one)
+    val salted = AsofSkew.asofJoinSaltedKeys(p2, b2, keys, "us", "b_us",
+      hotKeys = Seq(Seq(1L)), salts = 4)
+    assert(salted.queryExecution.analyzed.collectFirst {
+      case u: Union => u }.isEmpty,
+      "auto routing fired inside the salted composition")
+    assert(rows(salted) == rows(stock))
   }
 
   test("AQE skew split: band join, same contract") {

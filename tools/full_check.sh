@@ -62,5 +62,8 @@ d = json.loads(lines[-1])
 assert d.get("errors") == [], f"bench errors: {d.get('errors')}"
 assert isinstance(d.get("value"), (int, float)), "compact line missing numeric value"
 assert isinstance(d.get("cold_s"), (int, float)), "compact line missing numeric cold_s"
-print(f"OK: bench tail parses (n={d.get('n')}, warm={d.get('value'):.1f}s, cold={d.get('cold_s'):.1f}s)")
+assert isinstance(d.get("min_s"), (int, float)), "compact line missing numeric min_s"
+assert isinstance(d.get("metric_version"), int), "compact line missing metric_version"
+print(f"OK: bench tail parses (n={d.get('n')}, metric_v{d.get('metric_version')}, "
+      f"warm={d.get('value'):.1f}s, cold={d.get('cold_s'):.1f}s, min={d.get('min_s'):.1f}s)")
 PYEOF
