@@ -168,6 +168,118 @@ object IvfIndex {
     })
   }
 
+  // ---- recall-drift policy -------------------------------------------
+  //
+  // The append path freezes centroids forever BY DESIGN (retraining
+  // would invalidate every standing posting list), so a corpus whose
+  // distribution shifts — a new language, a new embedding-model epoch —
+  // degrades recall silently: the frozen cells slice the new mass
+  // arbitrarily, a query's true neighbors scatter across cells it never
+  // probes. qa11/qa12 MEASURE that; this tier ACTS on the measurement:
+  // [[driftStatus]] evaluates recall@k of the index against the exact
+  // brute force on a caller-chosen query sample and compares it to a
+  // floor, and [[rebuildIfDrifted]] re-trains on the full corpus and
+  // atomically republishes through the same IndexStore commit/abort
+  // machinery the build path uses — the drifted index keeps serving
+  // until the rebuilt one is committed.
+
+  /** qa12's drift floor: healthy recall on the random-embedding test
+    * corpus is ~0.79 (qa11 at sf0.01 — random vectors cap IVF recall),
+    * so 0.5 marks "lost more than a third of healthy". Production
+    * callers pass their own floor to [[driftStatus]]. */
+  val DefaultRecallFloor: Double = 0.5
+
+  /** One drift evaluation: micro-averaged recall@k over the query
+    * sample (`recall` None when the sample or corpus is empty — an
+    * empty audit is "no evidence", never "drifted"). */
+  final case class DriftStatus(nQueries: Long, nHit: Long, nTrue: Long,
+      recall: Option[Double], floor: Double) {
+    def drifted: Boolean = recall.exists(_ < floor)
+  }
+
+  /** Exact brute-force cosine top-k for a bounded query sample, via the
+    * map-side partial top-k aggregator (ss04's shape — no window sort
+    * over every candidate): one corpus scan per audit, candidates never
+    * shuffle, output = |queries| × k ids. */
+  private def bruteTopK(s: SparkSession, corpus: DataFrame,
+      queries: DataFrame, topk: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopK}
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec")))
+    corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        struct(col("vec_id").as("id"),
+          cosine(col("embedding"), col("q_vec")).as("score")).as("s"))
+      .as[(Long, Scored)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(TopK(topk).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"))
+  }
+
+  /** Recall@`topk` of `index` vs the exact brute force over `corpus`
+    * for the bounded `queries` sample, judged against `floor`. Cost:
+    * one corpus scan (the brute-force baseline) plus one index probe —
+    * run it on a BOUNDED query sample, on the audit cadence, not per
+    * query. Logs loudly when drifted, naming the fix. */
+  def driftStatus(s: SparkSession, corpus: DataFrame, index: Index,
+      queries: DataFrame, floor: Double = DefaultRecallFloor,
+      nprobe: Int = 3, topk: Int = 10): DriftStatus = {
+    val exact = bruteTopK(s, corpus, queries, topk)
+    val ann = probe(s, index, queries, nprobe, topk)
+      .select(col("q_id"), col("vec_id"), lit(1).as("__hit"))
+    val r = exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"),
+        countDistinct(col("q_id")).as("n_q"))
+      .head()
+    val st = DriftStatus(r.getLong(2), r.getLong(1), r.getLong(0),
+      if (r.getLong(0) > 0) Some(r.getLong(1).toDouble / r.getLong(0))
+      else None, floor)
+    if (st.drifted)
+      System.err.println(f"[graft] IVF index at ${index.dir} has " +
+        f"DRIFTED: recall@$topk ${st.recall.get}%.3f < floor $floor%.2f " +
+        f"over ${st.nQueries} sampled queries — the frozen coarse " +
+        "quantizer no longer covers the appended distribution. " +
+        "Recommend IvfIndex.rebuildIfDrifted (re-train + atomic " +
+        "republish; the old index serves until commit).")
+    st
+  }
+
+  /** Evaluate [[driftStatus]] and, when drifted, re-train the coarse
+    * quantizer on the FULL current corpus and republish the rebuilt
+    * index ATOMICALLY via the IndexStore commit/abort path (store name
+    * "ivf8r" — its own lineage: the frozen ivf8a index ss11/qa11 audit
+    * stays untouched, and a crash mid-rebuild leaves the old index
+    * serving). With no index root configured the rebuild lands in a
+    * temp dir (session-scoped, the unmanaged contract). Managed mode
+    * requires `d` to be the corpus dir whose `embeddings` table is
+    * being indexed (the store fingerprints it); a corpus unchanged
+    * since the last rebuild resolves Fresh and reuses it instead of
+    * re-training. Returns the status and the rebuilt index when one
+    * was (re)published. */
+  def rebuildIfDrifted(s: SparkSession, d: String, corpus: DataFrame,
+      index: Index, queries: DataFrame,
+      floor: Double = DefaultRecallFloor, k: Int = 16,
+      nprobe: Int = 3, topk: Int = 10): (DriftStatus, Option[Index]) = {
+    val st = driftStatus(s, corpus, index, queries, floor, nprobe, topk)
+    if (!st.drifted) (st, None)
+    else {
+      def buildShared(out: String): Index = {
+        val trained = Similarity.int8LloydTrain(
+          Similarity.quantize(corpus).select(col("vec_id"), col("q")), k)
+        require(trained.nonEmpty,
+          "IVF drift rebuild over an empty corpus")
+        writeAssigned(corpus, trained, out, overwrite = true)
+        Index(out, trained)
+      }
+      (st, Some(resolveIndex(s, d, "ivf8r", "graft_ivfr")(buildShared)))
+    }
+  }
+
   /** Top-k probe: assign each query vector to its `nprobe` nearest
     * cells (exact integer L2 in int8 space — the replayable decision),
     * collect the bounded probed-cell set (|queries| × nprobe ids — the

@@ -1239,6 +1239,33 @@ object Similarity {
       annRecall(s, d, "ss11_ivf_append")
     },
 
+    // The drift POLICY row over qa11's measurement (round-14 verdict:
+    // qa11 measures, nothing acts) — micro-averaged recall of the
+    // appended index vs the exact brute force, compared against the
+    // floor, with the recommendation a scheduler can key on. Floor
+    // 0.5: random embeddings cap healthy IVF recall at ~0.79 on this
+    // corpus (qa11 at sf0.01), so "drifted" = lost more than a third
+    // of that — the production dial is IvfIndex.driftStatus's `floor`
+    // argument; the literal here keeps the query oracle-replayable.
+    // Exact end-to-end: integer hit/true counts, one double division,
+    // one comparison — DuckDB replays all of it bit-for-bit.
+    "qa12_ivf_drift_status" -> { (s, d) =>
+      val floor = IvfIndex.DefaultRecallFloor
+      annRecall(s, d, "ss11_ivf_append")
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum(col("n_hit")), lit(0L)).as("n_hit"),
+          coalesce(sum(col("n_true")), lit(0L)).as("n_true"))
+        .select(col("n_queries"), col("n_hit"), col("n_true"),
+          when(col("n_true") > 0L,
+            col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"),
+          lit(floor).as("recall_floor"))
+        .withColumn("drifted",
+          coalesce(col("recall") < col("recall_floor"), lit(false)))
+        .withColumn("action",
+          when(col("drifted"), lit("rebuild")).otherwise(lit("none")))
+    },
+
     // Product-quantization ANN (Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search") — the memory-bounded
     // ANN tier: the 64-dim int8 vector is split into M=32 subspaces of
@@ -1726,11 +1753,12 @@ object Similarity {
   // centroids, exactly what IvfIndex.append does
   private lazy val ss11Ctes: String = ivfCtes("WHERE vec_id % 10 <> 0")
 
-  // the qa10/qa11 recall-audit tail over whichever ivf_topk chain
-  // precedes it: exact brute-force top-10 per probe (ss01's scoring
+  // the qa10/qa11 recall-audit CTEs over whichever ivf_topk chain
+  // precedes them: exact brute-force top-10 per probe (ss01's scoring
   // over the SAME `e` table), id semi-join overlap, integer-count
-  // recall in double
-  private lazy val annRecallTail: String =
+  // recall in double. Split from the final SELECT so qa12 can
+  // aggregate the same per-query rows instead of duplicating the SQL.
+  private lazy val annRecallCtes: String =
       """bf AS (
         |  SELECT q_id, vec_id FROM (
         |    SELECT q.vec_id AS q_id, x.vec_id,
@@ -1751,7 +1779,10 @@ object Similarity {
         |base AS (
         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_true
         |  FROM bf GROUP BY q_id
-        |)
+        |)""".stripMargin
+
+  private lazy val annRecallTail: String =
+      s"""$annRecallCtes
         |SELECT b.q_id, b.n_true,
         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_true AS recall
@@ -2146,6 +2177,30 @@ object Similarity {
     // number that says whether absorbing a new batch under frozen
     // centroids degraded search quality.
     "qa11_ivf_append_recall" -> s"WITH $ss11Ctes,\n$annRecallTail",
+
+    // qa12: the drift-policy row — the same per-query recall rows as
+    // qa11, micro-aggregated and compared against the floor. The
+    // division and comparison run on exact integer sums on both
+    // engines.
+    "qa12_ivf_drift_status" -> s"""WITH $ss11Ctes,
+        |$annRecallCtes,
+        |rc AS (
+        |  SELECT b.q_id, b.n_true, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+        |  FROM base b LEFT JOIN hit h USING (q_id))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(COALESCE(SUM(n_hit), 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(SUM(n_true), 0) AS BIGINT) AS n_true,
+        |  CASE WHEN COALESCE(SUM(n_true), 0) > 0
+        |    THEN CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE)
+        |  END AS recall,
+        |  CAST(${IvfIndex.DefaultRecallFloor} AS DOUBLE) AS recall_floor,
+        |  COALESCE(CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE)
+        |    < ${IvfIndex.DefaultRecallFloor}, FALSE) AS drifted,
+        |  CASE WHEN COALESCE(CAST(SUM(n_hit) AS DOUBLE)
+        |      / CAST(SUM(n_true) AS DOUBLE) < ${IvfIndex.DefaultRecallFloor},
+        |      FALSE)
+        |    THEN 'rebuild' ELSE 'none' END AS action
+        |FROM rc""".stripMargin,
 
     // ss03b: the IVF build + probe replayed end-to-end — emb03's Lloyd
     // chain at K=16 (same hash-ordered seeds, same truncating integer

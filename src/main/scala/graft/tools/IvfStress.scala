@@ -115,10 +115,67 @@ object IvfStress {
     assert(tAppend < tRebuild,
       s"append ($tAppend s) is not cheaper than a full rebuild ($tRebuild s)")
 
+    // ---- planted-drift scenario (round-15): gate fires, rebuild
+    // recovers. Floor 0.9 throughout — healthy recall on planted
+    // clusters is 1.000 (the scenario above), so 0.9 marks a real
+    // loss. The same-distribution regime never drifts — the no-fire
+    // control is asserted on it first.
+    val stOk = graft.ops.IvfIndex.driftStatus(spark, all, idxInc,
+      all.filter(col("vec_id") < 10), floor = 0.9)
+    assert(!stOk.drifted,
+      s"same-distribution append read as drifted: $stOk")
+
+    // Drift plant (geometry swept in round 15 — an isotropic blob
+    // never RECOVERS because its centroid is degenerate, and a tight
+    // far cluster never FIRES because it lands in one stable cone):
+    // one DIRECTIONAL cluster at the JUNCTION of the frozen cells —
+    // center = the mean of the trained centroids, where the margins
+    // between cells vanish — with jitter ±15 per coord. Under the
+    // frozen quantizer the members scatter across ~15 of 16 cells on
+    // jitter (measured frozen recall 0.83 at 100k) while a rebuilt
+    // quantizer gives the cluster's definite direction its own cell
+    // and recall returns to 1.0. Drift = 25% of the corpus so the
+    // rebuilt trainer's hash-ordered seeds reliably sample it.
+    val nDrift = math.max(nVecs / 4, 1000L)
+    val dirC = java.nio.file.Files.createTempDirectory("ivfstress_drift").toString
+    val idxDrift = graft.ops.IvfIndex.build(spark, all, dirC)
+    val ctr: Array[Double] = {
+      val cs = idxDrift.centroids.map(_._2)
+      Array.tabulate(64)(j => cs.map(_(j).toDouble).sum / cs.size)
+    }
+    val ctrLit = ctr.map(x => f"CAST($x%.4f AS DOUBLE)")
+      .mkString("array(", ",", ")")
+    val driftVecs = spark.range(nDrift)
+      .select((col("id") + 10000000L).as("vec_id"),
+        expr(s"""transform(sequence(0, 63), j -> CAST(
+          element_at($ctrLit, j + 1) +
+          (pmod(hash(id + 10000000, j, 7), 31) - 15) AS FLOAT))""")
+          .as("embedding"))
+    val (_, tDriftAppend) = timed(
+      graft.ops.IvfIndex.append(spark, idxDrift, driftVecs))
+    val merged2 = all.unionByName(driftVecs)
+    val dq = driftVecs.filter(col("vec_id") < 10000010L)
+    val (stFrozen, tGate) = timed(graft.ops.IvfIndex.driftStatus(
+      spark, merged2, idxDrift, dq, floor = 0.9))
+    assert(stFrozen.drifted,
+      s"planted drift never fired the gate: $stFrozen")
+    val ((stRe, rebuilt), tReDrift) = timed(graft.ops.IvfIndex
+      .rebuildIfDrifted(spark, "unmanaged", merged2, idxDrift, dq,
+        floor = 0.9))
+    assert(stRe.drifted && rebuilt.isDefined, "drift rebuild never ran")
+    val stAfter = graft.ops.IvfIndex.driftStatus(spark, merged2,
+      rebuilt.get, dq, floor = 0.9)
+    assert(!stAfter.drifted && stAfter.recall.exists(_ >= 0.9),
+      s"drift rebuild did not recover recall: $stAfter")
+
     println(s"""{"tool":"IvfStress","n_vecs":$nVecs,"clusters":$C,""" +
       s""""recall_full":${f"$recallFull%.3f"},"recall_appended":${f"$recallInc%.3f"},""" +
       s""""rebuild_sec":${f"$tRebuild%.1f"},"standing_build_sec":${f"$tStanding%.1f"},""" +
-      s""""append_sec":${f"$tAppend%.1f"},"exact_scan_sec":${f"$tExact%.1f"}}""")
+      s""""append_sec":${f"$tAppend%.1f"},"exact_scan_sec":${f"$tExact%.1f"},""" +
+      s""""n_drift":$nDrift,"recall_frozen_drift":${f"${stFrozen.recall.get}%.3f"},""" +
+      s""""recall_rebuilt_drift":${f"${stAfter.recall.get}%.3f"},""" +
+      s""""drift_append_sec":${f"$tDriftAppend%.1f"},"drift_gate_sec":${f"$tGate%.1f"},""" +
+      s""""drift_rebuild_sec":${f"$tReDrift%.1f"}}""")
     spark.stop()
   }
 }

@@ -54,6 +54,73 @@ class IvfIndexSpec extends SparkSpec {
       "probe never sees the appended vectors")
   }
 
+  test("drift gate: an unseen-distribution append fires below the floor, " +
+      "rebuildIfDrifted recovers recall, a same-distribution append does " +
+      "not fire") {
+    import spark.implicits._
+    // planted-drift geometry (swept empirically in round 15 — a tight
+    // cluster anywhere, even far outside the standing hull, assigns to
+    // 1-2 stable cells which nprobe=3 covers, recall 1.0): a WIDE blob
+    // at the interior mean of the standing centers — the resolution
+    // hole where the frozen centroids are near-equidistant, so the
+    // blob's jitter decides cell membership and members spread over ~7
+    // cells; a drift query probes 3 of 16 and misses a third of its
+    // true neighbors (frozen recall 0.64, measured). At THIS corpus
+    // size the retrained quantizer restores recall to 1.0 (600
+    // members' neighborhoods fit inside the retrained hole cells); at
+    // stress scale the same blob is unrecoverable (its centroid is
+    // direction-degenerate) and the recoverable plant is a DIRECTIONAL
+    // cluster at the cell junction — IvfStress carries that scenario.
+    val rnd = new scala.util.Random(7)
+    def center() = Array.fill(64)(rnd.nextInt(201) - 100)
+    def member(c: Array[Double], jit: Int, seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      c.map(x => (x + r.nextInt(2 * jit + 1) - jit).toFloat).toSeq
+    }
+    val standCenters = Array.fill(16)(center().map(_.toDouble))
+    val standing = (0L until 2000L)
+      .map(i => (i, member(standCenters((i % 16).toInt), 5, i)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    val idx = IvfIndex.build(spark, standing, dir)
+    val hole = Array.tabulate(64)(j => standCenters.map(_(j)).sum / 16)
+    val drift = (0L until 600L)
+      .map(i => (10000L + i, member(hole, 40, 100000L + i)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(spark, idx, drift)
+    val all = standing.unionByName(drift)
+    val driftQueries = drift.filter(col("vec_id") < 10010L)
+    val st = IvfIndex.driftStatus(spark, all, idx, driftQueries, floor = 0.9)
+    assert(st.drifted && st.nQueries == 10,
+      s"planted drift did not fire the gate: $st")
+    // rebuild: retrained centroids resolve the hole region — recall
+    // on the SAME queries recovers above the floor
+    val (st2, rebuilt) = IvfIndex.rebuildIfDrifted(spark, sf, all, idx,
+      driftQueries, floor = 0.9)
+    assert(st2.drifted && rebuilt.isDefined, "rebuild never triggered")
+    val after = IvfIndex.driftStatus(spark, all, rebuilt.get, driftQueries,
+      floor = 0.9)
+    assert(!after.drifted && after.recall.exists(_ >= 0.9),
+      s"rebuilt index did not recover recall: $after")
+    // control: a same-distribution append (clustered standing corpus,
+    // batch from the SAME clusters) stays healthy — no fire, no rebuild
+    val cents16 = Array.fill(16)(center().map(_.toDouble))
+    val cStanding = (0L until 2000L)
+      .map(i => (i, member(cents16((i % 16).toInt), 5, 5000L + i)))
+      .toDF("vec_id", "embedding")
+    val cBatch = (0L until 200L)
+      .map(i => (20000L + i, member(cents16((i % 16).toInt), 5, 7000L + i)))
+      .toDF("vec_id", "embedding")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_nodrift").toString
+    val idx2 = IvfIndex.build(spark, cStanding, dir2)
+    IvfIndex.append(spark, idx2, cBatch)
+    val all2 = cStanding.unionByName(cBatch)
+    val (stOk, rebuiltOk) = IvfIndex.rebuildIfDrifted(spark, sf, all2, idx2,
+      cBatch.filter(col("vec_id") < 20010L), floor = 0.9)
+    assert(!stOk.drifted && rebuiltOk.isEmpty,
+      s"same-distribution append read as drifted: $stOk")
+  }
+
   test("persisted-index probe equals the inline assign-per-run formulation") {
     val index = IvfIndex.builtFor(spark, sf)
     val persisted = IvfIndex.probe(spark, index, emb.filter(col("vec_id") < 10))
