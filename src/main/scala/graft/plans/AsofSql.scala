@@ -339,21 +339,37 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         case b: org.apache.spark.sql.catalyst.expressions.Between =>
           b.replacement
       }
-      val parts = BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
-          u.left.outputSet, u.right.outputSet)
-        .getOrElse(throw new IllegalArgumentException(
-          "BAND JOIN: ON must be cross-side key equalities (or none — " +
-            "the keyless range shape) plus a two-sided BIGINT time band " +
-            "(r.t BETWEEN l.t + lo AND l.t + hi, attr ± integer-literal " +
-            s"operands); got: $cond"))
-      require(parts.probeOnly.isEmpty && parts.buildOnly.isEmpty,
-        "BAND JOIN: single-side conjuncts are not allowed in ON — " +
-          "move them to WHERE or a subquery")
-      if (parts.lKeys.nonEmpty)
-        BandConds.lowerBand(u.left, u.right, parts, u.hint, u.keepUnmatched)
-      else
-        BandConds.lowerBandKeyless(u.left, u.right, parts,
-          u.hint, u.keepUnmatched)
+      if (u.left.isStreaming && u.right.isStreaming) {
+        // STREAM-STREAM band: Spark's native stream-stream time-interval
+        // join IS this operator — emit the stock join (its state manager
+        // derives both sides' eviction watermarks from the time-range
+        // condition and enforces the watermark requirements itself with
+        // its own diagnostics). Unlike the batch path, the clause here
+        // accepts INTERVAL arithmetic over timestamp columns, since the
+        // native join reasons over watermarked timestamps. The hint is
+        // ignored: streaming has exactly one physical join.
+        Join(u.left, u.right,
+          if (u.keepUnmatched) LeftOuter
+          else org.apache.spark.sql.catalyst.plans.Inner,
+          Some(cond),
+          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      } else {
+        val parts = BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
+            u.left.outputSet, u.right.outputSet)
+          .getOrElse(throw new IllegalArgumentException(
+            "BAND JOIN: ON must be cross-side key equalities (or none — " +
+              "the keyless range shape) plus a two-sided BIGINT time band " +
+              "(r.t BETWEEN l.t + lo AND l.t + hi, attr ± integer-literal " +
+              s"operands); got: $cond"))
+        require(parts.probeOnly.isEmpty && parts.buildOnly.isEmpty,
+          "BAND JOIN: single-side conjuncts are not allowed in ON — " +
+            "move them to WHERE or a subquery")
+        if (parts.lKeys.nonEmpty)
+          BandConds.lowerBand(u.left, u.right, parts, u.hint, u.keepUnmatched)
+        else
+          BandConds.lowerBandKeyless(u.left, u.right, parts,
+            u.hint, u.keepUnmatched)
+      }
     case u: UnresolvedAsofJoin if u.childrenResolved =>
       val resolver = conf.resolver
       val cond = u.condition.transformUp {
@@ -406,7 +422,50 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       }
       val (lt, rt, dir) = time.getOrElse(throw new IllegalArgumentException(
         "ASOF JOIN: ON must contain a time inequality (>= or <=)"))
-      if (lKeys.isEmpty) {
+      if (lKeys.nonEmpty && u.left.isStreaming && u.right.isStreaming) {
+        // STREAM-STREAM keyed as-of: lowered to the append-mode
+        // composition (native interval join + windowed extremum —
+        // StreamAsof.asofToleranceAppend), the same
+        // build-around-the-child-plans arrangement as the keyless
+        // branch below. TOLERANCE is mandatory — unbounded lookback
+        // has no bounded-state formulation. The hint is ignored
+        // (streaming has exactly one physical join); emission is
+        // append-mode (rows appear when the watermark closes their
+        // emit window), the latency-for-exactness trade the operator
+        // documents.
+        require(u.toleranceUs >= 0L,
+          "stream-stream ASOF JOIN requires TOLERANCE <micros>: " +
+            "unbounded lookback has no bounded-state formulation " +
+            "(state would hold every build row forever)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val lNames = u.left.output.indices.map(i => s"__graft_ss_l$i")
+        val rNames = u.right.output.indices.map(i => s"__graft_ss_r$i")
+        val lProj = Project(u.left.output.zip(lNames).map {
+          case (a, n) => Alias(a, n)() }, u.left)
+        val rProj = Project(u.right.output.zip(rNames).map {
+          case (a, n) => Alias(a, n)() }, u.right)
+        val keyPairs = lKeys.zip(rKeys).map { case (lk, rk) =>
+          lNames(u.left.output.indexWhere(_.exprId == lk.exprId)) ->
+            rNames(u.right.output.indexWhere(_.exprId == rk.exprId))
+        }
+        val ltName = lNames(u.left.output.indexWhere(_.exprId == lt.exprId))
+        val rtName = rNames(u.right.output.indexWhere(_.exprId == rt.exprId))
+        val composed = graft.streaming.StreamAsof.asofToleranceAppend(
+          org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, lProj),
+          org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, rProj),
+          keyPairs, ltName, rtName, u.toleranceUs, dir)
+        val cPlan = composed.queryExecution.analyzed
+        // composed output = renamed left ++ renamed right, in order
+        val expected = u.left.output ++
+          u.right.output.map(_.withNullability(true))
+        val aliased = Project(expected.zipWithIndex.map { case (exp, i) =>
+          Alias(cPlan.output(i), exp.name)(exprId = exp.exprId)
+        }, cPlan)
+        if (u.keepUnmatched) aliased
+        else Filter(IsNotNull(aliased.output(
+          u.left.output.size +
+            u.right.output.indexWhere(_.exprId == rt.exprId))), aliased)
+      } else if (lKeys.isEmpty) {
         // KEYLESS asof — DuckDB supports the clause without equality
         // keys; lowered via AsofKeyless's bucket+carry composition
         // (built with the DataFrame API around the clause's child

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** APPEND-MODE stream-stream as-of with tolerance — the exact twin of
+  * the batch operator, composed from Spark's OWN streaming primitives
+  * (custom-operator tier (a): compose before you build):
+  *
+  *   1. a native stream-stream LEFT OUTER time-interval join — the
+  *      build row must lie within `tolerance` of the probe time, which
+  *      is the condition shape Spark's join state manager derives both
+  *      sides' state-eviction watermarks from (state is bounded by
+  *      tolerance + watermark delay, never by key lifetime);
+  *   2. a watermark-windowed aggregation per PROBE ROW taking the
+  *      extremum match — `max(struct(buildTime, buildCols…))` for
+  *      backward (lexicographic: latest time, then the remaining build
+  *      columns in order as the tie-break), `min` for forward.
+  *
+  * Spark 4's multiple-stateful-operator support is what makes the
+  * chain legal in one query (join state → aggregation state, watermark
+  * propagated through).
+  *
+  * Contract vs the Update-mode typed twin
+  * [[EventsStream.asofTolerance]]: that one EMITS EAGERLY (a purchase
+  * appears in the trigger that processed it, possibly with a match a
+  * later-trigger view would have improved — the documented emit-once
+  * asymmetry); this one holds every probe row until the watermark
+  * closes its emit window, so a build row arriving late-but-within-
+  * watermark RETRO-MATCHES exactly and the output equals the batch
+  * ev08e row set — latency traded for exactness, explicitly.
+  *
+  * Requirements, checked loudly at composition time: both sides
+  * streaming and WATERMARKED (the join cannot bound state otherwise),
+  * TimestampType time columns (the watermark rides the timestamp;
+  * batch's BIGINT-micros option has no streaming equivalent), disjoint
+  * column names, `toleranceUs >= 0` (unbounded lookback has no
+  * bounded-state formulation). Probe rows must be unique (they are the
+  * aggregation's group key — duplicates would collapse; every event
+  * table worth streaming has an id column). Null-time probe rows
+  * bypass the stateful chain and emit null-extended immediately (SQL
+  * left-join semantics; a null event time would otherwise hang in a
+  * never-closing window); null-time/null-key build rows never match by
+  * join semantics.
+  *
+  * At 100 TB: both sides shuffle by key once (the join), state is
+  * tolerance-bounded per key, the aggregation state is one running
+  * extremum per in-flight probe row within the emit-window horizon —
+  * nothing scales with history.
+  */
+object StreamAsof {
+
+  private def hasWatermark(df: DataFrame): Boolean =
+    df.queryExecution.logical.exists(_.isInstanceOf[EventTimeWatermark])
+
+  /** As-of `left` (streaming probe) to `right` (streaming build):
+    * latest (earliest, for forward) build row within `toleranceUs` of
+    * each probe row's time, or nulls. `emitWindow` is the aggregation's
+    * tumbling emit window over the probe time — a pure latency knob
+    * (rows emit when the watermark passes their window's end); any
+    * duration is exact. */
+  def asofToleranceAppend(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], leftTime: String, rightTime: String,
+      toleranceUs: Long, direction: String = "backward",
+      emitWindow: String = "1 hour"): DataFrame = {
+    require(toleranceUs >= 0L,
+      "stream-stream as-of requires a tolerance >= 0: unbounded " +
+        "lookback has no bounded-state formulation (state would hold " +
+        "every build row forever)")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    require(keys.nonEmpty, "at least one key pair")
+    require(left.isStreaming && right.isStreaming,
+      "asofToleranceAppend is the STREAM-STREAM operator; for a static " +
+        "build side use PlanBridge.asofJoin (stream-static)")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"sides must have disjoint column names; shared: $shared")
+    require(left.schema(leftTime).dataType == TimestampType &&
+      right.schema(rightTime).dataType == TimestampType,
+      "stream-stream as-of needs TimestampType time columns on both " +
+        "sides (the watermark rides the timestamp)")
+    require(hasWatermark(left) && hasWatermark(right),
+      "both sides must carry a watermark (df.withWatermark(timeCol, " +
+        "delay)) — the join state cannot be bounded without one")
+    val fwd = direction == "forward"
+
+    // null-time probes can never match and would hang in a null emit
+    // window: route them around, null-extended (SQL LEFT JOIN shape)
+    val lOk = left.filter(col(leftTime).isNotNull)
+    val lNull = left.filter(col(leftTime).isNull)
+
+    val tolIv = expr(s"INTERVAL $toleranceUs MICROSECOND")
+    val keyEq = keys.map { case (lk, rk) => col(lk) === col(rk) }
+      .reduce(_ && _)
+    val band =
+      if (fwd) col(rightTime) >= col(leftTime) &&
+        col(rightTime) <= col(leftTime) + tolIv
+      else col(rightTime) >= col(leftTime) - tolIv &&
+        col(rightTime) <= col(leftTime)
+    val joined = lOk.join(right, keyEq && band, "left_outer")
+
+    // extremum match per probe row: struct leads with the build time,
+    // remaining build columns follow in order as the tie-break
+    val rCols = right.columns.toSeq
+    val mStruct = struct(col(rightTime).as("__t") +:
+      rCols.filterNot(_ == rightTime).map(col): _*)
+    val ext = if (fwd) min(mStruct) else max(mStruct)
+    // group on the derived micros, not the raw timestamp — the window
+    // already carries the event-time role and Spark allows only one
+    // event-time column per aggregation
+    val lCols = left.columns.toSeq
+    val groupCols = window(col(leftTime), emitWindow) +:
+      unix_micros(col(leftTime)).as("__lt_us") +:
+      lCols.filterNot(_ == leftTime).map(col)
+    val agg = joined.groupBy(groupCols: _*).agg(ext.as("__m"))
+    val outCols = lCols.map { c =>
+      if (c == leftTime) timestamp_micros(col("__lt_us")).as(c) else col(c)
+    } ++ rCols.map { c =>
+      val f = if (c == rightTime) "__t" else c
+      col("__m").getField(f).as(c)
+    }
+
+    def nullExtended(df: DataFrame): DataFrame =
+      rCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+
+    agg.select(outCols: _*).unionByName(nullExtended(lNull))
+  }
+
+  /** Column list helper for callers re-aliasing the composed output:
+    * left columns (in order) then right columns (in order). */
+  def outputColumns(left: DataFrame, right: DataFrame): Seq[String] =
+    left.columns.toSeq ++ right.columns.toSeq
+}

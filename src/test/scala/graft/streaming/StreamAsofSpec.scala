@@ -1,0 +1,214 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The append-mode stream-stream as-of ([[StreamAsof]]) and its SQL
+  * surface: exact equality to the oracle-gated batch ev08e INCLUDING
+  * the late-view retro-matches the Update-mode twin documents away —
+  * every view arrives in a LATER trigger than every purchase, so any
+  * match in the output is a retro-match. The staged corpus is three
+  * files in forced modification-time order (purchases, then views,
+  * then two far-future sentinels that push the watermark past every
+  * real emit window so append mode emits the complete result). */
+class StreamAsofSpec extends SparkSpec {
+
+  private val tolUs = 1800L * 1000000L
+
+  /** purchases file, then views file, then the watermark-push sentinels
+    * — one file per trigger (maxFilesPerTrigger = 1). */
+  private lazy val stagedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("stream_asof")
+    val ev = graft.Tables.load(spark, sf, "events")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      assert(part.length == 1)
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part(0)), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 3600000L
+    stage(ev.filter(col("event_type") === "purchase"), "1_purchases", t0)
+    stage(ev.filter(col("event_type") === "error"), "1b_errors", t0 + 30000L)
+    stage(ev.filter(col("event_type") === "view"), "2_views", t0 + 60000L)
+    // sentinels 200 days past the corpus (spans 2024-01): one per
+    // event_type so BOTH sides' watermarks advance past every window
+    import spark.implicits._
+    val far = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")
+    stage(Seq(
+      (-1L, far, -1L, "view", 0.0, null.asInstanceOf[String]),
+      (-2L, far, -2L, "purchase", 0.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "3_sentinel", t0 + 120000L)
+    dir.toString
+  }
+
+  private def sideStream(t: String, prefix: String): DataFrame =
+    EventsStream.readEvents(spark, stagedDir, maxFilesPerTrigger = 1)
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${prefix}_event_id"),
+        col("ts").as(s"${prefix}_ts"),
+        col("user_id").as(s"${prefix}_user_id"))
+      // 60-day delay >> the 30-day corpus span: nothing real is ever
+      // late, so the cross-trigger view arrival is pure retro-matching
+      .withWatermark(s"${prefix}_ts", "60 days")
+
+  private def batchEv08e =
+    graft.queries.Events.queries("ev08e_asof_tolerance")(spark, sf)
+      .select("event_id", "user_id", "us", "matched_us", "matched_event_id")
+
+  private def asTuples(df: DataFrame) = df.collect().map(r =>
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+
+  test("append-mode stream-stream as-of equals batch ev08e EXACTLY, " +
+      "with every view arriving a trigger after every purchase " +
+      "(retro-matching the Update-mode twin documents away)") {
+    val out = StreamAsof.asofToleranceAppend(
+      sideStream("purchase", "p"), sideStream("view", "v"),
+      Seq("p_user_id" -> "v_user_id"), "p_ts", "v_ts", tolUs)
+      .select(col("p_event_id").as("event_id"),
+        col("p_user_id").as("user_id"),
+        unix_micros(col("p_ts")).as("us"),
+        unix_micros(col("v_ts")).as("matched_us"),
+        col("v_event_id").as("matched_event_id"))
+    val q = out.writeStream.format("memory").queryName("ssasof")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = asTuples(spark.table("ssasof")
+        .filter(col("user_id") >= 0L)) // drop the sentinel purchase
+      val batch = asTuples(batchEv08e)
+      assert(streamed == batch && batch.nonEmpty,
+        s"streamed ${streamed.size} rows vs batch ${batch.size}")
+      // the retro-match claim: views were only ever delivered AFTER
+      // every purchase was processed, so every matched row here was
+      // matched retroactively — there must be at least one
+      assert(streamed.exists(_._4.isDefined),
+        "no retro-match happened — the staging did not exercise the claim")
+    } finally q.stop()
+  }
+
+  test("SQL ASOF LEFT JOIN ... TOLERANCE over two STREAMING views lowers " +
+      "to the append-mode composition and equals batch ev08e") {
+    val s = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    def side(t: String, prefix: String): DataFrame =
+      EventsStream.readEvents(s, stagedDir, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("user_id").as(s"${prefix}_user_id"))
+        .withWatermark(s"${prefix}_ts", "60 days")
+    side("purchase", "p").createOrReplaceTempView("ss_purchases")
+    side("view", "v").createOrReplaceTempView("ss_views")
+    try {
+      val out = s.sql(
+        s"""SELECT p_event_id AS event_id, p_user_id AS user_id,
+           |  unix_micros(p_ts) AS us, unix_micros(v_ts) AS matched_us,
+           |  v_event_id AS matched_event_id
+           |FROM ss_purchases ASOF LEFT JOIN ss_views
+           |ON p_user_id = v_user_id AND p_ts >= v_ts
+           |TOLERANCE $tolUs""".stripMargin)
+      assert(out.isStreaming, "SQL streaming as-of lost streaming-ness")
+      val q = out.writeStream.format("memory").queryName("ssasofsql")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = asTuples(s.table("ssasofsql")
+          .filter(col("user_id") >= 0L))
+        val batch = asTuples(batchEv08e)
+        assert(streamed == batch && batch.nonEmpty,
+          s"SQL streamed ${streamed.size} rows vs batch ${batch.size}")
+      } finally q.stop()
+    } finally {
+      s.catalog.dropTempView("ss_purchases")
+      s.catalog.dropTempView("ss_views")
+    }
+  }
+
+  test("stream-stream ASOF without TOLERANCE is refused loudly (SQL and " +
+      "the operator itself)") {
+    val e = intercept[IllegalArgumentException] {
+      StreamAsof.asofToleranceAppend(
+        sideStream("purchase", "p"), sideStream("view", "v"),
+        Seq("p_user_id" -> "v_user_id"), "p_ts", "v_ts", toleranceUs = -1L)
+    }
+    assert(e.getMessage.contains("bounded-state"))
+    val s = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    // temp views are session-scoped: build the sides ON s
+    def sideOn(t: String, prefix: String): DataFrame =
+      EventsStream.readEvents(s, stagedDir, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("user_id").as(s"${prefix}_user_id"))
+        .withWatermark(s"${prefix}_ts", "60 days")
+    sideOn("purchase", "p").createOrReplaceTempView("ssr_p")
+    sideOn("view", "v").createOrReplaceTempView("ssr_v")
+    try {
+      val e2 = intercept[Exception] {
+        s.sql("""SELECT * FROM ssr_p ASOF LEFT JOIN ssr_v
+                |ON p_user_id = v_user_id AND p_ts >= v_ts""".stripMargin)
+          .queryExecution.analyzed
+      }
+      assert(e2.getMessage.contains("TOLERANCE"),
+        s"wrong refusal: ${e2.getMessage}")
+    } finally {
+      s.catalog.dropTempView("ssr_p")
+      s.catalog.dropTempView("ssr_v")
+    }
+  }
+
+  test("SQL BAND LEFT JOIN over two STREAMING views is the native " +
+      "stream-stream interval join; counts equal the oracle-gated ev07") {
+    val s = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    def side(t: String, prefix: String): DataFrame =
+      EventsStream.readEvents(s, stagedDir, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === t ||
+          (col("event_type") === "view" && col("user_id") < 0L))
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("user_id").as(s"${prefix}_user_id"))
+        .withWatermark(s"${prefix}_ts", "60 days")
+    // errors probe purchases in the trailing 30-minute band (ev07's
+    // shape); the view sentinel rides each side so both watermarks
+    // advance past the corpus at the end
+    side("error", "e").createOrReplaceTempView("ss_errors")
+    side("purchase", "b").createOrReplaceTempView("ss_bpurch")
+    try {
+      val out = s.sql(
+        """SELECT e_event_id, b_event_id
+          |FROM ss_errors BAND LEFT JOIN ss_bpurch
+          |ON e_user_id = b_user_id
+          |AND b_ts >= e_ts - INTERVAL 30 MINUTES AND b_ts <= e_ts""".stripMargin)
+      assert(out.isStreaming)
+      val q = out.writeStream.format("memory").queryName("ssband")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // pairs → per-error purchase count (null b = unmatched = 0)
+        val got = s.table("ssband").filter(col("e_event_id") >= 0L)
+          .groupBy("e_event_id")
+          .agg(count(col("b_event_id")).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val want = graft.queries.Events.queries("ev07_interval_join")(spark, sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == want && want.nonEmpty,
+          s"SQL streaming band: ${got.size} errors vs batch ${want.size}")
+        assert(got.values.exists(_ > 0L))
+      } finally q.stop()
+    } finally {
+      s.catalog.dropTempView("ss_errors")
+      s.catalog.dropTempView("ss_bpurch")
+    }
+  }
+}
