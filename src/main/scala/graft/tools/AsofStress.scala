@@ -278,6 +278,29 @@ object AsofStress {
     val tHbStock = math.min(hbStock1._2, hbStock2._2)
     val tHbBucketed = math.min(hbFix1._2, hbFix2._2)
 
+    // ---- auto hot-BUILD routing (round 15): the SAME stock call with
+    // spark.graft.skewJoin.buildKeys=auto must detect and route with
+    // zero user action — gates identical, wall within 2x of the
+    // manually-routed run (the routed plan is identical; the delta is
+    // the bounded two-job detection pre-pass at plan-build time).
+    import org.apache.spark.sql.graft.OptimizeSkewedGraftJoin
+    spark.conf.set(OptimizeSkewedGraftJoin.BuildKeysConfKey, "auto")
+    spark.conf.set(OptimizeSkewedGraftJoin.BuildKeysSampleFractionKey, "0.001")
+    spark.conf.set(OptimizeSkewedGraftJoin.BuildKeysMinShareKey, "0.1")
+    val (hbAuto1, hbAuto2) =
+      try (hotBuildGates(hbJoin(hotBuild)), hotBuildGates(hbJoin(hotBuild)))
+      finally {
+        spark.conf.unset(OptimizeSkewedGraftJoin.BuildKeysConfKey)
+        spark.conf.unset(OptimizeSkewedGraftJoin.BuildKeysSampleFractionKey)
+        spark.conf.unset(OptimizeSkewedGraftJoin.BuildKeysMinShareKey)
+      }
+    assert(hbAuto2._1 == hbBal2._1,
+      s"auto-routed gates diverge: ${hbAuto2._1} vs ${hbBal2._1}")
+    val tHbAuto = math.min(hbAuto1._2, hbAuto2._2)
+    assert(tHbAuto <= 2.0 * tHbBucketed + 5.0,
+      f"auto routing $tHbAuto%.1f s not within 2x of manual " +
+        f"$tHbBucketed%.1f s")
+
     // ---- band scenario: BandJoinExec vs the equi-join + residual ----
     // Same dim side, band [-199, 0]: every probe matches the multiples
     // of 100 inside [max(0, t-199), t] — count = t div 100 -
@@ -522,6 +545,7 @@ object AsofStress {
       s""""hotbuild_balanced_sec":${f"$tHbBalanced%.1f"},""" +
       s""""hotbuild_stock_sec":${f"$tHbStock%.1f"},""" +
       s""""hotbuild_bucketed_sec":${f"$tHbBucketed%.1f"},""" +
+      s""""hotbuild_auto_sec":${f"$tHbAuto%.1f"},""" +
       s""""band_native_60m_sec":${f"$tBandFull%.1f"},""" +
       s""""band_native_6m_sec":${f"$tBandTenth%.1f"},""" +
       s""""band_residual_6m_sec":${f"$tResTenth%.1f"},""" +
