@@ -173,7 +173,7 @@ object Bench {
       "qa10_ann_recall",
       "ss02_lsh_topk", "ss03_ivf_topk", "ss03b_ivf_int8_topk",
       "ss03c_ivfadc_rerank", "ss09_pq_topk", "ss10_pq_rerank",
-      "ss11_ivf_append", "qa11_ivf_append_recall",
+      "ss11_ivf_append", "qa11_ivf_append_recall", "qa12_ivf_drift_status",
       "tx16_bm25_topk", "tx17_bpe_train", "tx18_bpe_encode",
       "tx19_bpe_doc_tokens", "tx20_bpe_fertility")
     val memoJson = memoBacked.map("\"" + _ + "\"").mkString("[", ",", "]")
