@@ -133,6 +133,82 @@ class StreamAsofSpec extends SparkSpec {
     }
   }
 
+  test("forward direction: streaming append-mode == batch " +
+      "PlanBridge.asofJoin(forward, tolerance) on a tie-free build side") {
+    // the generic tie rule (lexicographic extremum over the build
+    // columns) only matters on (key, time) ties — stage the views
+    // PRE-DEDUPED per (user, ts) to max event_id so batch and stream
+    // agree without sharing a tie rule, then compare exactly
+    val dir = java.nio.file.Files.createTempDirectory("stream_asof_fwd")
+    val ev = graft.Tables.load(spark, sf, "events")
+    val dedupViews = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"stg_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part(0)), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    import spark.implicits._
+    val far = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")
+    val t0 = System.currentTimeMillis() - 3600000L
+    stage(purchases, "1_p", t0)
+    stage(dedupViews, "2_v", t0 + 60000L)
+    stage(Seq(
+      (-1L, far, -1L, "view", 0.0, null.asInstanceOf[String]),
+      (-2L, far, -2L, "purchase", 0.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "3_s", t0 + 120000L)
+    def side(t: String, prefix: String): DataFrame =
+      EventsStream.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("user_id").as(s"${prefix}_user_id"))
+        .withWatermark(s"${prefix}_ts", "60 days")
+    val out = StreamAsof.asofToleranceAppend(
+      side("purchase", "p"), side("view", "v"),
+      Seq("p_user_id" -> "v_user_id"), "p_ts", "v_ts", tolUs,
+      direction = "forward")
+      .select(col("p_event_id"), col("p_user_id"),
+        unix_micros(col("p_ts")).as("us"),
+        unix_micros(col("v_ts")).as("m_us"),
+        col("v_event_id").as("m_id"))
+    val q = out.writeStream.format("memory").queryName("ssfwd")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = asTuples(spark.table("ssfwd")
+        .filter(col("p_user_id") >= 0L))
+      // batch twin over the SAME staged parquet, forward + tolerance
+      val pB = spark.read.parquet(dir.resolve("1_p.parquet").toString)
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user_id"))
+      val vB = spark.read.parquet(dir.resolve("2_v.parquet").toString)
+        .select(col("event_id").as("v_event_id"), col("ts").as("v_ts"),
+          col("user_id").as("v_user_id"))
+      val batch = asTuples(org.apache.spark.sql.graft.PlanBridge.asofJoin(
+        pB.withColumn("p_us", unix_micros(col("p_ts"))),
+        vB.withColumn("v_us", unix_micros(col("v_ts"))),
+        Seq("p_user_id" -> "v_user_id"), "p_us", "v_us",
+        hint = "merge", direction = "forward", toleranceUs = tolUs)
+        .select(col("p_event_id"), col("p_user_id"), col("p_us"),
+          col("v_us"), col("v_event_id")))
+      assert(streamed == batch && batch.nonEmpty,
+        s"forward streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.exists(_._4.isDefined), "no forward match at all")
+    } finally q.stop()
+  }
+
   test("stream-stream ASOF without TOLERANCE is refused loudly (SQL and " +
       "the operator itself)") {
     val e = intercept[IllegalArgumentException] {
