@@ -129,9 +129,4 @@ object StreamAsof {
 
     agg.select(outCols: _*).unionByName(nullExtended(lNull))
   }
-
-  /** Column list helper for callers re-aliasing the composed output:
-    * left columns (in order) then right columns (in order). */
-  def outputColumns(left: DataFrame, right: DataFrame): Seq[String] =
-    left.columns.toSeq ++ right.columns.toSeq
 }
