@@ -465,6 +465,41 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         else Filter(IsNotNull(aliased.output(
           u.left.output.size +
             u.right.output.indexWhere(_.exprId == rt.exprId))), aliased)
+      } else if (lKeys.isEmpty && u.left.isStreaming && u.right.isStreaming) {
+        // KEYLESS STREAM-STREAM as-of: Spark cannot plan a
+        // stream-stream join without an equality predicate, so the
+        // lowering goes through StreamAsof.asofToleranceAppendKeyless —
+        // the tolerance IS the bucket width that manufactures the key
+        // (build rows replicate to the two reachable buckets; no carry
+        // table — the tolerance bounds reachback to one bucket width).
+        // TOLERANCE is therefore doubly mandatory here.
+        require(u.toleranceUs > 0L,
+          "keyless stream-stream ASOF JOIN requires TOLERANCE <micros> " +
+            "> 0: the tolerance bounds both the state and the bucket " +
+            "width that manufactures the join key")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val lNames = u.left.output.indices.map(i => s"__graft_ssk_l$i")
+        val rNames = u.right.output.indices.map(i => s"__graft_ssk_r$i")
+        val lProj = Project(u.left.output.zip(lNames).map {
+          case (a, n) => Alias(a, n)() }, u.left)
+        val rProj = Project(u.right.output.zip(rNames).map {
+          case (a, n) => Alias(a, n)() }, u.right)
+        val ltName = lNames(u.left.output.indexWhere(_.exprId == lt.exprId))
+        val rtName = rNames(u.right.output.indexWhere(_.exprId == rt.exprId))
+        val composed = graft.streaming.StreamAsof.asofToleranceAppendKeyless(
+          org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, lProj),
+          org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, rProj),
+          ltName, rtName, u.toleranceUs, dir)
+        val cPlan = composed.queryExecution.analyzed
+        val expected = u.left.output ++
+          u.right.output.map(_.withNullability(true))
+        val aliased = Project(expected.zipWithIndex.map { case (exp, i) =>
+          Alias(cPlan.output(i), exp.name)(exprId = exp.exprId)
+        }, cPlan)
+        if (u.keepUnmatched) aliased
+        else Filter(IsNotNull(aliased.output(
+          u.left.output.size +
+            u.right.output.indexWhere(_.exprId == rt.exprId))), aliased)
       } else if (lKeys.isEmpty) {
         // KEYLESS asof — DuckDB supports the clause without equality
         // keys; lowered via AsofKeyless's bucket+carry composition

@@ -129,4 +129,68 @@ object StreamAsof {
 
     agg.select(outCols: _*).unionByName(nullExtended(lNull))
   }
+
+  /** KEYLESS stream-stream as-of with tolerance — "match every probe
+    * to the latest (earliest) build row within tolerance, across the
+    * whole stream". Spark cannot plan a stream-stream join WITHOUT an
+    * equality predicate (the symmetric hash join partitions by key),
+    * so the tolerance manufactures one — the batch keyless tier's
+    * bucket trick in streaming form: both sides bucket probe/build
+    * times by `tolerance` micros, every build row replicates to the
+    * TWO buckets whose probes can reach it (its own and the adjacent
+    * one — a backward probe in bucket b only matches builds in buckets
+    * {b−1, b}), and the join runs on bucket equality plus the exact
+    * band condition. Unlike the batch keyless composition there is no
+    * carry table — the tolerance bounds reachback to one bucket width,
+    * which is exactly what makes the operator streamable at all.
+    * Downstream, the same windowed extremum as the keyed operator.
+    * State: build rows live in 2 buckets each within the watermark
+    * horizon; probes until their emit window closes. Same contracts as
+    * [[asofToleranceAppend]] (watermarks, TimestampType, disjoint
+    * names, unique probe rows, toleranceUs >= 0 — here also > 0, a
+    * zero-width bucket is degenerate). */
+  def asofToleranceAppendKeyless(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, toleranceUs: Long,
+      direction: String = "backward",
+      emitWindow: String = "1 hour"): DataFrame = {
+    require(toleranceUs > 0L,
+      "keyless stream-stream as-of requires a tolerance > 0: the " +
+        "tolerance IS the bucket width that manufactures the equality " +
+        "key Spark's stream-stream join needs")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    require(left.isStreaming && right.isStreaming,
+      "asofToleranceAppendKeyless is the STREAM-STREAM operator; for a " +
+        "static build side use AsofKeyless.asofJoinKeyless")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"sides must have disjoint column names; shared: $shared")
+    require(left.schema(leftTime).dataType == TimestampType &&
+      right.schema(rightTime).dataType == TimestampType,
+      "stream-stream as-of needs TimestampType time columns on both sides")
+    require(hasWatermark(left) && hasWatermark(right),
+      "both sides must carry a watermark (df.withWatermark(timeCol, " +
+        "delay)) — the join state cannot be bounded without one")
+    val fwd = direction == "forward"
+    val w = toleranceUs
+    // probe bucket: floor of the physical micros; build rows replicate
+    // to the two buckets whose probes can reach them
+    val lB = left.withColumn("__graft_sb_l",
+      floorDiv(unix_micros(col(leftTime)), w))
+    val rB = right.withColumn("__graft_sb_r",
+      explode(array(
+        floorDiv(unix_micros(col(rightTime)), w),
+        if (fwd) floorDiv(unix_micros(col(rightTime)), w) - 1
+        else floorDiv(unix_micros(col(rightTime)), w) + 1)))
+    asofToleranceAppend(lB, rB,
+      Seq("__graft_sb_l" -> "__graft_sb_r"), leftTime, rightTime,
+      toleranceUs, direction, emitWindow)
+      .drop("__graft_sb_l", "__graft_sb_r")
+  }
+
+  // floor division in pure long arithmetic (pmod >= 0 gives floor
+  // semantics for negative times; the double division is exact — both
+  // operands are integers far below 2^53 — and cast back to long)
+  private def floorDiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
 }

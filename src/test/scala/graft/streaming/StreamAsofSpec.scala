@@ -209,6 +209,110 @@ class StreamAsofSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KEYLESS stream-stream as-of (tolerance-bucketed key manufacture) " +
+      "== batch keyless with tolerance; the SQL entry point agrees") {
+    // global as-of: every purchase matched to the latest view of ANY
+    // user within tolerance. Build side pre-reduced to one row per ts
+    // (the batch keyless determinism contract) so batch and stream
+    // need no shared tie rule.
+    val dir = java.nio.file.Files.createTempDirectory("stream_asof_kl")
+    val ev = graft.Tables.load(spark, sf, "events")
+    val dedupViews = ev.filter(col("event_type") === "view")
+      .groupBy(col("ts"))
+      .agg(max(struct(col("event_id"), col("user_id"))).as("m"))
+      .select(col("m.event_id").as("event_id"), col("ts"),
+        col("m.user_id").as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"stgk_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part(0)), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    import spark.implicits._
+    val far = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")
+    val t0 = System.currentTimeMillis() - 3600000L
+    stage(ev.filter(col("event_type") === "purchase"), "1_p", t0)
+    stage(dedupViews, "2_v", t0 + 60000L)
+    stage(Seq(
+      (-1L, far, -1L, "view", 0.0, null.asInstanceOf[String]),
+      (-2L, far, -2L, "purchase", 0.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "3_s", t0 + 120000L)
+    def side(t: String, prefix: String): DataFrame =
+      EventsStream.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("user_id").as(s"${prefix}_user_id"))
+        .withWatermark(s"${prefix}_ts", "60 days")
+    val out = StreamAsof.asofToleranceAppendKeyless(
+      side("purchase", "p"), side("view", "v"), "p_ts", "v_ts", tolUs)
+      .select(col("p_event_id"), col("p_user_id"),
+        unix_micros(col("p_ts")).as("us"),
+        unix_micros(col("v_ts")).as("m_us"),
+        col("v_event_id").as("m_id"))
+    val q = out.writeStream.format("memory").queryName("sskl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = asTuples(spark.table("sskl")
+        .filter(col("p_user_id") >= 0L))
+      // batch twin: the keyless bucket+carry composition over the SAME
+      // staged parquet (LongType micros, its contract), same tolerance
+      val pB = spark.read.parquet(dir.resolve("1_p.parquet").toString)
+        .select(col("event_id").as("p_event_id"),
+          col("user_id").as("p_user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("p_us"))
+      val vB = spark.read.parquet(dir.resolve("2_v.parquet").toString)
+        .select(col("event_id").as("v_event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("v_us"))
+      val batch = asTuples(graft.plans.AsofKeyless.asofJoinKeyless(
+        pB, vB, "p_us", "v_us", toleranceUs = tolUs)
+        .select(col("p_event_id"), col("p_user_id"), col("p_us"),
+          col("v_us"), col("v_event_id")))
+      assert(streamed == batch && batch.nonEmpty,
+        s"keyless streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.exists(_._4.isDefined), "no keyless match at all")
+      // SQL entry: keyless clause over two streaming views
+      val s = org.apache.spark.sql.graft.PlanBridge
+        .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+      def sideOn(t: String, prefix: String): DataFrame =
+        EventsStream.readEvents(s, dir.toString, maxFilesPerTrigger = 1)
+          .filter(col("event_type") === t)
+          .select(col("event_id").as(s"${prefix}_event_id"),
+            col("ts").as(s"${prefix}_ts"),
+            col("user_id").as(s"${prefix}_user_id"))
+          .withWatermark(s"${prefix}_ts", "60 days")
+      sideOn("purchase", "p").createOrReplaceTempView("sskl_p")
+      sideOn("view", "v").createOrReplaceTempView("sskl_v")
+      try {
+        val sqlOut = s.sql(
+          s"""SELECT p_event_id, p_user_id, unix_micros(p_ts) AS us,
+             |  unix_micros(v_ts) AS m_us, v_event_id AS m_id
+             |FROM sskl_p ASOF LEFT JOIN sskl_v ON p_ts >= v_ts
+             |TOLERANCE $tolUs""".stripMargin)
+        assert(sqlOut.isStreaming)
+        val q2 = sqlOut.writeStream.format("memory").queryName("ssklsql")
+          .outputMode("append").start()
+        try {
+          q2.processAllAvailable()
+          val viaSql = asTuples(s.table("ssklsql")
+            .filter(col("p_user_id") >= 0L))
+          assert(viaSql == batch,
+            s"SQL keyless streamed ${viaSql.size} vs batch ${batch.size}")
+        } finally q2.stop()
+      } finally {
+        s.catalog.dropTempView("sskl_p")
+        s.catalog.dropTempView("sskl_v")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream ASOF without TOLERANCE is refused loudly (SQL and " +
       "the operator itself)") {
     val e = intercept[IllegalArgumentException] {
