@@ -130,12 +130,12 @@ object IvfStress {
     // far cluster never FIRES because it lands in one stable cone):
     // one DIRECTIONAL cluster at the JUNCTION of the frozen cells —
     // center = the mean of the trained centroids, where the margins
-    // between cells vanish — with jitter ±15 per coord. Under the
-    // frozen quantizer the members scatter across ~15 of 16 cells on
-    // jitter (measured frozen recall 0.83 at 100k) while a rebuilt
-    // quantizer gives the cluster's definite direction its own cell
-    // and recall returns to 1.0. Drift = 25% of the corpus so the
-    // rebuilt trainer's hash-ordered seeds reliably sample it.
+    // between cells are smallest. Under the frozen quantizer the
+    // members scatter across many cells on jitter (measured: frozen
+    // recall 0.83 at 100k at jitter ±15) while a rebuilt quantizer
+    // carves the cluster into its own cells and recall returns to 1.0.
+    // Drift = 25% of the corpus so the rebuilt trainer's hash-ordered
+    // seeds reliably sample it.
     val nDrift = math.max(nVecs / 4, 1000L)
     val dirC = java.nio.file.Files.createTempDirectory("ivfstress_drift").toString
     val idxDrift = graft.ops.IvfIndex.build(spark, all, dirC)
@@ -145,22 +145,53 @@ object IvfStress {
     }
     val ctrLit = ctr.map(x => f"CAST($x%.4f AS DOUBLE)")
       .mkString("array(", ",", ")")
-    val driftVecs = spark.range(nDrift)
+    // The plant's width is SELF-CALIBRATING: how wide the cluster must
+    // be to straddle multiple frozen cells depends on the trained
+    // centroid geometry around the junction (a fixed ±15 fired at 100k
+    // but concentrated into probed cells at 500k — the junction's
+    // multi-cell margin is not corpus-invariant), so escalate the
+    // jitter ×2 from an angular-scaled start until the gate fires.
+    // Recovery stays meaningful at any width that fires: the center is
+    // NONZERO, so the rebuilt quantizer's drift cells carve the blob
+    // into angular sectors with non-degenerate centroids (the failure
+    // mode that killed the isotropic-blob variant was a center of ~0).
+    val ctrNorm = math.sqrt(ctr.map(x => x * x).sum)
+    def driftAt(jit: Long) = spark.range(nDrift)
       .select((col("id") + 10000000L).as("vec_id"),
         expr(s"""transform(sequence(0, 63), j -> CAST(
           element_at($ctrLit, j + 1) +
-          (pmod(hash(id + 10000000, j, 7), 31) - 15) AS FLOAT))""")
+          (pmod(hash(id + 10000000, j, 7), ${2 * jit + 1}) - $jit) AS FLOAT))""")
           .as("embedding"))
-    val (_, tDriftAppend) = timed(
-      graft.ops.IvfIndex.append(spark, idxDrift, driftVecs))
+    val jit0 = math.max(4L, math.round(ctrNorm / 6.0))
+    var jit = jit0
+    var driftVecs = driftAt(jit)
+    var idxFired = idxDrift
+    var tDriftAppend = 0.0
+    var tGate = 0.0
+    var stFrozen: graft.ops.IvfIndex.DriftStatus = null
+    var fired = false
+    var tries = 0
+    while (!fired && tries < 5) {
+      driftVecs = driftAt(jit)
+      // fresh frozen index per try: append mutates the posting dirs
+      val dirT = java.nio.file.Files
+        .createTempDirectory(s"ivfstress_drift_$tries").toString
+      val idxT = graft.ops.IvfIndex.build(spark, all, dirT)
+      val (_, tA) = timed(graft.ops.IvfIndex.append(spark, idxT, driftVecs))
+      val dqT = driftVecs.filter(col("vec_id") < 10000010L)
+      val (st, tG) = timed(graft.ops.IvfIndex.driftStatus(
+        spark, all.unionByName(driftVecs), idxT, dqT, floor = 0.9))
+      tDriftAppend = tA; tGate = tG; stFrozen = st
+      fired = st.drifted
+      if (fired) idxFired = idxT
+      else { jit *= 2; tries += 1 }
+    }
+    assert(fired,
+      s"planted drift never fired the gate up to jitter $jit: $stFrozen")
     val merged2 = all.unionByName(driftVecs)
     val dq = driftVecs.filter(col("vec_id") < 10000010L)
-    val (stFrozen, tGate) = timed(graft.ops.IvfIndex.driftStatus(
-      spark, merged2, idxDrift, dq, floor = 0.9))
-    assert(stFrozen.drifted,
-      s"planted drift never fired the gate: $stFrozen")
     val ((stRe, rebuilt), tReDrift) = timed(graft.ops.IvfIndex
-      .rebuildIfDrifted(spark, "unmanaged", merged2, idxDrift, dq,
+      .rebuildIfDrifted(spark, "unmanaged", merged2, idxFired, dq,
         floor = 0.9))
     assert(stRe.drifted && rebuilt.isDefined, "drift rebuild never ran")
     val stAfter = graft.ops.IvfIndex.driftStatus(spark, merged2,
@@ -175,7 +206,8 @@ object IvfStress {
       s""""n_drift":$nDrift,"recall_frozen_drift":${f"${stFrozen.recall.get}%.3f"},""" +
       s""""recall_rebuilt_drift":${f"${stAfter.recall.get}%.3f"},""" +
       s""""drift_append_sec":${f"$tDriftAppend%.1f"},"drift_gate_sec":${f"$tGate%.1f"},""" +
-      s""""drift_rebuild_sec":${f"$tReDrift%.1f"}}""")
+      s""""drift_rebuild_sec":${f"$tReDrift%.1f"},"drift_jitter":$jit,""" +
+      s""""drift_jitter_tries":${tries + 1}}""")
     spark.stop()
   }
 }
