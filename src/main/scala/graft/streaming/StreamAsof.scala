@@ -188,6 +188,60 @@ object StreamAsof {
       .drop("__graft_sb_l", "__graft_sb_r")
   }
 
+  /** KEYLESS stream-stream BAND join — every (probe, build) pair with
+    * the build time inside `[probeTime + lowUs, probeTime + highUs]`,
+    * left-outer, across the whole streams. The same bucket manufacture
+    * as [[asofToleranceAppendKeyless]] (Spark refuses stream-stream
+    * joins without an equality predicate), but SIMPLER downstream: a
+    * band emits every match, so there is no aggregation — just the
+    * join, with matches emitted eagerly and unmatched probes when the
+    * watermark proves no match can arrive. Bucket width = the band
+    * width; each build row replicates to the ≤3 buckets whose probes
+    * can reach it, and a (probe, build) pair shares EXACTLY ONE bucket
+    * value — the probe's own — so replication can never duplicate a
+    * match (the batch keyless band's argument, streamed). */
+  def bandAppendKeyless(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      lowUs: Long, highUs: Long): DataFrame = {
+    require(lowUs <= highUs, s"band [$lowUs, $highUs] is empty")
+    require(left.isStreaming && right.isStreaming,
+      "bandAppendKeyless is the STREAM-STREAM operator; for a static " +
+        "build side use PlanBridge.bandJoinKeyless")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"sides must have disjoint column names; shared: $shared")
+    require(left.schema(leftTime).dataType == TimestampType &&
+      right.schema(rightTime).dataType == TimestampType,
+      "stream-stream band needs TimestampType time columns on both sides")
+    require(hasWatermark(left) && hasWatermark(right),
+      "both sides must carry a watermark (df.withWatermark(timeCol, " +
+        "delay)) — the join state cannot be bounded without one")
+    val w = math.max(highUs - lowUs, 1L)
+    // a build row at t_v serves probes in [t_v - highUs, t_v - lowUs]:
+    // replicate it to that range's buckets (span <= 2 widths + 1)
+    val lB = left.withColumn("__graft_bb_l",
+      floorDiv(unix_micros(col(leftTime)), w))
+    val rB = right.withColumn("__graft_bb_r",
+      explode(sequence(
+        floorDiv(unix_micros(col(rightTime)) - highUs, w),
+        floorDiv(unix_micros(col(rightTime)) - lowUs, w))))
+    val lOk = lB.filter(col(leftTime).isNotNull)
+    val lNull = lB.filter(col(leftTime).isNull)
+    val loIv = expr(s"INTERVAL $lowUs MICROSECOND")
+    val hiIv = expr(s"INTERVAL $highUs MICROSECOND")
+    val cond = col("__graft_bb_l") === col("__graft_bb_r") &&
+      col(rightTime) >= col(leftTime) + loIv &&
+      col(rightTime) <= col(leftTime) + hiIv
+    val rCols = right.columns.toSeq
+    def nullExtended(df: DataFrame): DataFrame =
+      rCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    lOk.join(rB, cond, "left_outer")
+      .select((left.columns.toSeq ++ rCols).map(col): _*)
+      .unionByName(nullExtended(lNull)
+        .select((left.columns.toSeq ++ rCols).map(col): _*))
+  }
+
   // floor division in pure long arithmetic (pmod >= 0 gives floor
   // semantics for negative times; the double division is exact — both
   // operands are integers far below 2^53 — and cast back to long)

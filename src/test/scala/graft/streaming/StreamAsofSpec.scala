@@ -313,6 +313,46 @@ class StreamAsofSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KEYLESS stream-stream band == batch keyless band (bucket " +
+      "manufacture, no aggregation — every match emitted exactly once)") {
+    val lo = -1800L * 1000000L
+    val out = StreamAsof.bandAppendKeyless(
+      sideStream("purchase", "p"), sideStream("view", "v"),
+      "p_ts", "v_ts", lo, 0L)
+      .select(col("p_event_id"), col("v_event_id"))
+    val q = out.writeStream.format("memory").queryName("ssbandkl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssbandkl")
+        .filter(col("p_event_id") >= 0L)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+      // batch twin over the SAME staged parquet (keyless band is
+      // replayed by the oracle-gated ev07e machinery)
+      val pB = spark.read.parquet(
+          java.nio.file.Paths.get(stagedDir, "1_purchases.parquet").toString)
+        .select(col("event_id").as("p_event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("p_us"))
+      val vB = spark.read.parquet(
+          java.nio.file.Paths.get(stagedDir, "2_views.parquet").toString)
+        .select(col("event_id").as("v_event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("v_us"))
+      val batch = org.apache.spark.sql.graft.PlanBridge.bandJoinKeyless(
+          pB, vB, "p_us", "v_us", lo, 0L)
+        .select(col("p_event_id"), col("v_event_id"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+      // multiset equality (a band can emit several pairs per probe;
+      // exactly-once replication is the claim under test)
+      assert(streamed.groupBy(identity).view.mapValues(_.size).toMap ==
+        batch.groupBy(identity).view.mapValues(_.size).toMap &&
+        batch.nonEmpty,
+        s"keyless band streamed ${streamed.size} pairs vs batch ${batch.size}")
+      assert(streamed.exists(_._2.isDefined), "no band match at all")
+    } finally q.stop()
+  }
+
   test("stream-stream ASOF without TOLERANCE is refused loudly (SQL and " +
       "the operator itself)") {
     val e = intercept[IllegalArgumentException] {
