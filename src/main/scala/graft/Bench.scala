@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}}.
   *
-  * A warmup pass (flagship query) absorbs JVM/codegen/session
+  * A warmup pass (every query at sf0.001) absorbs JVM/codegen/session
   * initialization so per-query numbers measure the queries, not the
-  * first-touch cost; queries then run in sorted order for stable
-  * attribution run-to-run. */
+  * first-touch cost; timed passes then run rep by rep, each rep in a
+  * deterministically shuffled query order (seed = rep index) so
+  * time-correlated host contention cannot map onto one contiguous
+  * query family. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,13 +96,33 @@ object Bench {
       val ts = pool.filterNot(_.isNaN).sorted
       ts.lift((ts.length - 1) / 2)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Per-REP passes in a deterministically SHUFFLED query order
+    // (Fisher-Yates, seed = rep index), not reps-per-query in sorted
+    // order (rounds <= 15): queries ran in a fixed order every round,
+    // so time-correlated host contention mapped onto CONTIGUOUS
+    // alphabetical families — the round-15 driver window inflated the
+    // ev family ~11x in EVERY rep while the median query sat at 1.2x,
+    // defeating even the per-query min. Shuffling each rep
+    // decorrelates a sustained stall from any one family; the seed is
+    // the rep index, so the order is reproducible from the artifact
+    // alone (rep_order field below). Rep 1 is still every query's
+    // first run at sfDir, so cold/warm semantics are unchanged.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      // raw times kept in RUN ORDER (not sorted): a noise-vs-regression
+    val timesByName = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    named.foreach { case (n, _) =>
+      timesByName(n) = scala.collection.mutable.ArrayBuffer[Double]() }
+    (1 to reps).foreach { rep =>
+      new scala.util.Random(rep.toLong).shuffle(named).foreach {
+        case (name, fn) => timesByName(name) += timeOnce(name, fn)
+      }
+    }
+    val results = named.map { case (name, _) =>
+      // raw times kept in RUN ORDER (rep 1..n): a noise-vs-regression
       // judgment needs the spread, and run order additionally shows
       // first-rep warm-in drift; failed runs appear as null
-      val raw = (1 to reps).map(_ => timeOnce(name, fn))
+      val raw = timesByName(name).toSeq
       val times = raw.filterNot(_.isNaN).sorted
       // a query with zero successful runs reports null, not a number
       (name, warmMedian(raw), times.headOption, raw)
@@ -168,8 +190,8 @@ object Bench {
       "pp15_dsir_sample", "qa08_dsir_shift",
       "tx12_lm_score", "tx21_kn_lm_score",
       "qa04_cluster_sizes", "qa06_dedup_impact", "qa07_dedup_flow",
-      // qa10 sorts BEFORE ss03, so its cold rep is the one that pays
-      // the IVF index + quantized-corpus build at the bench SF
+      // whichever of qa10/ss03* the rep-1 shuffle runs first pays the
+      // IVF index + quantized-corpus build at the bench SF
       "qa10_ann_recall",
       "ss02_lsh_topk", "ss03_ivf_topk", "ss03b_ivf_int8_topk",
       "ss03c_ivfadc_rerank", "ss09_pq_topk", "ss10_pq_rerank",
@@ -184,7 +206,11 @@ object Bench {
     // round-14 "graph -40%" headline compared a v1 mean against a v2
     // median and overstated a real -17.6% win.
     val metricVersion = 2
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","metric_version":$metricVersion,"cold_s":$coldTotal,"min_s":$minTotal,$coldOnly"reps":$reps,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
+    // per-rep execution order is reconstructible from this field alone:
+    // scala.util.Random(rep).shuffle over the sorted registered names
+    val repOrder = "\"fisher-yates(seed=rep 1..%d over sorted names)\""
+      .format(reps)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","metric_version":$metricVersion,"cold_s":$coldTotal,"min_s":$minTotal,$coldOnly"reps":$reps,"rep_order":$repOrder,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's per-round artifact keeps only a ~2KB tail of stdout,
     // which has repeatedly made cross-round per-query comparison

@@ -481,6 +481,78 @@ object IndexStore {
         }
     }
 
+  // ---- "current" alias: pointer-file indirection --------------------
+  //
+  // A drift rebuild (IvfIndex.rebuildIfDrifted) publishes the rebuilt
+  // index under its OWN store lineage ("ivf8r") so the drifted index
+  // serves until commit — but a standing reader that resolved the old
+  // handle would keep probing the drifted index until the caller
+  // re-plumbs it. The alias closes that: a pointer file
+  // `<root>/<corpusKey>/_GRAFT_CURRENT_<alias>` names the store
+  // (index name) currently serving the alias, published by the same
+  // write-temp-then-ATOMIC-rename discipline as _GRAFT_META and
+  // written only AFTER the target index's own commit — so a crash
+  // anywhere mid-rebuild leaves the pointer on the old index (the
+  // reader-visible state is always a fully-committed index), and a
+  // reader re-reading the pointer (one tiny file read per resolve)
+  // picks up a rebuild atomically with no handle re-plumbing.
+
+  private def currentPath(s: SparkSession, d: String, alias: String) =
+    root(s).map(r =>
+      new Path(s"$r/${corpusKey(d)}", s"_GRAFT_CURRENT_$alias"))
+
+  /** The store name the alias currently points at, or None (no root
+    * configured, or the alias was never published). */
+  def readCurrent(s: SparkSession, d: String, alias: String): Option[String] =
+    currentPath(s, d, alias).flatMap { p =>
+      val f = fs(s, p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+          .filter(_.nonEmpty)
+        finally in.close()
+      }
+    }
+
+  /** Atomically point the alias at store `target`. No-op without an
+    * index root. Call AFTER the target index's commit — the pointer
+    * must never lead a reader to an uncommitted index. */
+  def writeCurrent(s: SparkSession, d: String, alias: String,
+      target: String): Unit =
+    currentPath(s, d, alias).foreach { p =>
+      val f = fs(s, p)
+      f.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent,
+        s"${p.getName}.tmp.${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(target.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
+  /** Non-acquiring freshness peek: Some(base) when a persisted `name`
+    * exists with a fingerprint matching the current corpus; None when
+    * nothing is persisted (or no root). A STALE index throws loudly
+    * regardless of `ifStale` — a pointer target must never be silently
+    * rebuilt or silently served stale by a mere reader. */
+  def peekFresh(s: SparkSession, d: String, name: String,
+      table: String): Option[String] = root(s).flatMap { r =>
+    val base = s"$r/${corpusKey(d)}/$name"
+    readMeta(s, base).map { m =>
+      val fp = table.split(",").map(t => fingerprint(s, d, t.trim))
+        .mkString("|")
+      if (m.getProperty("fingerprint") != fp)
+        throw new IllegalStateException(
+          s"graft index '$name' at $base is STALE: it was built from a " +
+            s"different version of $d/$table. Serving it would answer " +
+            "for documents that changed; rebuild it (or repoint the " +
+            "alias) before reading.")
+      base
+    }
+  }
+
   /** Stable, path-safe key for a corpus dir: basename + a short hash of
     * the full path (two dirs with the same basename don't collide). */
   private def corpusKey(d: String): String = {

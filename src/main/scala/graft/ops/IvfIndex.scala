@@ -47,6 +47,15 @@ object IvfIndex {
   graft.SessionCaches.registerEvictor(s =>
     indexCache.keySet.toSeq.filter(_._1 eq s).foreach(indexCache.remove))
 
+  // unmanaged-mode "current" pointer: with no index root there is no
+  // pointer FILE, so a drift rebuild publishes its handle here and
+  // currentFor serves it session-scoped (the unmanaged contract — all
+  // unmanaged state is session-scoped)
+  private val currentCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Index]
+  graft.SessionCaches.registerEvictor(s =>
+    currentCache.keySet.toSeq.filter(_._1 eq s).foreach(currentCache.remove))
+
   /** Assign with FIXED centroids and write the cell-partitioned
     * postings (vec_id, embedding, c_id) — the float vector rides along
     * so probes can score exactly without a corpus join. */
@@ -92,11 +101,7 @@ object IvfIndex {
       case graft.IndexStore.Unmanaged =>
         buildShared(
           java.nio.file.Files.createTempDirectory(tmpPrefix).toString)
-      case graft.IndexStore.Fresh(base) =>
-        val cents = s.read.parquet(base + "/centroids").collect()
-          .sortBy(_.getInt(0))
-          .map(r => (r.getInt(0), r.getSeq[Int](1).toSeq)).toSeq
-        Index(graft.IndexStore.dataPath(base), cents)
+      case graft.IndexStore.Fresh(base) => loadIndex(s, base)
       case graft.IndexStore.Build(base, commit) =>
         try {
           val idx = buildShared(graft.IndexStore.dataPath(base))
@@ -109,6 +114,15 @@ object IvfIndex {
           graft.IndexStore.abortBuild(s, base); throw t
         }
     }
+
+  /** Reconstruct an [[Index]] from a committed store base (postings at
+    * dataPath, trained centroids in the sibling parquet). */
+  private def loadIndex(s: SparkSession, base: String): Index = {
+    val cents = s.read.parquet(base + "/centroids").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getSeq[Int](1).toSeq)).toSeq
+    Index(graft.IndexStore.dataPath(base), cents)
+  }
 
   /** Memoized build over the `embeddings` table of a testdata dir.
     * With an index root configured (IndexStore), the cell-partitioned
@@ -260,24 +274,144 @@ object IvfIndex {
     * being indexed (the store fingerprints it); a corpus unchanged
     * since the last rebuild resolves Fresh and reuses it instead of
     * re-training. Returns the status and the rebuilt index when one
-    * was (re)published. */
+    * was (re)published — and swaps the [[CurrentAlias]] pointer on
+    * commit, so standing [[currentFor]] readers pick up the rebuild
+    * with no handle re-plumbing (round-16). */
   def rebuildIfDrifted(s: SparkSession, d: String, corpus: DataFrame,
       index: Index, queries: DataFrame,
       floor: Double = DefaultRecallFloor, k: Int = 16,
       nprobe: Int = 3, topk: Int = 10): (DriftStatus, Option[Index]) = {
     val st = driftStatus(s, corpus, index, queries, floor, nprobe, topk)
     if (!st.drifted) (st, None)
-    else {
-      def buildShared(out: String): Index = {
-        val trained = Similarity.int8LloydTrain(
-          Similarity.quantize(corpus).select(col("vec_id"), col("q")), k)
-        require(trained.nonEmpty,
-          "IVF drift rebuild over an empty corpus")
-        writeAssigned(corpus, trained, out, overwrite = true)
-        Index(out, trained)
-      }
-      (st, Some(resolveIndex(s, d, "ivf8r", "graft_ivfr")(buildShared)))
+    else (st, Some(republishDrifted(s, d, corpus, k)))
+  }
+
+  /** The store-name alias [[currentFor]] resolves: a drift rebuild
+    * points it at the "ivf8r" lineage. */
+  private[ops] val CurrentAlias = "ivf"
+  private[ops] val RebuiltStore = "ivf8r"
+
+  /** The rebuild+republish leg of [[rebuildIfDrifted]] (factored so the
+    * abort path is testable): re-train on the FULL current corpus,
+    * publish under the [[RebuiltStore]] lineage via the IndexStore
+    * commit/abort machinery, then — strictly AFTER that commit — swap
+    * the [[CurrentAlias]] pointer (and the unmanaged session pointer)
+    * at the rebuilt store. A crash or build failure anywhere before the
+    * swap leaves the pointer on the old index: [[currentFor]] readers
+    * only ever see fully-committed indexes. */
+  private[ops] def republishDrifted(s: SparkSession, d: String,
+      corpus: DataFrame, k: Int = 16): Index = {
+    def buildShared(out: String): Index = {
+      val trained = Similarity.int8LloydTrain(
+        Similarity.quantize(corpus).select(col("vec_id"), col("q")), k)
+      require(trained.nonEmpty,
+        "IVF drift rebuild over an empty corpus")
+      writeAssigned(corpus, trained, out, overwrite = true)
+      Index(out, trained)
     }
+    val idx = resolveIndex(s, d, RebuiltStore, "graft_ivfr")(buildShared)
+    graft.IndexStore.writeCurrent(s, d, CurrentAlias, RebuiltStore)
+    currentCache((s, d)) = idx
+    idx
+  }
+
+  /** Resolve the index CURRENTLY serving corpus dir `d` — the
+    * no-re-plumbing entry point for standing readers: re-reads the
+    * [[CurrentAlias]] pointer on every call (one tiny file read; the
+    * expensive centroid reconstruction is memoized per pointed-at
+    * store + corpus fingerprint), so a reader that resolved before a
+    * drift rebuild and one that resolves after both return the rebuilt
+    * index as soon as [[rebuildIfDrifted]] commits. With no pointer
+    * published (no rebuild ever fired) or no index root configured,
+    * falls back to the standing append index [[builtForAppend]] — or,
+    * unmanaged, to the session-scoped pointer a rebuild published. A
+    * pointer at a STALE index (corpus changed since the rebuild) fails
+    * loudly via [[graft.IndexStore.peekFresh]]. */
+  def currentFor(s: SparkSession, d: String): Index = {
+    graft.SessionCaches.track(s)
+    graft.IndexStore.readCurrent(s, d, CurrentAlias) match {
+      case Some(target) =>
+        graft.IndexStore.peekFresh(s, d, target, "embeddings") match {
+          case Some(base) =>
+            val fp = graft.IndexStore.fingerprint(s, d, "embeddings")
+            indexCache.getOrElseUpdate((s, s"$d#cur#$target#$fp"),
+              loadIndex(s, base))
+          case None =>
+            // dangling pointer: the pointed-at index dir was removed
+            // out-of-band — serve the standing index, loudly
+            System.err.println(s"[graft] IVF current-alias for $d points " +
+              s"at store '$target' which has no committed index — " +
+              "falling back to the standing append index")
+            builtForAppend(s, d)
+        }
+      case None =>
+        currentCache.getOrElse((s, d), builtForAppend(s, d))
+    }
+  }
+
+  /** Ingest-cadence drift auditing (round-16): the drift gate is only
+    * useful if something actually RUNS it, and the natural cadence is
+    * the append path — drift arrives with appended batches, so audit
+    * every `every`-th one instead of relying on an external scheduler.
+    * Wraps [[append]]: each call absorbs one batch under the frozen
+    * centroids, and every `every`-th call runs [[driftStatus]] with
+    *  - queries = the first `sampleK` rows OF THAT BATCH (the appended
+    *    distribution is exactly where drift shows; bounded by
+    *    construction), and
+    *  - corpus = the index's own postings (the float vectors ride the
+    *    posting lists, so the audit needs no side channel to the
+    *    source table and always sees precisely what the index holds).
+    * Cost model: one corpus scan per AUDIT (not per append) plus one
+    * pruned probe — the bounded-sample design [[driftStatus]] states.
+    * The auditor never rebuilds on its own (`rebuildIfDrifted` is a
+    * policy decision with a corpus-dir contract); it returns the
+    * status so the ingest loop can gate on `drifted` — and
+    * [[driftStatus]] already logs loudly, naming the fix.
+    *
+    * [[AppendAuditor.foreachBatch]] adapts it to
+    * `DataStreamWriter.foreachBatch`, so a streaming ingest audits on
+    * the same cadence with zero extra code. Thread-safe (synchronized
+    * counter) — foreachBatch delivers batches serially, but nothing
+    * here depends on it. */
+  final class AppendAuditor(s: SparkSession, index: Index, every: Int,
+      floor: Double = DefaultRecallFloor, nprobe: Int = 3, topk: Int = 10,
+      sampleK: Int = 10) {
+    require(every > 0, s"auditEvery must be > 0, got $every")
+    private var appended = 0
+    private var audited = 0
+    private var lastStatus: Option[DriftStatus] = None
+
+    /** Appends absorbed so far. */
+    def appendCount: Int = synchronized(appended)
+    /** Audits actually run so far (= floor(appendCount / every)). */
+    def auditsRun: Int = synchronized(audited)
+    /** The most recent audit's status, if any ran yet. */
+    def last: Option[DriftStatus] = synchronized(lastStatus)
+
+    /** Absorb `df` into the index; on the audit cadence, evaluate and
+      * return the drift status (None on off-cadence appends). The
+      * batch is fully consumed inside the call (written, and on audit
+      * cadence sampled) — nothing retains it afterwards. */
+    def append(df: DataFrame): Option[DriftStatus] = synchronized {
+      IvfIndex.append(s, index, df)
+      appended += 1
+      if (appended % every != 0) None
+      else {
+        val corpus = s.read.parquet(index.dir)
+          .select(col("vec_id"), col("embedding"))
+        val queries = df.select(col("vec_id"), col("embedding"))
+          .limit(sampleK)
+        val st = driftStatus(s, corpus, index, queries, floor, nprobe, topk)
+        audited += 1
+        lastStatus = Some(st)
+        Some(st)
+      }
+    }
+
+    /** `DataStreamWriter.foreachBatch` adapter: each micro-batch is one
+      * appended batch on the audit cadence. */
+    def foreachBatch: (DataFrame, Long) => Unit =
+      (df, _) => { append(df); () }
   }
 
   /** Top-k probe: assign each query vector to its `nprobe` nearest

@@ -340,21 +340,91 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
           b.replacement
       }
       if (u.left.isStreaming && u.right.isStreaming) {
-        // STREAM-STREAM band: Spark's native stream-stream time-interval
-        // join IS this operator — emit the stock join (its state manager
-        // derives both sides' eviction watermarks from the time-range
-        // condition and enforces the watermark requirements itself with
-        // its own diagnostics). Unlike the batch path, the clause here
-        // accepts INTERVAL arithmetic over timestamp columns, since the
-        // native join reasons over watermarked timestamps. The hint is
-        // ignored: streaming has exactly one physical join.
-        Join(u.left, u.right,
+        // STREAM-STREAM band. The ON clause gets the SAME structural
+        // validation as the batch path (the round-15 raw fall-through
+        // silently accepted single-side conjuncts that batch rejects,
+        // and under LEFT OUTER a single-side conjunct in ON means
+        // something different from WHERE). Dispatch:
+        //  - keyed, in-grammar → Spark's native stream-stream
+        //    time-interval join IS the operator (its state manager
+        //    derives both sides' eviction watermarks from the
+        //    time-range condition and enforces the watermark
+        //    requirements with its own diagnostics); the hint is
+        //    ignored — streaming has exactly one physical join.
+        //  - KEYLESS, in-grammar → lowered to
+        //    [[graft.streaming.StreamAsof.bandAppendKeyless]]: the
+        //    band bounds extracted from the INTERVAL (timestamp) or
+        //    integer-literal (BIGINT micros) arithmetic become the
+        //    bucket manufacture's lowUs/highUs — Spark alone refuses
+        //    any stream-stream join without an equality predicate.
+        //  - keyless, out-of-grammar → loud graft error naming the
+        //    supported shape and the Scala API (previously Spark's
+        //    opaque no-equality-predicate refusal).
+        //  - keyed, out-of-grammar → the native join unchanged: that
+        //    text is a generic streaming join spelled BAND JOIN, and
+        //    Spark's own support checks apply to it.
+        def nativeJoin = Join(u.left, u.right,
           if (u.keepUnmatched) LeftOuter
           else org.apache.spark.sql.catalyst.plans.Inner,
           Some(cond),
           org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+        val conjs =
+          AsofSqlRewrite.conjunctsOf(BandConds.normalizeTimeArith(cond))
+        val hasCrossEq = conjs.exists {
+          case e: EqualTo =>
+            e.references.exists(u.left.outputSet.contains) &&
+              e.references.exists(u.right.outputSet.contains)
+          case _ => false
+        }
+        BandConds.classify(conjs, u.left.outputSet, u.right.outputSet) match {
+          case Some(p) =>
+            require(p.probeOnly.isEmpty && p.buildOnly.isEmpty,
+              "BAND JOIN: single-side conjuncts are not allowed in ON — " +
+                "move them to WHERE or a subquery")
+            if (p.lKeys.nonEmpty) nativeJoin
+            else {
+              val spark = org.apache.spark.sql.SparkSession.active
+              val lNames = u.left.output.indices.map(i => s"__graft_ssb_l$i")
+              val rNames = u.right.output.indices.map(i => s"__graft_ssb_r$i")
+              val lProj = Project(u.left.output.zip(lNames).map {
+                case (a, n) => Alias(a, n)() }, u.left)
+              val rProj = Project(u.right.output.zip(rNames).map {
+                case (a, n) => Alias(a, n)() }, u.right)
+              val ltName =
+                lNames(u.left.output.indexWhere(_.exprId == p.lTime.exprId))
+              val rtName =
+                rNames(u.right.output.indexWhere(_.exprId == p.rTime.exprId))
+              val composed = graft.streaming.StreamAsof.bandAppendKeyless(
+                org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, lProj),
+                org.apache.spark.sql.graft.PlanBridge.dataFrame(spark, rProj),
+                ltName, rtName, p.lowUs, p.highUs)
+              val cPlan = composed.queryExecution.analyzed
+              val expected = u.left.output ++
+                u.right.output.map(_.withNullability(true))
+              val aliased = Project(expected.zipWithIndex.map { case (exp, i) =>
+                Alias(cPlan.output(i), exp.name)(exprId = exp.exprId)
+              }, cPlan)
+              if (u.keepUnmatched) aliased
+              else Filter(IsNotNull(aliased.output(
+                u.left.output.size +
+                  u.right.output.indexWhere(_.exprId == p.rTime.exprId))),
+                aliased)
+            }
+          case None if !hasCrossEq =>
+            throw new IllegalArgumentException(
+              "keyless stream-stream BAND JOIN: the ON clause must be a " +
+                "two-sided time band over one time column per side — " +
+                "build.t BETWEEN probe.t + lo AND probe.t + hi, with " +
+                "INTERVAL-literal (timestamp) or integer-literal (BIGINT " +
+                "micros) offsets — so the band width can manufacture the " +
+                s"equality key Spark's stream-stream join needs; got: $cond. " +
+                "For shapes outside the SQL grammar use the Scala API " +
+                "graft.streaming.StreamAsof.bandAppendKeyless.")
+          case None => nativeJoin
+        }
       } else {
-        val parts = BandConds.classify(AsofSqlRewrite.conjunctsOf(cond),
+        val parts = BandConds.classify(
+            AsofSqlRewrite.conjunctsOf(BandConds.normalizeTimeArith(cond)),
             u.left.outputSet, u.right.outputSet)
           .getOrElse(throw new IllegalArgumentException(
             "BAND JOIN: ON must be cross-side key equalities (or none — " +
@@ -436,7 +506,11 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         require(u.toleranceUs >= 0L,
           "stream-stream ASOF JOIN requires TOLERANCE <micros>: " +
             "unbounded lookback has no bounded-state formulation " +
-            "(state would hold every build row forever)")
+            "(state would hold every build row forever). Note also the " +
+            "probe-row contract: the append-mode lowering aggregates " +
+            "per probe row, so FULLY-duplicate probe rows collapse to " +
+            "one output row — keep a unique column (an event id) on " +
+            "the probe side.")
         val spark = org.apache.spark.sql.SparkSession.active
         val lNames = u.left.output.indices.map(i => s"__graft_ss_l$i")
         val rNames = u.right.output.indices.map(i => s"__graft_ss_r$i")
@@ -476,7 +550,11 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         require(u.toleranceUs > 0L,
           "keyless stream-stream ASOF JOIN requires TOLERANCE <micros> " +
             "> 0: the tolerance bounds both the state and the bucket " +
-            "width that manufactures the join key")
+            "width that manufactures the join key. Note also the " +
+            "probe-row contract: the append-mode lowering aggregates " +
+            "per probe row, so FULLY-duplicate probe rows collapse to " +
+            "one output row — keep a unique column (an event id) on " +
+            "the probe side.")
         val spark = org.apache.spark.sql.SparkSession.active
         val lNames = u.left.output.indices.map(i => s"__graft_ssk_l$i")
         val rNames = u.right.output.indices.map(i => s"__graft_ssk_r$i")

@@ -42,17 +42,62 @@ object BandConds {
     * `attr ± INTERVAL` — `TimestampAddInterval` with a DAY-TIME
     * interval literal is exact micro addition for both TIMESTAMP and
     * TIMESTAMP_NTZ (year-month intervals are variable-length and are
-    * deliberately NOT matched). */
+    * deliberately NOT matched). The raw `Add`/`Subtract` forms with a
+    * day-time interval literal are matched too: the SQL-clause path
+    * classifies the ON condition BEFORE `ResolveBinaryArithmetic`
+    * rewrites datetime arithmetic (the condition lives inside graft's
+    * unresolved node, which only [[ResolveAsofJoin]] touches), so
+    * `attr - INTERVAL '30' MINUTE` still reads `Subtract(attr,
+    * Literal(micros, DayTimeIntervalType))` there — the literal's
+    * Long payload IS micros, same as the post-analysis form. */
   private def decompose(e: Expression): Option[(Attribute, Long)] = e match {
     case a: Attribute => Some((a, 0L))
+    case Add(a: Attribute,
+        Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _) =>
+      Some((a, v))
+    case Add(Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType),
+        a: Attribute, _) =>
+      Some((a, v))
+    case Subtract(a: Attribute,
+        Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _) =>
+      Some((a, -v))
     case Add(a: Attribute, c, _) => constOf(c).map(v => (a, v))
     case Add(c, a: Attribute, _) => constOf(c).map(v => (a, v))
     case Subtract(a: Attribute, c, _) => constOf(c).map(v => (a, -v))
+    // the interval operand may be a literal OR a foldable wrapper (the
+    // analyzer's DatetimeSub replacement is TimestampAddInterval(a,
+    // UnaryMinus(lit)) — see normalizeTimeArith): fold and read micros
     case org.apache.spark.sql.catalyst.expressions.TimestampAddInterval(
-        a: Attribute, Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _) =>
-      Some((a, v))
+        a: Attribute, iv, _)
+        if iv.foldable && iv.deterministic &&
+          iv.dataType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] =>
+      iv.eval(null) match {
+        case l: java.lang.Long => Some((a, l.longValue))
+        case _ => None
+      }
     case _ => None
   }
+
+  /** Normalize an analyzed ON condition for [[classify]]: inline
+    * `RuntimeReplaceable` replacements (`ResolveBinaryArithmetic`
+    * rewrites `ts - INTERVAL` to `Cast(DatetimeSub(...))` when
+    * `ResolveReferences` resolves the clause's attributes before
+    * [[ResolveAsofJoin]] consumes the node — both live in the same
+    * fixed-point batch) and drop the identity casts that rewrite
+    * leaves behind. Raw parse-time forms (`Subtract(attr,
+    * interval-literal)`) pass through untouched — decompose matches
+    * them directly. */
+  private[plans] def normalizeTimeArith(e: Expression): Expression =
+    e.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+      // identity casts only; the child may read as unresolved (a
+      // replacement TimestampAddInterval has no timeZoneId yet), so
+      // probe dataType defensively rather than requiring resolved
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if (try c.child.dataType == c.dataType
+          catch { case scala.util.control.NonFatal(_) => false }) => c.child
+    }
 
   /** Classify `conjuncts` against probe (`leftOut`) / build
     * (`rightOut`) outputs. None when any cross-side conjunct falls

@@ -55,6 +55,27 @@ object StreamAsof {
   private def hasWatermark(df: DataFrame): Boolean =
     df.queryExecution.logical.exists(_.isInstanceOf[EventTimeWatermark])
 
+  // The unique-probe-row contract, surfaced LOUDLY once per JVM at
+  // composition time (round-15 ADVICE): the as-of extremum aggregates
+  // per probe row with every left column as the group key, so two
+  // FULLY-identical probe rows collapse to one output row — fewer rows
+  // than the batch twin, with nothing at runtime to tell a collapse
+  // from a match. No streaming-legal enforcement exists (a uniquifier
+  // is non-deterministic and replay-unsafe, a pre-join count is a
+  // second stateful aggregation that delays probes past the build
+  // state's eviction horizon), so the contract is surfaced at every
+  // entry point — this notice, the scaladoc, the SQL docs — and
+  // StreamAsofSpec pins the collapse behavior explicitly.
+  private val warnedCollapse =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def noteProbeRowContract(): Unit =
+    if (warnedCollapse.compareAndSet(false, true))
+      System.err.println("[graft] append-mode stream-stream as-of " +
+        "aggregates per PROBE ROW: fully-duplicate probe rows collapse " +
+        "to ONE output row (fewer rows than the batch twin). Keep a " +
+        "unique column (an event id) on the probe side — the " +
+        "documented contract.")
+
   /** As-of `left` (streaming probe) to `right` (streaming build):
     * latest (earliest, for forward) build row within `toleranceUs` of
     * each probe row's time, or nulls. `emitWindow` is the aggregation's
@@ -85,6 +106,7 @@ object StreamAsof {
     require(hasWatermark(left) && hasWatermark(right),
       "both sides must carry a watermark (df.withWatermark(timeCol, " +
         "delay)) — the join state cannot be bounded without one")
+    noteProbeRowContract()
     val fwd = direction == "forward"
 
     // null-time probes can never match and would hang in a null emit
@@ -243,8 +265,10 @@ object StreamAsof {
   }
 
   // floor division in pure long arithmetic (pmod >= 0 gives floor
-  // semantics for negative times; the double division is exact — both
-  // operands are integers far below 2^53 — and cast back to long)
+  // semantics for negative times; `div` is Spark's IntegralDivide, so
+  // the quotient is exact for ANY long micros — the previous
+  // double-division formulation was exact only below 2^53 micros
+  // (~year 2255) and would have silently misbucketed beyond)
   private def floorDiv(c: Column, d: Long): Column =
-    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+    call_function("div", c - pmod(c, lit(d)), lit(d))
 }

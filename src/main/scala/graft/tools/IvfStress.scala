@@ -171,7 +171,9 @@ object IvfStress {
     var stFrozen: graft.ops.IvfIndex.DriftStatus = null
     var fired = false
     var tries = 0
-    while (!fired && tries < 5) {
+    val maxTries = 5
+    while (!fired && tries < maxTries) {
+      tries += 1
       driftVecs = driftAt(jit)
       // fresh frozen index per try: append mutates the posting dirs
       val dirT = java.nio.file.Files
@@ -184,10 +186,13 @@ object IvfStress {
       tDriftAppend = tA; tGate = tG; stFrozen = st
       fired = st.drifted
       if (fired) idxFired = idxT
-      else { jit *= 2; tries += 1 }
+      // double only when another attempt will actually run, so the
+      // failure message below always reports the last jitter TESTED
+      // (the old tail-doubling reported a width that was never planted)
+      else if (tries < maxTries) jit *= 2
     }
     assert(fired,
-      s"planted drift never fired the gate up to jitter $jit: $stFrozen")
+      s"planted drift never fired the gate up to tested jitter $jit: $stFrozen")
     val merged2 = all.unionByName(driftVecs)
     val dq = driftVecs.filter(col("vec_id") < 10000010L)
     val ((stRe, rebuilt), tReDrift) = timed(graft.ops.IvfIndex
@@ -199,6 +204,26 @@ object IvfStress {
     assert(!stAfter.drifted && stAfter.recall.exists(_ >= 0.9),
       s"drift rebuild did not recover recall: $stAfter")
 
+    // ---- ingest-cadence path (round-16): the SAME calibrated plant
+    // delivered through the append auditor in two batches with
+    // auditEvery=2 — the off-cadence append must stay silent, the
+    // on-cadence one must run the audit and fire the gate without any
+    // external scheduler calling driftStatus.
+    val dirAud = java.nio.file.Files
+      .createTempDirectory("ivfstress_audit").toString
+    val idxAud = graft.ops.IvfIndex.build(spark, all, dirAud)
+    val auditor = new graft.ops.IvfIndex.AppendAuditor(spark, idxAud,
+      every = 2, floor = 0.9)
+    assert(auditor.append(driftVecs.filter(col("vec_id") % 2 === 0)).isEmpty,
+      "off-cadence append ran an audit")
+    val (stAud, tAudit) = timed(
+      auditor.append(driftVecs.filter(col("vec_id") % 2 === 1)))
+    assert(stAud.exists(_.drifted),
+      s"cadence audit did not fire on the calibrated plant: $stAud")
+    assert(auditor.appendCount == 2 && auditor.auditsRun == 1,
+      s"cadence bookkeeping: ${auditor.appendCount} appends, " +
+        s"${auditor.auditsRun} audits")
+
     println(s"""{"tool":"IvfStress","n_vecs":$nVecs,"clusters":$C,""" +
       s""""recall_full":${f"$recallFull%.3f"},"recall_appended":${f"$recallInc%.3f"},""" +
       s""""rebuild_sec":${f"$tRebuild%.1f"},"standing_build_sec":${f"$tStanding%.1f"},""" +
@@ -207,7 +232,8 @@ object IvfStress {
       s""""recall_rebuilt_drift":${f"${stAfter.recall.get}%.3f"},""" +
       s""""drift_append_sec":${f"$tDriftAppend%.1f"},"drift_gate_sec":${f"$tGate%.1f"},""" +
       s""""drift_rebuild_sec":${f"$tReDrift%.1f"},"drift_jitter":$jit,""" +
-      s""""drift_jitter_tries":${tries + 1}}""")
+      s""""drift_jitter_tries":$tries,""" +
+      s""""audit_cadence_sec":${f"$tAudit%.1f"},"audit_fired":true}""")
     spark.stop()
   }
 }

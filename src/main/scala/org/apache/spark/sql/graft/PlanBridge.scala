@@ -46,12 +46,18 @@ object PlanBridge {
     val conf = left.sparkSession.conf
     val auto = conf.getOption(OptimizeSkewedGraftJoin.BuildKeysConfKey)
       .contains("auto")
-    // streaming probe: detection collects over the build side only (so
-    // it WOULD run), but the routed composition unions per-key branches
-    // of the stream — keep the streaming plan shape stock and leave
-    // that quadrant to the explicit APIs
+    // streaming PROBE is covered too (round-16): detection samples only
+    // the static BUILD side (two bounded jobs at stream-definition
+    // time, the norm for streaming setup), and every piece of the
+    // routed composition is streaming-probe-legal — filters on the
+    // stream, per-hot-key branches through the keyless bucket tier
+    // (which switches its in-bucket joins to the stateless broadcast
+    // as-of for a streaming probe), and a union of streaming
+    // DataFrames. AsofSkewSpec pins microbatch-vs-batch row parity.
+    // A streaming BUILD side never reaches here — asofJoin/bandJoin
+    // refuse it before routing.
     if (!auto || suppressAutoRoute.get() || keys.isEmpty ||
-        left.isStreaming || keys.exists(_._1.startsWith("__graft_")))
+        keys.exists(_._1.startsWith("__graft_")))
       None
     else {
       val frac = conf

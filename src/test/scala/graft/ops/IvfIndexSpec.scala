@@ -121,6 +121,139 @@ class IvfIndexSpec extends SparkSpec {
       s"same-distribution append read as drifted: $stOk")
   }
 
+  // shared planted-cluster generators for the round-16 tests (same
+  // geometry as the drift-gate test above: 16 well-separated centers,
+  // jitter << inter-center distance, hole blob at the interior mean)
+  private def mkCenter(rnd: scala.util.Random): Array[Double] =
+    Array.fill(64)((rnd.nextInt(201) - 100).toDouble)
+  private def mkMember(c: Array[Double], jit: Int, seed: Long): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    c.map(x => (x + r.nextInt(2 * jit + 1) - jit).toFloat).toSeq
+  }
+
+  test("current-alias indirection (round-16): a drift republish swaps " +
+      "the pointer atomically, standing currentFor readers pick up the " +
+      "rebuild with no re-plumbing, and a FAILED republish leaves the " +
+      "old index serving") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_root").toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_corpus").toString
+    emb.write.mode("overwrite").parquet(corpusDir + "/embeddings.parquet")
+    // per-session conf (the IndexStoreSpec discipline): suites may run
+    // in parallel in this JVM, and setting the root on the SHARED
+    // session would flip every concurrently-building index to managed
+    val s = graft.SparkSpec.session.newSession()
+    s.conf.set(graft.IndexStore.RootKey, root)
+    val embS = graft.Tables.load(s, corpusDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val idx0 = IvfIndex.builtForAppend(s, corpusDir)
+    // no pointer published yet: currentFor serves the standing index
+    val before = IvfIndex.currentFor(s, corpusDir)
+    assert(before.dir == idx0.dir,
+      s"pre-rebuild currentFor should be the standing index: " +
+        s"${before.dir} vs ${idx0.dir}")
+    // FAILED republish (empty corpus → the build closure throws →
+    // IndexStore abort): the pointer must stay untouched and readers
+    // must keep getting the old index — the crash-mid-rebuild contract
+    intercept[Exception] {
+      IvfIndex.republishDrifted(s, corpusDir,
+        embS.filter(col("vec_id") < 0))
+    }
+    assert(graft.IndexStore.readCurrent(s, corpusDir,
+      IvfIndex.CurrentAlias).isEmpty,
+      "a failed republish must not publish the pointer")
+    assert(IvfIndex.currentFor(s, corpusDir).dir == idx0.dir,
+      "a failed republish changed what readers see")
+    // successful republish: pointer lands on the rebuilt lineage and
+    // BOTH a reader that resolved before and one resolving now get it
+    val rebuilt = IvfIndex.republishDrifted(s, corpusDir, embS)
+    assert(graft.IndexStore.readCurrent(s, corpusDir,
+      IvfIndex.CurrentAlias).contains(IvfIndex.RebuiltStore))
+    val after = IvfIndex.currentFor(s, corpusDir)
+    assert(after.dir == rebuilt.dir && after.dir != idx0.dir,
+      s"currentFor did not pick up the rebuild: ${after.dir}")
+    // the rebuilt index actually serves probes
+    assert(IvfIndex.probe(s, after,
+      embS.filter(col("vec_id") < 5)).count() > 0)
+  }
+
+  test("unmanaged current pointer: a drift republish updates the " +
+      "session-scoped alias currentFor serves") {
+    // no index root: republish lands in a temp dir and the pointer is
+    // the session-scoped cache (the unmanaged contract)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_um").toString
+    emb.write.mode("overwrite").parquet(corpusDir + "/embeddings.parquet")
+    val idx0 = IvfIndex.currentFor(spark, corpusDir) // standing fallback
+    val rebuilt = IvfIndex.republishDrifted(spark, corpusDir, emb)
+    val after = IvfIndex.currentFor(spark, corpusDir)
+    assert(after.dir == rebuilt.dir && after.dir != idx0.dir,
+      "unmanaged currentFor did not pick up the republish")
+  }
+
+  test("append auditor (round-16): audits on the every-N cadence, stays " +
+      "quiet on same-distribution batches, fires on the planted-drift " +
+      "batch; the foreachBatch adapter drives the same path") {
+    import spark.implicits._
+    // seed 7: byte-identical standing corpus + centers to the
+    // drift-gate test above, whose hole-blob geometry is PROVEN to
+    // fire (planted-drift margins are not seed-invariant — a seed-11
+    // variant of the same shapes read recall 0.97 and never fired)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(mkCenter(rnd))
+    val standing = (0L until 2000L)
+      .map(i => (i, mkMember(centers((i % 16).toInt), 5, i)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_audit").toString
+    val idx = IvfIndex.build(spark, standing, dir)
+    val auditor = new IvfIndex.AppendAuditor(spark, idx, every = 2,
+      floor = 0.9)
+    def clusteredBatch(base: Long): org.apache.spark.sql.DataFrame =
+      (0L until 200L)
+        .map(i => (base + i, mkMember(centers((i % 16).toInt), 5, base + i)))
+        .toDF("vec_id", "embedding")
+    // appends 1-2: same distribution — audit runs at #2 and stays quiet
+    assert(auditor.append(clusteredBatch(20000L)).isEmpty,
+      "off-cadence append must not audit")
+    val st2 = auditor.append(clusteredBatch(21000L))
+    assert(st2.exists(!_.drifted),
+      s"cadence audit on same-distribution batches misfired: $st2")
+    // appends 3-4: the hole blob — ids and member seeds chosen so the
+    // two batches together are EXACTLY the drift-gate test's 600
+    // planted vectors (ids 10000+i, seeds 100000+i) — #4 fires
+    val hole = Array.tabulate(64)(j => centers.map(_(j)).sum / 16)
+    def driftBatch(from: Long, n: Long): org.apache.spark.sql.DataFrame =
+      (from until from + n)
+        .map(i => (10000L + i, mkMember(hole, 40, 100000L + i)))
+        .toDF("vec_id", "embedding")
+    assert(auditor.append(driftBatch(0L, 300L)).isEmpty)
+    val st4 = auditor.append(driftBatch(300L, 300L))
+    assert(st4.exists(_.drifted),
+      s"cadence audit did not fire on the planted-drift batch: $st4")
+    assert(auditor.appendCount == 4 && auditor.auditsRun == 2 &&
+      auditor.last.exists(_.drifted))
+    // foreachBatch adapter: two micro-batches through a MemoryStream =
+    // two appends on the same cadence → exactly one more audit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(auditor.foreachBatch).start()
+    try {
+      in.addData((0L until 50L).map(i =>
+        (30000L + i, mkMember(centers((i % 16).toInt), 5, 30000L + i))): _*)
+      q.processAllAvailable()
+      in.addData((0L until 50L).map(i =>
+        (31000L + i, mkMember(centers((i % 16).toInt), 5, 31000L + i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(auditor.appendCount == 6 && auditor.auditsRun == 3,
+      s"foreachBatch cadence: ${auditor.appendCount} appends, " +
+        s"${auditor.auditsRun} audits")
+  }
+
   test("persisted-index probe equals the inline assign-per-run formulation") {
     val index = IvfIndex.builtFor(spark, sf)
     val persisted = IvfIndex.probe(spark, index, emb.filter(col("vec_id") < 10))

@@ -462,6 +462,42 @@ class AsofSkewSpec extends SparkSpec {
     assert(rows(salted) == rows(stock))
   }
 
+  test("buildKeys=auto covers the STREAM-static probe quadrant " +
+      "(round-16): detection samples only the static build side, the " +
+      "routed composition stays streaming-legal, and the streamed rows " +
+      "equal the stock batch join") {
+    import org.apache.spark.sql.graft.OptimizeSkewedGraftJoin
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val autoS = PlanBridge.sessionWithExtensions(spark, new GraftExtensions()(_))
+    autoS.conf.set(OptimizeSkewedGraftJoin.BuildKeysConfKey, "auto")
+    autoS.conf.set(OptimizeSkewedGraftJoin.BuildKeysSampleFractionKey, "1.0")
+    autoS.conf.set(OptimizeSkewedGraftJoin.BuildKeysMinShareKey, "0.5")
+    val (pStatic, b2) = corpusOn(autoS)
+    implicit val sq: org.apache.spark.sql.SQLContext = autoS.sqlContext
+    import autoS.implicits._
+    val in = MemoryStream[(Long, Long, Long)]
+    val probeS = in.toDF().toDF("event_id", "user_id", "us")
+    val keys = Seq("user_id" -> "b_key")
+    val routed = PlanBridge.asofJoin(probeS, b2, keys, "us", "b_us")
+    assert(routed.isStreaming, "routing lost streaming-ness")
+    assert(routed.queryExecution.analyzed.collectFirst {
+      case u: Union => u }.isDefined,
+      "auto flag never routed the streaming probe")
+    val q = routed.writeStream.format("memory").queryName("skewautostream")
+      .outputMode("append").start()
+    try {
+      in.addData(pStatic.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = rows(autoS.table("skewautostream"))
+      val stock = rows(PlanBridge.asofJoin(probe, build, keys, "us", "b_us"))
+      assert(streamed == stock && stock.nonEmpty,
+        s"streamed auto-routed rows (${streamed.size}) diverged from " +
+          s"stock batch (${stock.size})")
+    } finally q.stop()
+  }
+
   test("AQE skew split: band join, same contract") {
     def bandAgg(on: Boolean) = {
       aqe.conf.set(

@@ -288,6 +288,33 @@ class BandSqlSpec extends SparkSpec {
     } finally sql.conf.set(BandJoinAutoRewrite.ConfKey, "true")
   }
 
+  test("the explicit BAND JOIN clause accepts TIMESTAMP ± INTERVAL " +
+      "arithmetic (round-16: normalizeTimeArith handles the analyzer's " +
+      "Cast(DatetimeSub) rewrite of the clause's ON)") {
+    val s = sql
+    import s.implicits._
+    Seq((1L, 1L, "2024-01-01 10:00:10"), (2L, 1L, "2024-01-01 10:00:25"),
+        (3L, 2L, "2024-01-01 10:00:40"), (4L, 9L, "2024-01-01 10:00:05"))
+      .toDF("c_id", "c_user", "c_s")
+      .selectExpr("c_id", "c_user", "CAST(c_s AS TIMESTAMP) AS c_ts")
+      .createOrReplaceTempView("cprobe")
+    Seq((1L, "2024-01-01 10:00:05", 100L), (1L, "2024-01-01 10:00:20", 101L),
+        (2L, "2024-01-01 10:00:39", 200L), (2L, "2024-01-01 10:00:10", 201L))
+      .toDF("d_user", "d_s", "d_id")
+      .selectExpr("d_user", "CAST(d_s AS TIMESTAMP) AS d_ts", "d_id")
+      .createOrReplaceTempView("dbuild")
+    val df = sql.sql(
+      """SELECT c_id, d_id FROM cprobe BAND LEFT JOIN dbuild
+        |ON c_user = d_user AND d_ts <= c_ts
+        |  AND d_ts >= c_ts - INTERVAL 10 SECONDS""".stripMargin)
+    assert(planOf(df).contains("BandJoin"),
+      s"BAND JOIN clause with INTERVAL not lowered:\n${planOf(df)}")
+    val got = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 100L), (2L, 101L), (3L, 200L), (4L, -1L)))
+  }
+
   test("ev07 itself — the original timestamp interval query — runs on " +
       "the native operator under the extensions session") {
     val df = graft.queries.Events.queries("ev07_interval_join")(sql, sf)

@@ -353,6 +353,143 @@ class StreamAsofSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQL keyless BAND LEFT JOIN over two STREAMING views lowers to " +
+      "bandAppendKeyless (round-16) and multiset-equals the batch keyless band") {
+    val s = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    def sideOn(t: String, prefix: String): DataFrame =
+      EventsStream.readEvents(s, stagedDir, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("user_id").as(s"${prefix}_user_id"))
+        .withWatermark(s"${prefix}_ts", "60 days")
+    sideOn("purchase", "p").createOrReplaceTempView("ssbkl_p")
+    sideOn("view", "v").createOrReplaceTempView("ssbkl_v")
+    try {
+      // no key equality at all: the trailing-30-minute band IS the
+      // manufactured key (INTERVAL arithmetic → lowUs/highUs)
+      val out = s.sql(
+        """SELECT p_event_id, v_event_id
+          |FROM ssbkl_p BAND LEFT JOIN ssbkl_v
+          |ON v_ts >= p_ts - INTERVAL 30 MINUTES AND v_ts <= p_ts""".stripMargin)
+      assert(out.isStreaming, "SQL keyless streaming band lost streaming-ness")
+      val q = out.writeStream.format("memory").queryName("ssbklsql")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = s.table("ssbklsql")
+          .filter(col("p_event_id") >= 0L)
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+        val pB = spark.read.parquet(
+            java.nio.file.Paths.get(stagedDir, "1_purchases.parquet").toString)
+          .select(col("event_id").as("p_event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        val vB = spark.read.parquet(
+            java.nio.file.Paths.get(stagedDir, "2_views.parquet").toString)
+          .select(col("event_id").as("v_event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("v_us"))
+        val batch = org.apache.spark.sql.graft.PlanBridge.bandJoinKeyless(
+            pB, vB, "p_us", "v_us", -1800L * 1000000L, 0L)
+          .select(col("p_event_id"), col("v_event_id"))
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+        assert(streamed.groupBy(identity).view.mapValues(_.size).toMap ==
+          batch.groupBy(identity).view.mapValues(_.size).toMap &&
+          batch.nonEmpty,
+          s"SQL keyless band ${streamed.size} pairs vs batch ${batch.size}")
+        assert(streamed.exists(_._2.isDefined), "no band match at all")
+      } finally q.stop()
+    } finally {
+      s.catalog.dropTempView("ssbkl_p")
+      s.catalog.dropTempView("ssbkl_v")
+    }
+  }
+
+  test("streaming BAND JOIN rejects single-side ON conjuncts exactly like " +
+      "batch; a keyless out-of-grammar shape gets the loud graft error " +
+      "naming the Scala API, not Spark's opaque refusal") {
+    val s = org.apache.spark.sql.graft.PlanBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    def sideOn(t: String, prefix: String): DataFrame =
+      EventsStream.readEvents(s, stagedDir, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("ts").as(s"${prefix}_ts"),
+          col("user_id").as(s"${prefix}_user_id"))
+        .withWatermark(s"${prefix}_ts", "60 days")
+    sideOn("error", "e").createOrReplaceTempView("ssrj_e")
+    sideOn("purchase", "b").createOrReplaceTempView("ssrj_b")
+    try {
+      // probe-only conjunct in ON: batch rejects this (under LEFT OUTER
+      // it is NOT a filter); round 16 makes streaming agree instead of
+      // silently accepting different semantics for the same text
+      val e1 = intercept[IllegalArgumentException] {
+        s.sql("""SELECT e_event_id, b_event_id
+                |FROM ssrj_e BAND LEFT JOIN ssrj_b
+                |ON e_user_id = b_user_id AND e_user_id > 0
+                |AND b_ts >= e_ts - INTERVAL 30 MINUTES AND b_ts <= e_ts""".stripMargin)
+          .queryExecution.analyzed
+      }
+      assert(e1.getMessage.contains("single-side conjuncts"),
+        s"wrong refusal: ${e1.getMessage}")
+      // keyless with only ONE bound: not a band, no key to manufacture —
+      // the error must name the supported path, not Spark's generic
+      // stream-stream-join-without-equality refusal
+      val e2 = intercept[IllegalArgumentException] {
+        s.sql("""SELECT e_event_id, b_event_id
+                |FROM ssrj_e BAND LEFT JOIN ssrj_b
+                |ON b_ts <= e_ts""".stripMargin)
+          .queryExecution.analyzed
+      }
+      assert(e2.getMessage.contains("bandAppendKeyless"),
+        s"wrong refusal: ${e2.getMessage}")
+    } finally {
+      s.catalog.dropTempView("ssrj_e")
+      s.catalog.dropTempView("ssrj_b")
+    }
+  }
+
+  test("unique-probe-row contract PINNED: fully-duplicate probe rows " +
+      "collapse to one output row (the documented append-mode semantics)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val tV = java.sql.Timestamp.valueOf("2024-01-01 11:50:00")
+    val far = java.sql.Timestamp.valueOf("2024-08-01 00:00:00")
+    val pIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val vIn = MemoryStream[(java.sql.Timestamp, Long)]
+    // probe side has NO id column — two purchases by user 7 at the same
+    // instant are fully identical rows, the shape the contract names
+    val probe = pIn.toDF().toDF("p_ts", "p_user")
+      .withWatermark("p_ts", "10 minutes")
+    val build = vIn.toDF().toDF("v_ts", "v_id")
+      .withWatermark("v_ts", "10 minutes")
+    val out = StreamAsof.asofToleranceAppend(probe, build,
+      Seq("p_user" -> "v_id"), "p_ts", "v_ts", tolUs)
+    val q = out.writeStream.format("memory").queryName("ssdup")
+      .outputMode("append").start()
+    try {
+      pIn.addData((t0, 7L), (t0, 7L))
+      vIn.addData((tV, 7L))
+      q.processAllAvailable()
+      pIn.addData((far, -1L))
+      vIn.addData((far, -2L))
+      q.processAllAvailable()
+      val rows = spark.table("ssdup").filter(col("p_user") === 7L).collect()
+      // batch semantics would emit TWO identical matched rows; the
+      // append-mode operator's group-by-probe-row collapses them to one
+      // — this test pins that as the documented contract (see the
+      // composition-time notice and the SQL TOLERANCE error text)
+      assert(rows.length == 1,
+        s"expected the documented collapse to ONE row, got ${rows.length}")
+      assert(!rows(0).isNullAt(rows(0).fieldIndex("v_ts")),
+        "the collapsed probe row lost its match")
+    } finally q.stop()
+  }
+
   test("stream-stream ASOF without TOLERANCE is refused loudly (SQL and " +
       "the operator itself)") {
     val e = intercept[IllegalArgumentException] {
