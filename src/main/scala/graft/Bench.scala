@@ -21,6 +21,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // The JVM-wide codegen class cache holds 100 entries by default —
+      // a 179-query suite cycles it many times per pass, so EVERY rep
+      // re-ran Janino on EVERY plan (~0.1-0.3 s per small query, 1-3 s
+      // for iterative multi-stage ones), and the warmup pass's stated
+      // purpose ("compile before timing") was silently defeated. With
+      // per-rep shuffled order (round 16) the thrash hit the per-query
+      // MIN too (old order amortized reps 2..n right behind rep 1 —
+      // measured +49% min_s on a settled host, uniform across
+      // families). Size the cache to hold the whole suite's generated
+      // classes; compilation cost is constant per plan and the bench's
+      // explicit policy is to exclude it from per-query numbers.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

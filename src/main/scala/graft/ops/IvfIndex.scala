@@ -372,7 +372,15 @@ object IvfIndex {
     * `DataStreamWriter.foreachBatch`, so a streaming ingest audits on
     * the same cadence with zero extra code. Thread-safe (synchronized
     * counter) — foreachBatch delivers batches serially, but nothing
-    * here depends on it. */
+    * here depends on it.
+    *
+    * Writer contract after a rebuild: the auditor holds ONE index
+    * handle, so when a fired gate leads the ingest loop to
+    * [[rebuildIfDrifted]], later batches belong to the REBUILT index —
+    * re-resolve (e.g. [[currentFor]]) and construct a fresh auditor on
+    * it; appends through the old auditor would keep landing in the
+    * superseded index's postings, which the swapped [[CurrentAlias]]
+    * no longer serves. */
   final class AppendAuditor(s: SparkSession, index: Index, every: Int,
       floor: Double = DefaultRecallFloor, nprobe: Int = 3, topk: Int = 10,
       sampleK: Int = 10) {

@@ -400,6 +400,27 @@ class StreamAsofSpec extends SparkSpec {
           batch.nonEmpty,
           s"SQL keyless band ${streamed.size} pairs vs batch ${batch.size}")
         assert(streamed.exists(_._2.isDefined), "no band match at all")
+        // INNER variant (`BAND JOIN` without LEFT): unmatched probes
+        // drop — the lowering's IsNotNull(build-time) filter — so the
+        // stream must equal the batch MATCHED pairs exactly
+        val outI = s.sql(
+          """SELECT p_event_id, v_event_id
+            |FROM ssbkl_p BAND JOIN ssbkl_v
+            |ON v_ts >= p_ts - INTERVAL 30 MINUTES AND v_ts <= p_ts""".stripMargin)
+        assert(outI.isStreaming)
+        val qI = outI.writeStream.format("memory").queryName("ssbklsqli")
+          .outputMode("append").start()
+        try {
+          qI.processAllAvailable()
+          val streamedI = s.table("ssbklsqli")
+            .filter(col("p_event_id") >= 0L)
+            .collect().map(r => (r.getLong(0), Some(r.getLong(1)))).toSeq
+          val batchI = batch.filter(_._2.isDefined)
+          assert(streamedI.groupBy(identity).view.mapValues(_.size).toMap ==
+            batchI.groupBy(identity).view.mapValues(_.size).toMap &&
+            batchI.nonEmpty,
+            s"SQL keyless band INNER ${streamedI.size} vs batch ${batchI.size}")
+        } finally qI.stop()
       } finally q.stop()
     } finally {
       s.catalog.dropTempView("ssbkl_p")
