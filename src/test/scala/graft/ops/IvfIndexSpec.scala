@@ -176,6 +176,27 @@ class IvfIndexSpec extends SparkSpec {
     // the rebuilt index actually serves probes
     assert(IvfIndex.probe(s, after,
       embS.filter(col("vec_id") < 5)).count() > 0)
+    // STALE pointer: mutate the corpus AFTER the rebuild — a reader
+    // must fail loudly (peekFresh), never silently serve the old
+    // answers nor silently rebuild without the build-lock discipline
+    graft.Tables.load(s, corpusDir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .write.mode("overwrite").parquet(corpusDir + "/embeddings_tmp.parquet")
+    val base = java.nio.file.Paths.get(corpusDir)
+    def rmTree(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.delete(q))
+    rmTree(base.resolve("embeddings.parquet"))
+    java.nio.file.Files.move(base.resolve("embeddings_tmp.parquet"),
+      base.resolve("embeddings.parquet"))
+    // out-of-band mutation: Spark's FileStatusCache still lists the
+    // deleted part files — refresh, as any out-of-band writer must
+    s.catalog.refreshByPath(corpusDir + "/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      IvfIndex.currentFor(s, corpusDir)
+    }
+    assert(e.getMessage.contains("STALE"),
+      s"wrong stale refusal: ${e.getMessage}")
   }
 
   test("unmanaged current pointer: a drift republish updates the " +
