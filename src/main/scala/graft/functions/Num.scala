@@ -45,22 +45,35 @@ object Num {
   /** Exact decimal view of a ≤4-decimal rate/factor expression. */
   def dec4(c: Column): Column = c.cast(DRate4)
 
+  // First-level fact-table sums go through DecSum128 (round 16): Spark's
+  // Sum(decimal(p≤18, s)) widens every row to the non-compact p+10
+  // precision, paying a java.math.BigDecimal allocation+add per row —
+  // measured 887 ms vs 292 ms (decimal vs double aggs) on q01's
+  // single-row-group scan task at sf0.1. DecSum128 accumulates the
+  // unscaled longs in signed-128 integer arithmetic (codegen'd long
+  // adds, no per-row allocation) and materializes one BigDecimal per
+  // GROUP at the end — bit-identical results incl. null/overflow/ANSI
+  // semantics (DecSumSpec pins equality against stock Sum).
+  private def decSum(c: Column): Column = org.apache.spark.sql.GraftBridge
+    .toColumn(DecSum128(org.apache.spark.sql.GraftBridge.toExpression(c))
+      .toAggregateExpression())
+
   /** Order-independent sum of a money column, as double (sum scale 2). */
-  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  def dsum(c: Column): Column = decSum(dec(c)).cast(DoubleType)
 
   /** Order-independent sum of money × rate2 product (sum scale 4). */
   def dsum2(a: Column, b: Column): Column =
-    sum(a.cast(DMoney) * b.cast(DRate2)).cast(DoubleType)
+    decSum(a.cast(DMoney) * b.cast(DRate2)).cast(DoubleType)
 
   /** Order-independent sum of money × rate4 product (sum scale 6). */
   def dsum24(a: Column, b: Column): Column =
-    sum(a.cast(DMoney) * b.cast(DRate4)).cast(DoubleType)
+    decSum(a.cast(DMoney) * b.cast(DRate4)).cast(DoubleType)
 
   /** Order-independent sum of a 6-decimal measure column (sum scale 6). */
-  def dsum6(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)
+  def dsum6(c: Column): Column = decSum(c.cast(D6)).cast(DoubleType)
 
   /** Deterministic average: exact decimal sum, double-divided by count. */
-  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+  def davg(c: Column): Column = decSum(dec(c)).cast(DoubleType) / count(lit(1))
 
   // Two-phase (pre-agg → rollup/cube) forms: Spark's Expand duplicates
   // every input row per grouping set BEFORE aggregation, so a rollup
@@ -70,12 +83,14 @@ object Num {
   // tiny intermediate → finishDouble. Results are bit-identical to the
   // one-phase form (same exact rational, one final cast).
 
-  /** Exact decimal partial sum of a money column (finish with [[finishDouble]]). */
-  def dsumPartial(c: Column): Column = sum(dec(c))
+  /** Exact decimal partial sum of a money column (finish with [[finishDouble]]).
+    * DecSum128-backed: the output type (decimal(p+10, s)) matches stock
+    * Sum exactly, so the finishing re-aggregation is unchanged. */
+  def dsumPartial(c: Column): Column = decSum(dec(c))
 
   /** Exact decimal partial sum of money × rate2 (finish with [[finishDouble]]). */
   def dsum2Partial(a: Column, b: Column): Column =
-    sum(a.cast(DMoney) * b.cast(DRate2))
+    decSum(a.cast(DMoney) * b.cast(DRate2))
 
   /** Re-aggregate exact decimal partials to the final double. */
   def finishDouble(partial: Column): Column = sum(partial).cast(DoubleType)
