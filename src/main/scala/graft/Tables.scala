@@ -69,6 +69,26 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Round-robin-spread a SCAN-STARVED DataFrame (round 16). Parquet
+    * row groups are the unit of scan parallelism, and the testdata
+    * tables are single-row-group files — so every scan stage decodes on
+    * ONE core while the rest idle, and any per-row work fused into the
+    * scan stage (gram explode + md5, decimal casts, sketch updates)
+    * serializes with it. This is guide §2.5's "one huge unsplittable
+    * file" input-skew case: repartition immediately after the read.
+    *
+    * The spread is CONDITIONAL on measured starvation, not a constant:
+    * when the scan already has at least half the session's parallelism
+    * in input partitions (at 100 TB: thousands of row groups), the
+    * DataFrame is returned unchanged and NO shuffle is added — so the
+    * local fix cannot regress the scaled-out plan. Callers own the
+    * order-independence of what sits above (aggregations are; anything
+    * position- or partition-sensitive must not use this). */
+  def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= parts) df.repartition(parts) else df
+  }
+
   /** True-dimension tables: bounded cardinality at ANY scale factor
     * (region=5, nation=25) — safe to pin broadcast forever. Everything
     * else (supplier/customer/part grow with SF) is left to Catalyst/AQE,

@@ -249,7 +249,13 @@ object Dedup {
   /** qa05's two-stage novelty aggregate over an arbitrary (doc_id,
     * source, text) corpus — also the entry tools.GramStress drives at
     * 100x scale. See qa05's registry comment for the shuffle shape. */
-  private[graft] def noveltyReport(docs: DataFrame, K: Int): DataFrame = {
+  private[graft] def noveltyReport(docsIn: DataFrame, K: Int): DataFrame = {
+    // The gram explode + per-gram md5 below fuse into the scan stage,
+    // which on a single-row-group corpus runs on ONE core (measured: a
+    // 1.7 s single task carrying the whole query at sf0.1). Spread the
+    // scan-starved corpus first — both branches share the one exchange
+    // (ReuseExchange), and at scale the spread is a no-op (Tables.spread).
+    val docs = graft.Tables.spread(docsIn)
     val toks = split(col("text"), " ")
     val totals = docs
       .select(col("source"),

@@ -215,15 +215,26 @@ object Relational {
     // DuckDB oracle replays registers, unions, sums, and the identical
     // literal float estimate — hash-exact like q08c.
     "q08d_hll_overlap" -> { (s, d) =>
-      val li = Tables.load(s, d, "lineitem")
+      // Round 16, hash-identical shuffle-bytes fix: the exact audit
+      // grouped by the ~13-char pk STRING (the optimizer had already
+      // collapsed the distinct-below-collect_set into one exchange —
+      // plans/r16/q08d_* show the before/after); grouping by the two
+      // INTEGER keys drops the string from the audit exchange
+      // entirely — the pk string now exists only where the sketch
+      // md5-hashes it. (A Tables.spread of the shared projection was
+      // tried and REJECTED by measurement: 32 concurrent md5/set tasks
+      // run ~8x slower each on this host — memory-bound — so wall time
+      // got worse; the serial scan task is not the bottleneck here.)
+      val base = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+      val withPk = base
         .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
-      val sk = li.groupBy(col("l_returnflag"))
+      val sk = withPk.groupBy(col("l_returnflag"))
         .agg(graft.functions.Hll.hllSketch(col("pk"), 8).as("regs"))
       val pairs = graft.functions.Hll.pairUnions(sk, "l_returnflag", "regs")
         .withColumnRenamed("key_a", "flag_a")
         .withColumnRenamed("key_b", "flag_b")
-      val fs = li.select(col("l_returnflag"), col("pk")).distinct()
-      val ex = fs.groupBy(col("pk"))
+      val ex = base.groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(collect_set(col("l_returnflag")).as("fsa"))
         .select(explode(col("fsa")).as("fa"), col("fsa"))
         .select(col("fa"), explode(col("fsa")).as("fb"))
@@ -265,20 +276,29 @@ object Relational {
     // are dropped (inner semantics: a window union is only emitted
     // when all W member months exist), matching the oracle.
     "q08e_hll_sliding" -> { (s, d) =>
-      val li = Tables.load(s, d, "lineitem")
-        .withColumn("m", trunc(col("l_shipdate"), "month"))
+      // Round 16 (same fix as q08d, hash-identical): key the exact
+      // audit on the two INTEGER keys — the pk string exists only
+      // where the sketch hashes it. distinct(m,p,s) and the per-window
+      // countDistinct(p,s) count exactly the same memberships as their
+      // string-pk forms ('_'-concat is injective on integers).
+      val base = Tables.load(s, d, "lineitem")
+        .select(trunc(col("l_shipdate"), "month").as("m"),
+          col("l_partkey"), col("l_suppkey"))
+      val sk = base
         .withColumn("pk", concat_ws("_", col("l_partkey"), col("l_suppkey")))
-      val sk = li.groupBy(col("m"))
+        .groupBy(col("m"))
         .agg(graft.functions.Hll.hllSketch(col("pk"), 8).as("regs"))
       val wins = graft.functions.Hll.slidingUnion(sk, "m", "regs", w = 3)
       // exact audit: each distinct (month, pk) membership explodes into
       // the <= 3 windows that contain it — the W x shuffle the sketch
       // path exists to avoid, kept here because it IS the audit
-      val ex = li.select(col("m"), col("pk")).distinct()
+      val ex = base.select(col("m"), col("l_partkey"), col("l_suppkey"))
+        .distinct()
         .select(explode(array(col("m"), add_months(col("m"), -1),
-          add_months(col("m"), -2))).as("w_start"), col("pk"))
+          add_months(col("m"), -2))).as("w_start"),
+          col("l_partkey"), col("l_suppkey"))
         .groupBy(col("w_start"))
-        .agg(countDistinct(col("pk")).as("n_exact"))
+        .agg(countDistinct(col("l_partkey"), col("l_suppkey")).as("n_exact"))
       broadcast(wins).join(ex, Seq("w_start"))
         .withColumn("est_union",
           graft.functions.Hll.rawEstimate(col("reg_sum_union"), 256))
