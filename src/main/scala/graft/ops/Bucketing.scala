@@ -95,6 +95,13 @@ object Bucketing {
   graft.SessionCaches.registerEvictor(s =>
     zBuilt.keySet.toSeq.filter(_._1 eq s).foreach(zBuilt.remove))
 
+  // analyzed-plan memo of the layout read-back (see bk02): keyed by the
+  // layout path, which zBuilt/IndexStore already scope per corpus
+  private val zRead = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  graft.SessionCaches.registerEvictor(s =>
+    zRead.keySet.toSeq.filter(_._1 eq s).foreach(zRead.remove))
+
   /** (layoutPath, cellWidthA, cellWidthB, maxA, maxB) for the
     * z-ordered lineitem copy, built on demand once per (session, dir).
     * With an index root configured (IndexStore) the layout persists
@@ -178,7 +185,15 @@ object Bucketing {
           val (a0, a1, b0, b1) = (ma / 8, ma / 4, mb / 8, mb / 4)
           val cells = graft.functions.ZOrderUtil
             .rangeCells(a0 / wa, a1 / wa, b0 / wb, b1 / wb, bits = 31)
-          s.read.parquet(path)
+          // Plan-level read memo (round 16): s.read.parquet re-LISTS the
+          // layout's 256 zcell partition directories on every call — a
+          // 256-task parallel-discovery job plus ~0.5s of driver time
+          // per invocation, dominating the (fully pruned) query itself.
+          // Memoizing the ANALYZED DataFrame keeps the InMemoryFileIndex
+          // across calls — exactly Tables.load's rationale; the partition
+          // filter below still prunes per query at planning time. No
+          // data is pinned.
+          zRead.getOrElseUpdate((s, path), s.read.parquet(path))
             .filter(col("zcell").isin(cells: _*) &&
               col("l_partkey").between(a0, a1) &&
               col("l_suppkey").between(b0, b1))

@@ -500,7 +500,11 @@ object Dedup {
     // 7th token dropped) are planted containment hits: almost all of a
     // copy's grams exist in its base.
     "dd14_containment_audit" -> { (s, d) =>
-      val withG = corpusNear(s, d)
+      // spread (round 16): the per-doc gram hashing + sort and the 10
+      // broadcast-sample merges all fuse into the 2-partition corpus
+      // union (measured: two ~950 ms tasks carried the audit at sf0.1);
+      // no-op at scale, map-only audit is row-placement-independent
+      val withG = Tables.spread(corpusNear(s, d))
         .select(col("doc_id"),
           sort_array(graft.functions.MinHash.charGramHashes(col("text"), 5)).as("g"))
       val samples = broadcast(withG.filter(col("doc_id") < CopyOffset)

@@ -349,6 +349,9 @@ object TextAnalysis {
     // (WindowGroupLimit).
     "tx11_bigram_lm" -> { (s, d) =>
       val t = toks(lower(col("text")))
+      // (round 16: a Tables.spread here measured WORSE — 0.9 s → 1.3 s
+      // wall, task time 0.6 s → 14 s: the bigram split/agg is
+      // allocation-bound and 32-way contention swamps the parallelism)
       val big = docs(s, d)
         .withColumn("t", t).filter(size(col("t")) >= 2)
         // explode_outer skips the Generate's size/notnull re-evaluations

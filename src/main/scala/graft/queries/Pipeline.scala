@@ -395,6 +395,9 @@ object Pipeline {
     // benchmarks are MBs against a 100 TB corpus), so it broadcasts;
     // the corpus side is map-only explode + one agg shuffle on doc_id.
     "dc01_decontaminate" -> { (s, d) =>
+      // (round 16: a Tables.spread of the docs was tried and REJECTED
+      // by measurement — wall flat, total task time 0.6 s → 17 s from
+      // 32-way allocation contention on the split/gram buffers)
       val docs = Tables.load(s, d, "documents")
         .withColumn("t", split(lower(col("text")), " "))
         .filter(size(col("t")) >= 5)
