@@ -327,13 +327,19 @@ object Graph {
     // alone the join chain re-executes 2^half-steps times — the gr03
     // plan-doubling class, measured 45.9 s → ~5 s at sf0.01. The
     // truncation is node-sized (one score per node), never edge-sized.
-    // (Two rejected variants, both MEASURED slower: persist-raw +
-    // truncate-once-per-round at the same wall time, and round 14's
-    // persist-raw + driver-scalar max — one job per half-step on
-    // paper, but cached plans bypass AQE, so the in-step join loses
-    // its runtime broadcast and sort-merges the 0.8M-row adjacency
-    // per half-step: 2.4 s → 6.0 s at sf0.1. The checkpoint shape
-    // keeps every consumer under AQE.)
+    // (THREE rejected variants, all MEASURED slower: persist-raw +
+    // truncate-once-per-round at the same wall time; round 14's
+    // persist-raw + driver-scalar max — cached plans bypass AQE, so
+    // the in-step join loses its runtime broadcast and sort-merges
+    // the 0.8M-row adjacency per half-step, 2.4 s → 6.0 s at sf0.1;
+    // and round 16's single-reference unpartitioned-window max (the
+    // q19c bounded idiom) — it removes the checkpoints and the
+    // construct-time stage execution entirely, but AQE stage reuse
+    // does NOT dedup the final union's shared a-chain subtree (the
+    // first half-step executed twice, 12.5 s + 6.4 s task time) and
+    // the single-partition window tail serialized 1.2 s — wall 3.0 →
+    // 3.9 s. The checkpoint shape keeps every consumer under AQE and
+    // every subtree executed once.)
     def norm(raw: DataFrame, c: String): DataFrame = {
       val t = Lineage.truncate(raw)
       val q = t.agg(expr(s"greatest(1L, max($c) DIV ${scale}L)").as("q"))

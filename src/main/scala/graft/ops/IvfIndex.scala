@@ -56,16 +56,39 @@ object IvfIndex {
   graft.SessionCaches.registerEvictor(s =>
     currentCache.keySet.toSeq.filter(_._1 eq s).foreach(currentCache.remove))
 
+  // Posting read-back memo (round 16 — the bk02 z-layout lesson):
+  // `s.read.parquet(index.dir)` re-LISTS the index's cell partition
+  // directories and re-infers the partition schema on EVERY probe /
+  // audit, a fixed driver+listing cost per call that dominates the
+  // (partition-pruned) probe itself at bench scale. The ANALYZED
+  // DataFrame is memoized per (session, dir); every JVM-local write
+  // path funnels through [[writeAssigned]], which invalidates the dir
+  // for ALL sessions — so an append/rebuild in this JVM is always
+  // visible to the next probe. Cross-JVM writers are governed by the
+  // IndexStore freshness fingerprint exactly as before (the memo holds
+  // a plan, not data — the same trust level as Tables.load's dfCache).
+  private val postingRead =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.SessionCaches.registerEvictor(s =>
+    postingRead.keySet.toSeq.filter(_._1 eq s).foreach(postingRead.remove))
+
+  private[ops] def postingDf(s: SparkSession, dir: String): DataFrame =
+    postingRead.getOrElseUpdate((s, dir), s.read.parquet(dir))
+
   /** Assign with FIXED centroids and write the cell-partitioned
     * postings (vec_id, embedding, c_id) — the float vector rides along
     * so probes can score exactly without a corpus join. */
   private def writeAssigned(df: DataFrame, cents: Seq[(Int, Seq[Int])],
-      out: String, overwrite: Boolean): Unit =
+      out: String, overwrite: Boolean): Unit = {
     Similarity.quantize(df)
       .select(col("vec_id"), col("embedding"),
         Similarity.int8Assign(cents).getField("cid").as("c_id"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("c_id").parquet(out)
+    // a stale memoized listing would silently hide the rows just
+    // written (ss11's append-then-probe) — drop every session's entry
+    postingRead.keySet.toSeq.filter(_._2 == out).foreach(postingRead.remove)
+  }
 
   /** Train + assign + write the cell-partitioned assignment table. */
   def build(s: SparkSession, df: DataFrame, out: String,
@@ -405,7 +428,7 @@ object IvfIndex {
       appended += 1
       if (appended % every != 0) None
       else {
-        val corpus = s.read.parquet(index.dir)
+        val corpus = postingDf(s, index.dir)
           .select(col("vec_id"), col("embedding"))
         val queries = df.select(col("vec_id"), col("embedding"))
           .limit(sampleK)
@@ -439,7 +462,7 @@ object IvfIndex {
     // the parquet scan below prunes partitions statically
     val cellIds = probes.select(col("c_id")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val posting = s.read.parquet(index.dir)
+    val posting = postingDf(s, index.dir)
       .filter(col("c_id").isin(cellIds: _*))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     posting.join(broadcast(probes), Seq("c_id"))
