@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /** Bloom-filter membership as an O(bits) broadcastable predicate.
   *
@@ -46,10 +47,61 @@ object Bloom {
     bos.toByteArray
   }
 
+  // One TorrentBroadcast per distinct filter INSTANCE per JVM (round
+  // 16): the filter used to ride the plan as a 1.2 MB binary LITERAL,
+  // which (a) made every task binary carry the full filter per stage
+  // (the bench's "Broadcasting large task binary" warnings), and
+  // (b) put a megabyte byte-array inside every Literal
+  // equality/canonicalization walk of the plan, per invocation. The
+  // caches that hand filters out (dc02's bloomCache, dd11's
+  // standingBloomCache) return one stable instance per (session, dir),
+  // so identity-keying gives exactly one broadcast per filter.
+  private val bcasts = new java.util.IdentityHashMap[Array[Byte],
+    org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+
   /** `might_contain(bloom, xxhash64(c))` — evaluates in whole-stage
-    * codegen, embedding the serialized filter as a binary literal. */
-  def mightContain(bloom: Array[Byte], c: Column): Column =
-    GraftBridge.toColumn(BloomFilterMightContain(
-      Literal(bloom, BinaryType),
-      GraftBridge.toExpression(xxhash64(c))))
+    * codegen; the serialized filter ships ONCE per executor as a
+    * broadcast instead of riding every task binary as a literal. */
+  def mightContain(bloom: Array[Byte], c: Column): Column = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val b = bcasts.synchronized {
+      val cur = bcasts.get(bloom)
+      if (cur != null) cur
+      else { val nb = sc.broadcast(bloom); bcasts.put(bloom, nb); nb }
+    }
+    GraftBridge.toColumn(
+      BloomMightContainBcast(b, GraftBridge.toExpression(xxhash64(c))))
+  }
+}
+
+/** [[Bloom.mightContain]]'s predicate: `mightContainLong` over a
+  * broadcast-resident serialized filter. Same sketch contract as
+  * Spark's BloomFilterMightContain (which this replaces purely for the
+  * SHIPPING mechanics): the filter deserializes once per task via the
+  * lazy val — never per row — and the bytes live in one broadcast per
+  * executor instead of in every task binary. */
+case class BloomMightContainBcast(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_might_contain"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bcast.value))
+
+  /** Public for codegen (addReferenceObj call below). */
+  def test(v: Long): Boolean = filter.mightContainLong(v)
+
+  override protected def nullSafeEval(v: Any): Any =
+    test(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomPred", this)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.test($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

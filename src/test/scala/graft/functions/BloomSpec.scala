@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import graft.functions.BloomMightContainBcast
 import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -33,7 +33,7 @@ class BloomSpec extends SparkSpec {
       .queryExecution.sparkPlan
     val bloomFilters = plan.collect {
       case f: FilterExec if f.expressions.exists(_.exists(
-        _.isInstanceOf[BloomFilterMightContain])) => f
+        _.isInstanceOf[BloomMightContainBcast])) => f
     }
     assert(bloomFilters.nonEmpty, s"no bloom probe in the plan:\n$plan")
     bloomFilters.foreach { f =>

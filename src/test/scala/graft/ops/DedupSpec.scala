@@ -94,8 +94,7 @@ class DedupSpec extends SparkSpec {
     val plan = d11.queryExecution.sparkPlan
     val probes = plan.collect {
       case f: org.apache.spark.sql.execution.FilterExec if f.expressions.exists(
-        _.exists(_.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])) => f
+        _.exists(_.isInstanceOf[graft.functions.BloomMightContainBcast])) => f
     }
     assert(probes.size >= 2, s"expected both branch probes in the plan:\n$plan")
     probes.foreach { f =>
