@@ -222,7 +222,21 @@ object Bench {
     // scala.util.Random(rep).shuffle over the sorted registered names
     val repOrder = "\"fisher-yates(seed=rep 1..%d over sorted names)\""
       .format(reps)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","metric_version":$metricVersion,"cold_s":$coldTotal,"min_s":$minTotal,$coldOnly"reps":$reps,"rep_order":$repOrder,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
+    // Measurement-policy marker (round 17, r16 verdict item 5): the
+    // round-16 rep-shuffle + codegen-cache sizing changed what the
+    // numbers MEAN (per-query reps no longer back-to-back; Janino
+    // recompilation excluded from timed reps) without changing the
+    // value's definition (warm lower-median sum, still metric_version
+    // 2). Cross-round tooling must refuse to compare artifacts whose
+    // policy strings differ — that is this field's whole job. Bump the
+    // string whenever measurement policy (not query code) changes.
+    val policy =
+      "\"rep_order=shuffled;codegen_cache=5000\""
+    // cpus stamped into BOTH lines: the working-tree BENCH_FULL.json is
+    // clobbered by whichever run happened LAST, and in round 16 the
+    // driver's 8-core scaling run overwrote the 32-core artifact with
+    // nothing in the file saying so.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","metric_version":$metricVersion,"policy":$policy,"cpus":$cpus,"cold_s":$coldTotal,"min_s":$minTotal,$coldOnly"reps":$reps,"rep_order":$repOrder,"queries":$qs,"queries_min":$mins,"queries_cold":$colds,"queries_runs":$runs,"memo_backed":$memoJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the driver's per-round artifact keeps only a ~2KB tail of stdout,
     // which has repeatedly made cross-round per-query comparison
@@ -240,17 +254,40 @@ object Bench {
     // COMPACT line — same contract shape (metric/value/unit/queries/sf),
     // but "queries" holds only the 5 slowest medians — sized well under
     // the window so the tail always contains a complete parseable line.
-    val slow5 = results.collect { case (k, Some(med), _, _) => (k, med) }
-      .sortBy(-_._2).take(5)
-      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
-      // comma-decimal locale would render 1.234 as "1,234" — invalid JSON,
-      // defeating the compact line's whole purpose. Every other number on
-      // the line goes through Double.toString, which is locale-independent.
-      .map { case (k, v) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
-          Double.box(v)) }
-      .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","metric_version":$metricVersion,"cold_s":$coldTotal,"min_s":$minTotal,$coldOnly"reps":$reps,"n":${results.size},"errors":$errs,"queries":$slow5,"sf":"$sfDir","compact":true,"full":"BENCH_FULL.json"}"""
+    // 25 slowest, not 5 (round 17, r16 verdict item 4): with only the
+    // top-5 medians in the tail window, one round's optimizations
+    // pushing the previous top-5 out of the list left the driver's
+    // round-over-round comparison with n_common = 0 and a null geomean.
+    // 25 median entries + their mins is ~1.4 KB — the whole compact
+    // line stays under the driver's ~2 KB stdout tail window (asserted
+    // below so a future rename can't silently push it back out).
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would render 1.234 as "1,234" — invalid JSON,
+    // defeating the compact line's whole purpose. Every other number on
+    // the line goes through Double.toString, which is locale-independent.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val minByName = results.collect { case (k, _, Some(mn), _) => k -> mn }.toMap
+    def mkCompact(topN: Int): String = {
+      val slowNames = results.collect { case (k, Some(med), _, _) => (k, med) }
+        .sortBy(-_._2).take(topN)
+      val slowQs = slowNames
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      // the same names' per-query MINIMA — the contention-proof
+      // comparator (see minTotal above) — so the driver can compute a
+      // geomean even when its own warm reps are contended
+      val slowMins = slowNames.flatMap { case (k, _) =>
+        minByName.get(k).map(mn => "\"" + k + "\":" + fmt(mn)) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","metric_version":$metricVersion,"policy":$policy,"cpus":$cpus,"cold_s":$coldTotal,"min_s":$minTotal,$coldOnly"reps":$reps,"n":${results.size},"errors":$errs,"queries":$slowQs,"queries_min":$slowMins,"sf":"$sfDir","compact":true,"full":"BENCH_FULL.json"}"""
+    }
+    // the compact line exists to fit the driver's ~2KB stdout tail
+    // window; when it does not (e.g. a long errors array), shed query
+    // entries rather than emit a line whose JSON start falls outside
+    // the window — a truncated line parses as nothing at all
+    val compact = Seq(25, 10, 5, 0).map(mkCompact).find(_.length < 1950)
+      .getOrElse(mkCompact(0))
     println(compact)
     spark.stop()
   }

@@ -23,6 +23,14 @@ object SessionCaches {
     * Call once per cache object (from its companion's initializer). */
   def registerEvictor(f: SparkSession => Unit): Unit = evictors.add(f)
 
+  /** Run every evictor for `spark` NOW — the spec hook for eviction
+    * contracts (onApplicationEnd cannot fire per-session in a shared
+    * test context). Production eviction stays listener-driven. */
+  private[graft] def evictNow(spark: SparkSession): Unit = {
+    tracked.remove(spark)
+    evictors.forEach(f => f(spark))
+  }
+
   /** Ensure `spark`'s cache entries are evicted when its application
     * ends. Idempotent per session; call on every cache insert. */
   def track(spark: SparkSession): Unit =

@@ -56,19 +56,56 @@ object Bloom {
   // caches that hand filters out (dc02's bloomCache, dd11's
   // standingBloomCache) return one stable instance per (session, dir),
   // so identity-keying gives exactly one broadcast per filter.
+  //
+  // Round 17 (r16 verdict hygiene item): entries are OWNED by the
+  // session that created them and evict — broadcast destroyed, strong
+  // refs dropped — through the same SessionCaches discipline as the
+  // filter caches they key against. Before this the map held every
+  // broadcast + 1.2 MB array for the JVM's lifetime: bounded in a
+  // bench run (a handful of filters), a leak of one broadcast per
+  // filter per session in a long-lived multi-session service.
   private val bcasts = new java.util.IdentityHashMap[Array[Byte],
-    org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+  graft.SessionCaches.registerEvictor { s =>
+    val dead = bcasts.synchronized {
+      val it = bcasts.entrySet().iterator()
+      val out = scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue._1 eq s) { out += e.getValue._2; it.remove() }
+      }
+      out.toSeq
+    }
+    // destroy outside the lock: it can block on the BlockManager
+    dead.foreach(b => try b.destroy() catch { case _: Throwable => () })
+  }
+
+  /** Entries currently held for `s` — spec hook for the eviction
+    * contract (BloomBcastSpec). */
+  private[graft] def bcastCountFor(
+      s: org.apache.spark.sql.SparkSession): Int =
+    bcasts.synchronized {
+      var n = 0
+      bcasts.values().forEach(v => if (v._1 eq s) n += 1)
+      n
+    }
 
   /** `might_contain(bloom, xxhash64(c))` — evaluates in whole-stage
     * codegen; the serialized filter ships ONCE per executor as a
     * broadcast instead of riding every task binary as a literal. */
   def mightContain(bloom: Array[Byte], c: Column): Column = {
-    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val sess = org.apache.spark.sql.SparkSession.active
     val b = bcasts.synchronized {
       val cur = bcasts.get(bloom)
-      if (cur != null) cur
-      else { val nb = sc.broadcast(bloom); bcasts.put(bloom, nb); nb }
+      if (cur != null) cur._2
+      else {
+        val nb = sess.sparkContext.broadcast(bloom)
+        bcasts.put(bloom, (sess, nb)); nb
+      }
     }
+    graft.SessionCaches.track(sess)
     GraftBridge.toColumn(
       BloomMightContainBcast(b, GraftBridge.toExpression(xxhash64(c))))
   }

@@ -143,8 +143,29 @@ object Hll {
     // the self-join references the sketch AGGREGATE twice; a lazy
     // localCheckpoint materializes the (tiny) sketch table on first
     // touch so the corpus-sized sketch scan runs ONCE, not per side —
-    // blocks are freed by the ContextCleaner when the plan is GC'd
-    val skM = sk.localCheckpoint(false)
+    // blocks are freed by the ContextCleaner when the plan is GC'd.
+    //
+    // Round 17: the checkpointed subtree is PLANNED with AQE off.
+    // Under AQE, Dataset.localCheckpoint(eager=false) is lazy in name
+    // only — its toRdd call runs AdaptiveSparkPlanExec's stage loop, so
+    // the whole corpus-sized sketch aggregate executed at DataFrame
+    // CONSTRUCTION, serially, before the consuming query's own stages
+    // could start (QProf: ~0.5 s of q08d's wall inside "build").
+    // Planned statically the RDD really is lazy: the sketch aggregate
+    // runs inside the first consuming job (the broadcast exchange of
+    // side a), overlapping the consumer's other subtrees (q08d's exact
+    // audit). AQE buys nothing for this subplan anyway — it is a
+    // straight scan → partial agg → exchange → final agg with no join
+    // to re-strategize and a rows-per-key-bounded output. The conf
+    // flip is planning-scoped (set → plan → restore); bench/verify
+    // construct queries single-threaded.
+    val skM = {
+      val sess = sk.sparkSession
+      val k = "spark.sql.adaptive.enabled"
+      val prev = sess.conf.get(k)
+      sess.conf.set(k, "false")
+      try sk.localCheckpoint(false) finally sess.conf.set(k, prev)
+    }
     // per-key sums fold ONCE per key before the join; only the union
     // fold is per-pair work
     val a = skM.select(col(key).as("key_a"), col(regs).as("regs_a"),

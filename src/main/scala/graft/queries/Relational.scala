@@ -234,11 +234,38 @@ object Relational {
       val pairs = graft.functions.Hll.pairUnions(sk, "l_returnflag", "regs")
         .withColumnRenamed("key_a", "flag_a")
         .withColumnRenamed("key_b", "flag_b")
-      val ex = base.groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(collect_set(col("l_returnflag")).as("fsa"))
-        .select(explode(col("fsa")).as("fa"), col("fsa"))
-        .select(col("fa"), explode(col("fsa")).as("fb"))
-        .filter(col("fa") < col("fb"))
+      // Round 17: the exact audit as distinct + self-join, replacing
+      // collect_set + double-explode. The set form's partial aggregate
+      // was the query's critical path — a 1.4 s serial ObjectHashAgg
+      // task (~2.4 µs/row: per-row set insert + buffer churn; the scan
+      // is one row group, so the map side is one task and spread was
+      // measured a loss here). distinct() is codegen'd fast-path hash
+      // agg (~0.4 s for the same task), and the pair grid falls out of
+      // the (p,s)-equi self-join of the deduped triples — identical
+      // counts: a pk whose flag SET is {f1..fk} contributes exactly its
+      // C(k,2) ordered-pair rows either way (collect_set drops nulls;
+      // null flags fail `fa < fb` here — same pairs). AQE dedups the
+      // duplicate dedup subtree via ReuseExchange (one corpus scan) and
+      // broadcasts the renamed side at runtime; at 100 TB the shape
+      // stays |distinct triples| rows per side — no set payloads, no
+      // flag-domain assumption (the rejected bitmask form's flaw).
+      // Oracle-verified hash-identical at sf0.001/sf0.01 (the oracle
+      // SQL still runs the collect_set form — proving equivalence, not
+      // assuming it).
+      val f = base.distinct()
+      val fy = f.select(col("l_partkey").as("p2"), col("l_suppkey").as("s2"),
+        col("l_returnflag").as("fb"))
+      // plain === on the keys: groupBy would keep a null (p,s) group
+      // whose flags collect_set pairs, and an equi-join drops it — but
+      // l_partkey/l_suppkey are NOT NULL by the TPC-H spec (and in
+      // every test SF), and the null-safe <=> form was measured ~10%
+      // slower same-window (loses the IsNotNull scan pushdown and
+      // codegens a heavier comparator). If this audit is ever pointed
+      // at nullable keys, switch both equalities to <=>.
+      val ex = f.join(fy,
+          col("l_partkey") === col("p2") && col("l_suppkey") === col("s2") &&
+            col("l_returnflag") < col("fb"))
+        .select(col("l_returnflag").as("fa"), col("fb"))
         .groupBy(col("fa"), col("fb"))
         .agg(count(lit(1)).as("n_exact_intersect"))
       def est(c: Column) = graft.functions.Hll.rawEstimate(c, 256)

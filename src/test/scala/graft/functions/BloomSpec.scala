@@ -59,6 +59,32 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("broadcast map drains when the owning session's caches evict") {
+    import org.apache.spark.sql.SparkSession
+    // a sibling session owns the broadcast: evicting it must not touch
+    // any other session's entries (or the shared suite session's caches)
+    val sibling = spark.newSession()
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(sibling)
+    try {
+      val before = Bloom.bcastCountFor(sibling)
+      val bloom = Bloom.build(
+        spark.range(100).selectExpr("cast(id as string) as g"),
+        col("g"), expectedItems = 100L, fpp = 0.01)
+      Bloom.mightContain(bloom, col("g")) // registers one broadcast
+      assert(Bloom.bcastCountFor(sibling) == before + 1)
+      // same filter instance again: identity-keyed, no second broadcast
+      Bloom.mightContain(bloom, col("g"))
+      assert(Bloom.bcastCountFor(sibling) == before + 1)
+      graft.SessionCaches.evictNow(sibling)
+      assert(Bloom.bcastCountFor(sibling) == 0,
+        "session eviction left bloom broadcasts behind")
+    } finally prevActive match {
+      case Some(s) => SparkSession.setActiveSession(s)
+      case None => SparkSession.clearActiveSession()
+    }
+  }
+
   test("dc02 equals dc01 row-for-row (false positives removed by the confirm join)") {
     val exact = graft.queries.Pipeline.queries("dc01_decontaminate")(spark, sf)
     val bloomed = graft.queries.Pipeline.queries("dc02_decontaminate_bloom")(spark, sf)
