@@ -89,6 +89,29 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 <= parts) df.repartition(parts) else df
   }
 
+  /** Lazy localCheckpoint PLANNED WITH AQE OFF (round 17, extracted
+    * from Hll.pairUnions). Under AQE, Dataset.localCheckpoint(
+    * eager=false) is lazy in name only — its toRdd call runs
+    * AdaptiveSparkPlanExec's stage loop, so the whole upstream subtree
+    * executes at DataFrame CONSTRUCTION time, serially, before the
+    * consuming query's own stages can start. Planned statically the
+    * RDD really is lazy: the subtree runs inside the first consuming
+    * job (overlapping the consumer's other subtrees) and its blocks
+    * are reused by every later reference, freed by the ContextCleaner
+    * when the plan is GC'd. Use ONLY for subtrees AQE cannot improve
+    * (no joins to re-strategize — scan → agg → exchange chains);
+    * plans that need AQE runtime broadcasts (the graph in-step joins)
+    * must keep Lineage.truncate. The conf flip is planning-scoped
+    * (set → plan → restore); bench/verify construct queries
+    * single-threaded. */
+  def pinLazy(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val k = "spark.sql.adaptive.enabled"
+    val prev = sess.conf.get(k)
+    sess.conf.set(k, "false")
+    try df.localCheckpoint(false) finally sess.conf.set(k, prev)
+  }
+
   /** True-dimension tables: bounded cardinality at ANY scale factor
     * (region=5, nation=25) — safe to pin broadcast forever. Everything
     * else (supplier/customer/part grow with SF) is left to Catalyst/AQE,

@@ -159,13 +159,7 @@ object Hll {
     // to re-strategize and a rows-per-key-bounded output. The conf
     // flip is planning-scoped (set → plan → restore); bench/verify
     // construct queries single-threaded.
-    val skM = {
-      val sess = sk.sparkSession
-      val k = "spark.sql.adaptive.enabled"
-      val prev = sess.conf.get(k)
-      sess.conf.set(k, "false")
-      try sk.localCheckpoint(false) finally sess.conf.set(k, prev)
-    }
+    val skM = graft.Tables.pinLazy(sk)
     // per-key sums fold ONCE per key before the join; only the union
     // fold is per-pair work
     val a = skM.select(col(key).as("key_a"), col(regs).as("regs_a"),

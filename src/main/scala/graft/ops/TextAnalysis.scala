@@ -476,20 +476,55 @@ object TextAnalysis {
       val qterms = Seq(1 -> "spark", 1 -> "join", 2 -> "dup", 2 -> "stream",
         3 -> "window", 3 -> "sort", 3 -> "merge")
       val q = broadcast(qterms.toDF("q_id", "word"))
-      val base = docs(s, d).select(col("doc_id"),
-        toks(lower(col("text"))).as("t"))
-      val tf = base.select(col("doc_id"), explode(col("t")).as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      val dl = base.select(col("doc_id"), size(col("t")).as("dl"))
-      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
-      val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      // Round 17: ONE corpus tokenize pass feeds everything. Each
+      // exploded token is bucketed at partial-agg time as its own word
+      // when it is a query term, else NULL (collision-free sentinel:
+      // toks never emits a null token, and a null token would join to
+      // nothing downstream exactly like the bucket). The exchange then
+      // carries ≤ |distinct query words|+1 rows per doc instead of the
+      // full per-doc vocabulary, and every statistic reads that ONE
+      // exchange: tf for a query word is its bucket count (identical —
+      // bucketing never merges two query words); df is that word's row
+      // count (identical — non-query rows never joined anyway); dl per
+      // doc is sum over all buckets = the doc's token count = the old
+      // size(tokens) (a no-token doc loses its dl row, but dl is only
+      // reached through the inner join on the query-word rows such a
+      // doc cannot have); the corpus token total is the global bucket
+      // sum, and n_docs is a pure docs count (no tokenize — parquet
+      // row-count metadata), so avgdl is EXACT for every input
+      // including empty/null-text docs (they contribute 0 tokens to
+      // both forms and are counted by both). QProf before: the plan
+      // tokenized the corpus in THREE separate single-task ~150-250 ms
+      // stages (two racing copies of the 1.6 MB full-vocab tf exchange
+      // AQE failed to dedup, plus the dl branch's 1.1 MB one); after:
+      // one tokenize stage, one 1.1 MB exchange. At 100 TB: one corpus
+      // pass instead of two, and the shuffle no longer scales with
+      // vocabulary size.
+      val qwords = qterms.map(_._2).distinct
+      // dl = size(t) is computed per DOC in the projection feeding the
+      // Generate and carried as a scalar attribute — naming explode's
+      // input array in the same select would make ExtractGenerator
+      // haul the whole token array through the Generate and evaluate
+      // size() per exploded row (measured 5× tokenize cost).
+      val agged = docs(s, d)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        .select(col("doc_id"), size(col("t")).as("dl"), col("t"))
+        .select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
+        .groupBy(col("doc_id"),
+          when(col("w").isin(qwords: _*), col("w")).as("word"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val stats = broadcast(agged.agg(sum(col("tf")).as("toks"))
+        .crossJoin(docs(s, d).agg(count(lit(1)).as("n_docs")))
+        .select(col("n_docs"),
+          (col("toks").cast("double") / col("n_docs")).as("avgdl")))
+      val qtf = agged.filter(col("word").isNotNull)
+      val idf = qtf.groupBy(col("word")).agg(count(lit(1)).as("df"))
         .crossJoin(stats)
         .select(col("word"), round(log(
           (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
             + lit(1.0)), 4).as("idf"))
-      val contrib = tf.join(q, "word").join(idf, "word")
-        .join(dl, "doc_id").crossJoin(stats)
+      val contrib = qtf.join(q, "word").join(broadcast(idf), "word")
+        .crossJoin(stats)
         .select(col("q_id"), col("doc_id"),
           (col("idf") * (col("tf") * lit(2.2) /
             (col("tf") + lit(1.2) * (lit(0.25) +
