@@ -458,12 +458,19 @@ object IvfIndex {
         explode(Similarity.nearestCellsInt8(index.centroids, nprobe))
           .as("cell"))
       .select(col("q_id"), col("q_vec"), col("cell.cid").as("c_id"))
-    // bounded collect: the distinct probed cell ids become literals, so
-    // the parquet scan below prunes partitions statically
-    val cellIds = probes.select(col("c_id")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // Round 17: the probed-cell pruning is DYNAMIC partition pruning,
+    // not a construct-time collect. The old form ran the probe-side
+    // plan eagerly at DataFrame CONSTRUCTION (distinct+collect = 2
+    // jobs, ~300 ms of every IVF query's wall before its action
+    // started) to bake the cell ids in as isin literals. The inner
+    // join on c_id below already restricts ROWS to the probed cells;
+    // what the literals bought was partition pruning on the
+    // cell-partitioned posting scan — and Spark's DPP provides exactly
+    // that at runtime: probes is hint-broadcast and bounded
+    // (|queries| × nprobe rows), c_id is the posting dir's partition
+    // column, so the scan gets a dynamicpruning#N partition filter and
+    // still opens only the probed cells (plan-pinned in IvfIndexSpec).
     val posting = postingDf(s, index.dir)
-      .filter(col("c_id").isin(cellIds: _*))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     posting.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -73,6 +73,51 @@ object GraphIterProf {
       adjMem.join(broadcast(ranks0), adjMem("src") === ranks0("node"))
         .select(col("dst"), expr("rank DIV deg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("contrib")))
+
+    // Round 17 (verdict item 3): decompose the agg slice further.
+    // (a) dst-partitioned adjacency: groupBy(dst) needs NO exchange and
+    // the whole iteration is ONE stage — isolates the exchange+stage-
+    // barrier share of the agg slice from the hash-agg kernel itself.
+    // (NOT shippable: at 100 TB ranks may not broadcast, and then the
+    // src-equi join over a dst-partitioned adjacency shuffles the EDGE
+    // table per iteration — the refused formulation.)
+    val adjDst = edges.join(deg, "src").repartition(parts, col("dst"))
+      .persist(disk)
+    adjDst.count()
+    timed("full iter, dst-partitioned (no exchange)")(
+      adjDst.join(broadcast(ranks0), adjDst("src") === ranks0("node"))
+        .select(col("dst"), expr("rank DIV deg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("contrib")))
+    // (b) count instead of sum: same hash probe, no add — if these tie,
+    // the aggregate FUNCTION (primitive codegen'd long sum) is not the
+    // cost and a custom DeclarativeAggregate cannot win anything.
+    timed("full iter, count() not sum()")(
+      adj.join(broadcast(ranks0), adj("src") === ranks0("node"))
+        .select(col("dst"), expr("rank DIV deg").as("share"))
+        .groupBy(col("dst")).agg(count(lit(1)).as("contrib")))
+    // (c) the 10-iteration chain as the query runs it (AQE) vs planned
+    // statically with an explicit broadcast hint (one job, no per-stage
+    // AQE barriers) — quantifies the per-iteration scheduling share.
+    // (The static+hint form is an EXPERIMENT: a static broadcast hint
+    // is a scale-killer when ranks outgrows the driver.)
+    def chain(hint: Boolean): org.apache.spark.sql.DataFrame = {
+      var r = ranks0
+      for (_ <- 1 to 10) {
+        val rr = if (hint) broadcast(r) else r
+        r = adj.join(rr, adj("src") === rr("node"))
+          .select(col("dst"), expr("rank DIV deg").as("share"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+          .select(col("dst").as("node"),
+            (lit(150000000000L) + expr("(85 * contrib) DIV 100")).as("rank"))
+      }
+      r
+    }
+    timed("10-iter chain (AQE, as shipped)")(chain(hint = false))
+    timed("10-iter chain (AQE + bcast hint)")(chain(hint = true))
+    val k = "spark.sql.adaptive.enabled"
+    spark.conf.set(k, "false")
+    timed("10-iter chain (static + bcast hint)")(chain(hint = true))
+    spark.conf.set(k, "true")
     spark.stop()
   }
 }

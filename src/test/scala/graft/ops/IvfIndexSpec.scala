@@ -22,18 +22,29 @@ class IvfIndexSpec extends SparkSpec {
     .select(col("vec_id"), col("embedding"))
 
   test("probe scans only the probed cells' partitions") {
+    // Round 17: the pruning is DYNAMIC partition pruning (no
+    // construct-time collect), so the plan must carry a
+    // dynamicpruning partition filter and the RUNTIME partition-read
+    // metric — not the static selectedPartitions — must show the scan
+    // opened fewer cells than the index holds.
     val index = IvfIndex.builtFor(spark, sf)
     val out = IvfIndex.probe(spark, index, emb.filter(col("vec_id") < 10))
+    out.write.format("noop").mode("overwrite").save()
     val scans = walk(out.queryExecution.executedPlan).collect {
       case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains(index.dir)) => f
     }
     assert(scans.nonEmpty, "no parquet scan over the index dir in the probe plan")
-    val selected = scans.map(_.selectedPartitions.partitionCount).max
+    assert(scans.exists(_.partitionFilters.exists(
+        _.toString.contains("dynamicpruning"))),
+      "posting scan lost its dynamic partition-pruning filter — at scale " +
+        "the probe would read the whole index: " +
+        scans.map(_.partitionFilters).mkString("; "))
     // 10 queries x nprobe 3 gives at most 30 (deduped, usually ~6-10)
-    // probed cells out of k=20; the scan must not touch all k partitions
+    // probed cells out of k; the scan must not touch all k partitions
+    val selected = scans.map(_.metrics("numPartitions").value).max
     assert(selected < index.k,
-      s"probe scan touches $selected of ${index.k} cells — no partition pruning")
+      s"probe scan read $selected of ${index.k} cells — no partition pruning")
     val totalCells = spark.read.parquet(index.dir)
       .select(col("c_id")).distinct().count()
     assert(selected < totalCells,
