@@ -234,6 +234,11 @@ object Dedup {
     val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    // Tables.spread re-probed on a settled host (round 17, the
+    // verdict's item 7) and REJECTED again: dd13 min 0.347→0.367 s,
+    // dd13b 0.374→0.395 (8 reps, same-window stash A/B) — the split +
+    // spanCut allocation per row hits the measured 32-way concurrency
+    // cliff and the md5 share is too small to pay for it.
     corpus
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), split(col("text"), " ").as("toks"), col("spans"))

@@ -229,6 +229,12 @@ object TextAnalysis {
     // relation the tx09 lesson forbids broadcasting; reassembly is one
     // agg shuffle on doc_id with an in-group sort, never a global sort.
     "tx15_line_dedup" -> { (s, d) =>
+      // Tables.spread re-probed on a settled host (round 17, verdict
+      // item 7) and REJECTED hard: min 0.683→1.214 s, med 0.775→1.343
+      // (8 reps, same-window stash A/B) — the split + slice + line
+      // array build is pure allocation, and materializing it through
+      // the persist at 32-way concurrency pays the measured ~8×
+      // per-task slowdown with no md5-class CPU share to recoup it.
       val lines = docs(s, d)
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), concat(
@@ -413,6 +419,13 @@ object TextAnalysis {
     // argument).
     "tx21_kn_lm_score" -> { (s, d) =>
       val pairs = bigramPairs(s, d)
+      // (Round 17: materializing `big` once for its four consumers was
+      // measured WORSE both ways on this host — Lineage.truncate min
+      // 0.636→0.884 s (serial construct-time checkpoint), Tables.pinLazy
+      // 0.636→1.068 (statically planned 32-partition block reads hit the
+      // 32-way tiny-task cliff). The racing recomputes overlap on idle
+      // cores and win locally; at scale the pairs table is the memoized
+      // persisted input, so each consumer is one cached-table pass.)
       val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val uni = big.groupBy(col("w1"))
         .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w"))

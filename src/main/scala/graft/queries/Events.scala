@@ -541,23 +541,42 @@ object Events {
 
     // Ordered conversion funnel: first view → first click at-or-after
     // it → first purchase at-or-after that, per user; output is the
-    // per-stage user counts. Every join and aggregation keys on
-    // user_id, so one hash partitioning serves the whole chain (the
-    // per-stage aggregates shrink monotonically and AQE broadcasts
-    // them back against the event scan).
+    // per-stage user counts.
+    //
+    // Round 17: ONE shuffle on user_id serves the whole funnel. The
+    // old form ran each stage as its own filtered scan + groupBy +
+    // join (3 event scans, ~8 AQE jobs whose taskSum was only ~200 ms
+    // of the ~800 ms wall — pure stage-barrier overhead, the
+    // sequential-job tier). Three STACKED whole-partition windows on
+    // the same user_id partitioning compute the same stage times in
+    // one pass with no join at all: v_us = min view time (min skips
+    // the when()-nulls of other rows); c_us = min click time at or
+    // after v_us (a user with no view has v_us null, the comparison is
+    // null, the when yields null — exactly the old inner join dropping
+    // them); p_us likewise off c_us. Same partitioning and no ordering
+    // ⇒ Catalyst plans all three Window ops back-to-back in the one
+    // exchange, and the per-user groupBy below reuses it (max of a
+    // per-partition-constant column = that constant; all-null stays
+    // null). The whole-partition frame buffers one user's events —
+    // bounded per user at any corpus scale, the ev15 window class.
     "ev09_funnel" -> { (s, d) =>
       val ev = Tables.load(s, d, "events")
         .withColumn("us", unix_micros(col("ts")))
         .select(col("user_id"), col("event_type"), col("us"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("us") >= col("v_us"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("us") >= col("c_us"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      val w = Window.partitionBy(col("user_id"))
+      val staged = ev
+        .withColumn("v_us",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("c_us",
+          min(when(col("event_type") === "click" &&
+            col("us") >= col("v_us"), col("us"))).over(w))
+        .withColumn("p_us",
+          min(when(col("event_type") === "purchase" &&
+            col("us") >= col("c_us"), col("us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("v_us")).as("v_us"), max(col("c_us")).as("c_us"),
+          max(col("p_us")).as("p_us"))
+      staged.filter(col("v_us").isNotNull)
         .agg(count(lit(1)).as("n_view"),
           count(col("c_us")).as("n_click_after_view"),
           count(col("p_us")).as("n_purchase_funnel"))
