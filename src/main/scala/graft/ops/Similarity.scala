@@ -854,7 +854,12 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("q").as("q_q")))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("vec_id"))
-      q8.crossJoin(qs)
+      // spread (round 17): the quantize + 10×64-term integer dot kernel
+      // fuses into the single-row-group embeddings scan — one 1.5-1.7 s
+      // serial task carried the whole query (QProf). CPU-bound like
+      // qa05; same-window A/B med 1.114→0.837-0.859, min 0.815→0.69-0.76.
+      // No-op at scale (Tables.spread).
+      graft.Tables.spread(q8).crossJoin(qs)
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("score",
           expr("aggregate(zip_with(q, q_q, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)"))

@@ -177,6 +177,12 @@ object Extras {
     // so both engines emit the same physical type.
     "q19c_sampled_percentiles" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // (Tables.spread of the pruned projection was tried in round 17
+      // — the sampling md5s fuse into the serial single-row-group scan,
+      // twice — and REJECTED: min 0.979→1.080, med 1.047→1.177 (8 reps,
+      // same-window stash A/B). One md5 over a ~15-char key is too
+      // cheap to pay for shuffling the 4-column table; qa05's win
+      // needed ~20 md5s/row over 8-gram strings.)
       val sampled = Tables.load(s, d, "lineitem")
         .filter(conv(substring(
             md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
